@@ -1,0 +1,136 @@
+"""Inverted index — the reference engine's single end-to-end query.
+
+Reproduces the observable semantics of ``/root/reference/src/main.cc`` as one
+declarative DataFrame chain (no threads, no mutexes — Catalyst/Tungsten pick
+the physical plan):
+
+- tokenize on whitespace runs        (main.cc:73,   ``operator>>``)
+- ASCII lowercase                    (main.cc:75,   ``::tolower``)
+- strip every char outside ``[a-z]`` (main.cc:33-42, ``remove_non_letters``)
+- drop empty words — in the reference they are bucketed under ``'\\0'`` and
+  never written since only ``a..z`` files are emitted (main.cc:89 vs 132-137)
+- distinct (word, doc_id) pairs — set semantics discard term frequency
+  (main.cc:62-63, 78-79): a boolean index, not TF
+- postings list = ascending distinct doc ids (main.cc:120-127, sort :143)
+- bucket by first letter             (main.cc:132-141)
+- within a letter: postings-length DESC, then word ASC (main.cc:148-156)
+- render ``word:[d1 d2 ...]`` lines into ``<letter>.txt`` (main.cc:158-172)
+
+Scale notes (100 TB corpus): the single shuffle is on ``word``. Hot stopwords
+(``the`` appears in ~every doc — see reference golden test_out/t.txt) make
+``word`` skewed, but the per-file distinct (map-side partial aggregate, free
+under ``dropDuplicates``) bounds any word's pair count at n_docs, and AQE skew
+handling splits oversized post-shuffle partitions. ``collect_set`` postings
+for a true stopword are O(n_docs) — at 100 TB emit ``n_docs`` via count and
+keep postings only below a doc-frequency cap, or store postings as bucketed
+parquet instead of in-memory arrays. No driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_token",
+    "tokenize",
+    "word_doc_pairs",
+    "invert",
+    "format_output",
+    "write_letter_files",
+]
+
+
+def normalize_token(col: Column) -> Column:
+    """lowercase then strip ``[^a-z]`` — main.cc:75 then main.cc:33-42.
+
+    Order matters: the reference lowers first, then removes non-letters, so
+    ``"Don't"`` → ``dont``, ``"2024"`` → ``""``.
+    """
+    return F.regexp_replace(F.lower(col), "[^a-z]", "")
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, text)`` → one row per raw whitespace-delimited token.
+
+    ``split`` on ``\\s+`` mirrors C++ ``operator>>`` (main.cc:73): any run of
+    whitespace separates tokens; a leading run yields one empty token which
+    normalization would keep as ``""`` — dropped later like every empty word.
+    Narrow op: stays inside whole-stage codegen, no shuffle.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    )
+
+
+def word_doc_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct normalized ``(word, doc_id)`` pairs — the map-phase output.
+
+    Matches the reference's per-file ``std::set`` dedup + global merged
+    ``std::set`` (main.cc:62-63, 17, 78-96). ``dropDuplicates`` gives the
+    same set semantics with a map-side partial aggregate (the per-file
+    combine, main.cc:62-63) for free.
+    """
+    return (
+        tokenize(docs, text_col, id_col)
+        .select(normalize_token(F.col("token")).alias("word"), "doc_id")
+        .filter(F.length("word") > 0)  # main.cc:89 vs 132-137 — '' never output
+        .dropDuplicates(["word", "doc_id"])
+    )
+
+
+def invert(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full index: ``(letter, word, docs, n_docs)``.
+
+    - ``docs`` = ascending distinct doc ids (main.cc:120-127, 143). We use
+      ``sort_array(collect_set(...))`` — the reference relies on an explicit
+      post-sort too, since its insertion order is nondeterministic.
+    - ``letter`` = first char (main.cc:88-91).
+    - Row order inside a letter: ``n_docs`` DESC, ``word`` ASC
+      (comparator main.cc:148-156).
+
+    One hash-partition shuffle on ``word`` (distinct + groupBy collapse into
+    one exchange under Catalyst); the final order is applied per letter at
+    write time, not as a global sort.
+    """
+    postings = (
+        word_doc_pairs(docs, text_col, id_col)
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .withColumn("n_docs", F.size("docs"))
+        .withColumn("letter", F.substring("word", 1, 1))
+    )
+    return postings.select("letter", "word", "docs", "n_docs").orderBy(
+        "letter", F.col("n_docs").desc(), F.col("word").asc()
+    )
+
+
+def format_output(index: DataFrame) -> DataFrame:
+    """``(letter, line)`` with ``line = word:[d1 d2 ...]`` — main.cc:160-170."""
+    return index.select(
+        "letter",
+        F.concat(
+            F.col("word"), F.lit(":["), F.array_join("docs", " "), F.lit("]")
+        ).alias("line"),
+    )
+
+
+def write_letter_files(index: DataFrame, out_dir: str) -> None:
+    """Write ``letter=<c>/part-*.txt`` mirroring the 26 ``<c>.txt`` sinks.
+
+    ``repartition('letter')`` + ``sortWithinPartitions`` keeps each letter's
+    required (n_docs DESC, word ASC) order inside a single output file
+    (main.cc:136-172). Letter skew is real ('s' ≫ 'z'); this sink is a demo
+    of the reference's file layout — hash-checked queries never depend on it.
+    At 100 TB one file per letter is wrong by construction; partitioned
+    parquet on ``letter`` with many files per partition is the scale path.
+    """
+    (
+        format_output(index.repartition("letter").sortWithinPartitions(
+            "letter", F.col("n_docs").desc(), F.col("word").asc()
+        ))
+        .write.mode("overwrite")
+        .partitionBy("letter")
+        .text(out_dir)
+    )

@@ -1,0 +1,57 @@
+"""Reference-heritage queries: the inverted index pipeline (main.cc:44-176).
+
+Two driver-checkable shapes:
+- ``inverted_index``      — exploded distinct ``(word, doc_id)`` pairs (the
+  map-phase output, main.cc:17) — maximally stable for value-hashing.
+- ``inverted_index_agg``  — full reduce output ``(letter, word, docs,
+  n_docs)`` with sorted postings arrays (main.cc:28,143) — exercises the
+  groupBy/collect/sort chain and array hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.inverted_index import invert, word_doc_pairs
+from mapreduce_model_spark.registry import query, table
+
+_WORDS_CTE = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+    FROM documents
+), words AS (
+    SELECT doc_id, regexp_replace(lower(tok), '[^a-z]', '', 'g') AS word
+    FROM toks
+)
+"""
+
+
+@query(
+    "inverted_index",
+    oracle=_WORDS_CTE
+    + """
+SELECT DISTINCT word, doc_id
+FROM words
+WHERE length(word) > 0
+""",
+)
+def inverted_index(spark, sf_dir):
+    return word_doc_pairs(table(spark, sf_dir, "documents")).select("word", "doc_id")
+
+
+@query(
+    "inverted_index_agg",
+    oracle=_WORDS_CTE
+    + """
+SELECT substr(word, 1, 1) AS letter,
+       word,
+       list_sort(list(DISTINCT doc_id)) AS docs,
+       count(DISTINCT doc_id) AS n_docs
+FROM words
+WHERE length(word) > 0
+GROUP BY word
+""",
+)
+def inverted_index_agg(spark, sf_dir):
+    idx = invert(table(spark, sf_dir, "documents"))
+    return idx.select("letter", "word", "docs", F.col("n_docs").cast("long").alias("n_docs"))

@@ -1,0 +1,57 @@
+"""Query registry — the driver-checkable surface (SURVEY.md §2 Table B).
+
+Every operator the engine implements is declared here as a named query
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) a DuckDB oracle
+string over the same parquet tables. The driver hash-matches Spark vs DuckDB
+at sf0.01 — so every computed column is aliased identically on both sides,
+ordered queries carry total-order tie-breaks, and float aggregates are
+rounded identically on both sides (FIXTURES.md §4).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings (pre-registered as DuckDB views by the driver; loaded
+from ``{sf_dir}/{name}.parquet`` on the Spark side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one synthetic table (columnar, pushdown-capable)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    """Register ``fn(spark, sf_dir) -> DataFrame`` under ``name``.
+
+    ``oracle=None`` ⇒ non-SQL-expressible (LSH, sketches, streaming state):
+    the driver records the weaker rows-only check.
+    """
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Importing the query modules populates the registry. Imports are hard on
+# purpose: a broken module must fail loudly, not silently shrink coverage.
+def _load() -> None:
+    from mapreduce_model_spark import queries_reference  # noqa: F401
+
+
+_load()

@@ -1,0 +1,77 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs a registered Spark query and its DuckDB oracle on the same parquet
+tables, then compares row count, sorted column names, and the
+order-insensitive multiset of (canonicalized) row values. Not the driver's
+exact hash — a strictly local pre-flight so mismatches are caught here first.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+
+from mapreduce_model_spark.registry import ORACLE_SQL, QUERIES, TABLES
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for row in rows:
+        key = tuple(_canon(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def run_oracle(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        return cols, rows
+    finally:
+        con.close()
+
+
+def compare_query(spark, sf_dir: str, name: str) -> str | None:
+    """Returns None on match, else a human-readable mismatch description."""
+    sdf = QUERIES[name](spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLE_SQL:
+        return None if len(s_rows) >= 0 else "spark query failed"
+    o_cols, o_rows = run_oracle(sf_dir, ORACLE_SQL[name])
+    if sorted(s_cols) != sorted(o_cols):
+        return f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    if len(s_rows) != len(o_rows):
+        return f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}"
+    s_ms = _rows_to_multiset(s_cols, s_rows)
+    o_ms = _rows_to_multiset(o_cols, o_rows)
+    if s_ms != o_ms:
+        only_s = [k for k in s_ms if s_ms[k] != o_ms.get(k, 0)][:3]
+        only_o = [k for k in o_ms if o_ms[k] != s_ms.get(k, 0)][:3]
+        return f"values differ: spark-only={only_s} oracle-only={only_o}"
+    return None

@@ -1,0 +1,609 @@
+"""Relational operator surface (SURVEY.md §2 Table B) — driver-checkable.
+
+Each query is a declarative DataFrame plan (Catalyst handles pushdown,
+pruning, join strategy, AQE) paired with the equivalent DuckDB SQL. Hash-match
+discipline (FIXTURES.md §4): identical aliases both sides, total-order
+tie-breaks on every rank/limit, identical rounding on float aggregates,
+timestamp comparisons in microseconds (Spark truncates parquet ns → µs).
+
+Heritage: the reference has *no* relational operators beyond its fixed
+pipeline (SURVEY.md §2 Table A) — this module is the generalized surface the
+north star mandates, built on the same primitives (scan A2, filter A6,
+distinct A7/A8, hash-agg A11, sort A12/A14, partition A10/A13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.functions.rounding import rnd
+from mapreduce_model_spark.operators.joins import (
+    asof_join,
+    broadcast_star_join,
+    range_join,
+)
+from mapreduce_model_spark.operators.windows import sessionize, topk_per_group
+from mapreduce_model_spark.registry import query, table
+
+
+# --- scans / filters / distinct -------------------------------------------
+
+@query(
+    "scan_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+""",
+)
+def scan_project(spark, sf_dir):
+    """Projection reaches the parquet scan (column pruning: ReadSchema shows
+    only these 4 of 11 columns)."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+WHERE l_quantity > 30.0
+  AND l_returnflag IN ('A', 'R')
+  AND l_shipdate >= TIMESTAMP '1998-01-01'
+  AND NOT (l_linestatus = 'O' AND l_quantity > 45.0)
+""",
+)
+def filter_pred(spark, sf_dir):
+    """Compound predicate — pushed to the parquet reader (PushedFilters)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30.0)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= "1998-01-01")
+        & ~((F.col("l_linestatus") == "O") & (F.col("l_quantity") > 45.0))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark, sf_dir):
+    """A7/A8 generalized: map-side partial distinct then exchange."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+# --- aggregation ----------------------------------------------------------
+
+@query(
+    "groupby_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(1e-9 + sum(l_quantity), 2)                                    AS sum_qty,
+       round(1e-9 + sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(1e-9 + avg(l_quantity), 4)                                    AS avg_qty,
+       round(1e-9 + avg(l_extendedprice), 4)                               AS avg_price,
+       round(1e-9 + avg(l_discount), 4)                                    AS avg_disc,
+       count(*)                                                     AS count_order,
+       count(DISTINCT l_orderkey)                                   AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def groupby_agg(spark, sf_dir):
+    """TPC-H Q1 shape (A11 generalized): hash agg with map-side partials;
+    one shuffle on the 2-col group key."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+        rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+        rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "collect_group",
+    oracle="""
+SELECT o_custkey, list_sort(list(DISTINCT o_orderkey)) AS orderkeys
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def collect_group(spark, sf_dir):
+    """A11+A12: group → sorted distinct array (the postings-list shape)."""
+    return table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderkey")).alias("orderkeys")
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_agg(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(1e-9 + sum(o_totalprice), 2) AS sum_price,
+       count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_agg(spark, sf_dir):
+    return table(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query(
+    "pivot_wide",
+    oracle="""
+SELECT user_id,
+       round(1e-9 + sum(value) FILTER (WHERE event_type = 'click'), 2)    AS click,
+       round(1e-9 + sum(value) FILTER (WHERE event_type = 'error'), 2)    AS error,
+       round(1e-9 + sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+       round(1e-9 + sum(value) FILTER (WHERE event_type = 'signup'), 2)   AS signup,
+       round(1e-9 + sum(value) FILTER (WHERE event_type = 'view'), 2)     AS "view"
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_wide(spark, sf_dir):
+    """Pivot with an explicit value list (no extra distinct-scan job, stable
+    column order)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(rnd(F.sum("value"), 2))
+    )
+
+
+@query("approx_distinct")  # approximate — rows-only check, no oracle
+def approx_distinct(spark, sf_dir):
+    """Sketch aggregates (HLL++, KLL): A9's distinct-vocabulary at the scale
+    where exact distinct is a full shuffle. rsd=0.01 keeps the sketch small
+    enough to broadcast-merge."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("median_price"),
+    )
+
+
+# --- joins ----------------------------------------------------------------
+
+@query(
+    "join_inner",
+    oracle="""
+SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_inner(spark, sf_dir):
+    """Equi join; customer is the small side → broadcast hash join."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+
+
+@query(
+    "join_multi",
+    oracle="""
+SELECT n_name, r_name,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+)
+def join_multi(spark, sf_dir):
+    """TPC-H Q5 shape: fact ⋈ chain of broadcast dims — at 100 TB the fact
+    table never shuffles for the dim joins; only the final small agg does."""
+    li = table(spark, sf_dir, "lineitem")
+    joined = broadcast_star_join(
+        li,
+        [
+            (table(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey")),
+            (table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")),
+            (table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey")),
+            (table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return joined.groupBy("n_name", "r_name").agg(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey,
+       count(o_orderkey)                          AS n_orders,
+       round(1e-9 + sum(coalesce(o_totalprice, 0)), 2)   AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left_outer(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            rnd(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT n_nationkey, n_name, s_suppkey, s_name
+FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+""",
+)
+def join_full_outer(spark, sf_dir):
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+SELECT e1.user_id AS user_id, count(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND epoch_us(e2.ts) >  epoch_us(e1.ts)
+ AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 300000000
+GROUP BY e1.user_id
+""",
+)
+def join_range(spark, sf_dir):
+    """Interval self-join: follow-up events within 5 minutes, per user.
+    Equi-key (user_id) bounds the per-key cross product; comparisons in
+    microseconds to sidestep parquet-ns vs Spark-µs truncation."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    pairs = range_join(
+        e1,
+        e2,
+        ["user_id"],
+        (F.col("e2.us") > F.col("e1.us"))
+        & (F.col("e2.us") <= F.col("e1.us") + 300_000_000),
+    )
+    return pairs.groupBy(F.col("e1.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT e1.event_id AS event_id, e1.user_id AS user_id,
+       epoch_us(e1.ts) AS ts_us,
+       (SELECT max(epoch_us(e2.ts)) FROM events e2
+         WHERE e2.user_id = e1.user_id
+           AND e2.event_type = 'purchase'
+           AND epoch_us(e2.ts) <= epoch_us(e1.ts)) AS asof_ts_us
+FROM events e1
+WHERE e1.event_type = 'click'
+""",
+)
+def join_asof(spark, sf_dir):
+    """As-of join (backward): each click matched to the user's latest
+    purchase at-or-before it. Implemented as one per-user window over the
+    union of both streams (operators.joins.asof_join) — no correlated
+    subquery, one shuffle, scale-safe."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(clicks, purchases, key="user_id")
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "asof_ts_us"
+    )
+
+
+# --- sort / limit / set ops ----------------------------------------------
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+)
+def sort_limit_topk(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition top-k
+    + driver merge of k·partitions rows), never a full global sort. Total
+    order via tie-break keys (A14 discipline)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "set_ops_union",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+""",
+)
+def set_ops_union(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < "1996-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    late = o.filter(F.col("o_orderdate") >= "2001-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return early.unionByName(late).distinct()
+
+
+@query(
+    "set_ops_intersect",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def set_ops_intersect(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "set_ops_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+""",
+)
+def set_ops_except(spark, sf_dir):
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# --- window functions -----------------------------------------------------
+
+@query(
+    "window_rank",
+    oracle="""
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+""",
+)
+def window_rank(spark, sf_dir):
+    """Top-3 orders per customer — generalizes the reference's per-letter
+    (n_docs DESC, word ASC) ranking (main.cc:148-156). One shuffle on
+    o_custkey; the rn<=3 filter prunes before anything downstream."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    ranked = topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return ranked.withColumn("rnk", F.rank().over(w)).withColumn(
+        "drnk", F.dense_rank().over(w)
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+SELECT event_id, user_id,
+       round(1e-9 + value, 2)                                   AS value,
+       round(1e-9 + lag(value)  OVER w, 2)                      AS prev_value,
+       round(1e-9 + lead(value) OVER w, 2)                      AS next_value,
+       round(1e-9 + sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+       round(1e-9 + avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)         AS moving_avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+)
+def window_analytic(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    order = [F.unix_micros("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        rnd("value", 2).alias("value"),
+        rnd(F.lag("value").over(w), 2).alias("prev_value"),
+        rnd(F.lead("value").over(w), 2).alias("next_value"),
+        rnd(F.sum("value").over(running), 2).alias("running_sum"),
+        rnd(F.avg("value").over(moving), 2).alias("moving_avg3"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), flags AS (
+    SELECT user_id,
+           CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                     IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                     > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM flags GROUP BY user_id
+""",
+)
+def sessionize_events(spark, sf_dir):
+    """Batch sessionization (30-min gap) — the lag+cumsum construction;
+    streaming analogue is session_window (queries_streaming)."""
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=1800, tie_break="event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions")
+    )
+
+
+# --- scalar function surface ---------------------------------------------
+
+@query(
+    "scalar_funcs",
+    oracle="""
+SELECT event_id,
+       upper(event_type)                              AS type_upper,
+       substr(event_type, 1, 3)                       AS type3,
+       concat(event_type, '#', CAST(user_id AS VARCHAR)) AS tagged,
+       length(props)                                  AS props_len,
+       replace(event_type, 'i', '!')                  AS replaced,
+       lpad(CAST(user_id AS VARCHAR), 6, '0')         AS user_pad,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       year(ts)                                       AS y,
+       month(ts)                                      AS m,
+       day(ts)                                        AS d,
+       hour(ts)                                       AS h,
+       CAST(date_trunc('day', ts) AS TIMESTAMP)       AS day_ts,
+       abs(value - 100.0)                             AS dist100,
+       round(1e-9 + sqrt(value), 4)                          AS sqrt_v,
+       round(1e-9 + ln(value + 1.0), 4)                      AS log_v,
+       CAST(floor(value) AS BIGINT)                   AS floor_v,
+       CAST(ceil(value) AS BIGINT)                    AS ceil_v,
+       CAST(event_id % 7 AS BIGINT)                   AS id_mod
+FROM events
+""",
+)
+def scalar_funcs(spark, sf_dir):
+    """String/date/math/JSON scalar surface (A4/A5 generalized). All
+    JVM-side built-ins — whole-stage-codegen, no Python in the hot path."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type3"),
+        F.concat_ws("#", "event_type", F.col("user_id").cast("string")).alias("tagged"),
+        F.length("props").alias("props_len"),
+        F.regexp_replace("event_type", "i", "!").alias("replaced"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("user_pad"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.abs(F.col("value") - 100.0).alias("dist100"),
+        rnd(F.sqrt("value"), 4).alias("sqrt_v"),
+        rnd(F.log(F.col("value") + 1.0), 4).alias("log_v"),
+        F.floor("value").alias("floor_v"),
+        F.ceil("value").alias("ceil_v"),
+        (F.col("event_id") % 7).cast("long").alias("id_mod"),
+    )

@@ -28,7 +28,20 @@ TABLES = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan for one synthetic table (columnar, pushdown-capable)."""
+    """Parquet scan for one synthetic table (columnar, pushdown-capable).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    (µs) refuses outright (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64
+    (legacy conf) and rebuild a µs TimestampType column with integral
+    division — ``div`` not ``/`` (double division loses precision above
+    2^53, i.e. on every ns-epoch value).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -51,7 +64,10 @@ def query(name: str, oracle: str | None = None):
 # Importing the query modules populates the registry. Imports are hard on
 # purpose: a broken module must fail loudly, not silently shrink coverage.
 def _load() -> None:
-    from mapreduce_model_spark import queries_reference  # noqa: F401
+    from mapreduce_model_spark import (  # noqa: F401
+        queries_reference,
+        queries_relational,
+    )
 
 
 _load()

@@ -1,0 +1,247 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Generalizes the reference's set-based dedup (per-file ``std::set`` insert,
+main.cc:62-63,78-79 — operator A7) from (word, doc) pairs to whole-document
+identity and near-identity, the core of an LLM training-data pipeline.
+
+All hashing is md5-derived (``functions.text.md5_int32``) so every stage is
+reproducible in DuckDB for the oracle — no engine-private hash functions in
+any checkable path.
+
+Scale notes (100 TB):
+- ``dedup_exact``: one shuffle on the 128-bit text hash. Hash first, never
+  group on raw text (shuffle payload is 16 bytes + id per row).
+- MinHash: signatures are k·8 bytes per doc (k=32 → 256 B); the shuffle that
+  matters is the LSH band self-join. Band keys distribute uniformly unless
+  boilerplate documents create hot buckets — cap bucket size (drop buckets
+  with > N docs; they are boilerplate by definition and handled by exact
+  dedup) before the pair join to bound the quadratic blowup.
+- SimHash: pure aggregation (no pair join until the final hamming check) —
+  the cheapest near-dup signal at scale.
+- n-gram Jaccard: exact pairwise — only viable behind blocking. Here the
+  blocker is shingle-sharing with a document-frequency cap on shingles
+  (``max_shingle_df``): a shingle in thousands of docs contributes pairs
+  quadratically but no discrimination, so it is dropped, exactly the hot-key
+  salting argument from SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.functions.text import md5_int32, shingles, words_array
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+
+def perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) for the k MinHash permutations
+    h_i(x) = (a_i * x + b_i) mod P. Embedded verbatim in the DuckDB oracle —
+    same constants, same signatures."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(k)
+    ]
+
+
+def normalize_text(col):
+    """Canonical form for exact dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup on normalized text hash.
+
+    Returns one row per distinct content: ``(id, text_hash, group_size)``,
+    keeping the smallest id (deterministic). Window over the hash = one
+    shuffle on a 32-hex-char key.
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
+    w = Window.partitionBy("text_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .withColumn("rn", F.row_number().over(w.orderBy(id_col)))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def doc_shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle_hash) — distinct md5-int32 hashes (mod P) of word
+    k-gram shingles. The shared front end of MinHash and Jaccard."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(words_array(text_col), k))).alias("sh"),
+    ).select(id_col, (md5_int32(F.col("sh")) % MERSENNE_P).alias("x"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint> length k). One explode + one groupBy — the
+    k permutations are k expressions inside a single aggregate, not k jobs."""
+    params = perm_params(k, seed)
+    sh = doc_shingle_hashes(df, text_col, id_col, shingle_k)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+    )
+
+
+def lsh_near_dup_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated Jaccard.
+
+    Explode each signature into ``bands`` band-keys (md5 of the band slice),
+    self-join on the key, dedup pairs, estimate J as the fraction of equal
+    signature components. ``max_bucket`` drops boilerplate hot buckets before
+    the quadratic pair join (scale guard).
+    """
+    k = bands * rows
+    banded = sig.select(
+        F.col(id_col),
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.md5(
+                    F.concat_ws(
+                        ",",
+                        j.cast("string"),
+                        F.array_join(F.slice("sig", j * rows + 1, rows), ","),
+                    )
+                ),
+            )
+        ).alias("band_key"),
+    )
+    bucket_n = Window.partitionBy("band_key")
+    banded = banded.withColumn("bn", F.count(F.lit(1)).over(bucket_n)).filter(
+        F.col("bn") <= max_bucket
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on="band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", matches / F.lit(float(k)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("est_jaccard") + 1e-9, 4).alias("est_jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(id, simhash) — term-frequency-weighted SimHash over md5-int32 word
+    hashes. Identical docs → identical simhash; near-identical → small
+    hamming distance. Pure two-level aggregation, no pair join."""
+    tf = (
+        df.select(F.col(id_col), F.explode(words_array(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("x", md5_int32(F.col("w")))
+    )
+    vs = [
+        F.sum(
+            F.col("tf") * (F.shiftright("x", i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agged = tf.groupBy(id_col).agg(*vs)
+    sh = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sh = bit if sh is None else sh + bit
+    return agged.select(F.col(id_col), sh.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs blocked by shared rare shingles.
+
+    Shingles with document frequency > ``max_shingle_df`` are dropped from
+    *blocking only* (they still count in set sizes), bounding the pair join.
+    Output: (id_a, id_b, jaccard) for pairs ≥ threshold **that share at
+    least one rare shingle** — the documented recall contract of the blocker.
+    """
+    sh = doc_shingle_hashes(df, text_col, id_col, shingle_k).dropDuplicates(
+        [id_col, "x"]
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = Window.partitionBy("x")
+    rare = sh.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
+        F.col("df") <= max_shingle_df
+    )
+    a = sh.alias("a")  # intersection counted over ALL shingles
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="x")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cand = (
+        rare.alias("ra")
+        .join(rare.alias("rb"), on="x")
+        .filter(F.col(f"ra.{id_col}") < F.col(f"rb.{id_col}"))
+        .select(
+            F.col(f"ra.{id_col}").alias("id_a"), F.col(f"rb.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(inter, ["id_a", "id_b"])
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard"))
+    )

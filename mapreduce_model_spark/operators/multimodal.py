@@ -1,0 +1,88 @@
+"""Multimodal columns — opaque binary payloads with typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns plus a
+metadata struct; Spark treats them as bytes (columnar, dictionary-free).
+Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the only
+sanctioned Python hot path, because codecs don't exist as JVM expressions.
+
+The actual image/audio codecs are NOT in this container, so ``decode_image``
+is a clearly-marked stub (NotImplementedError) and ``extract_features`` is a
+deterministic fake with the REAL Spark plumbing: schema contract, Arrow
+batch iteration, per-partition execution, no driver collect.
+
+Scale notes (100 TB of media): payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` at the default 128 MB so a partition
+holds ~hundreds of payloads, and never groupBy on a payload column (hash the
+bytes first, exactly like dedup_exact hashes text). Feature extraction is
+embarrassingly parallel: one ``mapInPandas`` pass, output pruned to features
+so the binary column drops out of downstream shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_sum_mod", T.IntegerType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Simulate a media table: utf-8 payload bytes + typed metadata struct.
+    (In production this column comes from the source parquet/tar shards.)"""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "meta",
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+            F.lit("utf8-blob").alias("format"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real decode needs an image codec (PIL/libjpeg), not present in
+    this environment. The Spark-side plumbing (schema, batching, partition
+    shape) is real and tested via ``extract_features``."""
+    raise NotImplementedError(
+        "image decode requires a codec library not present in this container; "
+        "swap in PIL.Image.open(io.BytesIO(payload)) in production"
+    )
+
+
+def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake feature extraction over the binary column via
+    Arrow-batched mapInPandas (the production shape for decode/resize/
+    frame-sample). Pure function of the bytes → reproducible anywhere."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            byte_sum = payloads.map(lambda b: sum(b) % 997)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int32"),
+                    "byte_sum_mod": byte_sum.astype("int32"),
+                    # fake decode: pretend bytes are a square-ish image
+                    "fake_width": n_bytes.map(lambda n: int(n**0.5)).astype("int32"),
+                    "fake_height": n_bytes.map(
+                        lambda n: (n // max(int(n**0.5), 1))
+                    ).astype("int32"),
+                }
+            )
+
+    return media.select(id_col, "payload").mapInPandas(_extract, FEATURE_SCHEMA)

@@ -1,0 +1,157 @@
+"""Embedding similarity search — brute-force cosine top-k and sign-LSH ANN.
+
+North-star operators (no reference heritage — the reference has no numeric
+columns at all): nearest-neighbor retrieval over an ``array<float>`` column.
+
+Everything is built-in expressions (``zip_with`` + ``aggregate`` for the dot
+product) — JVM-side, codegen-friendly, no Python UDF in the scoring loop,
+and bit-identical to DuckDB's ``list_dot_product`` on ``DOUBLE[]`` (both
+multiply-accumulate left to right in double precision), which keeps the
+oracle hash-exact without tolerance hacks.
+
+Scale notes (100 TB / billions of vectors):
+- Brute force is O(Q·N·d) — correct baseline, and the right choice whenever
+  Q is small (the broadcast side) regardless of N: broadcast the queries,
+  one pass over the corpus, per-partition top-k via window. No shuffle of
+  the corpus.
+- The scale path is pruning: sign-LSH buckets (here), or IVF (k-means
+  coarse quantizer + per-centroid partitions — same join shape: bucket key
+  becomes centroid id). Recall is tunable via bucket bits / multi-probe.
+- Never collect() candidates: top-k is a window (or groupBy + max_by) on
+  executors end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine_topk", "sign_bucket", "lsh_cosine_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, left to right (matches DuckDB
+    ``list_dot_product`` on ``DOUBLE[]`` bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force baseline).
+
+    ``queries`` is broadcast; the corpus is scanned once. Ranking uses the
+    *unrounded* cosine plus id tie-break (total order → deterministic k).
+    Output: (query_id, vec_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    scored = F.broadcast(q).crossJoin(c).withColumn(
+        "cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 6) -> Column:
+    """Sign-LSH bucket key: '1'/'0' per leading dimension's sign. Random
+    hyperplanes degenerate to axis planes here to stay oracle-expressible;
+    for production recall use multiple bucket tables (multi-probe)."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ],
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN variant: candidates = corpus vectors in the query's sign bucket
+    (excluding self), exact cosine within the bucket, top-k. The bucket
+    equi-join replaces the cross join — at a billion vectors the per-bucket
+    candidate list is N/2^bits and the join shuffles on the bucket key only."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv"))).withColumn(
+        "bucket", sign_bucket(F.col("qv"), bits)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv"))).withColumn(
+        "bucket", sign_bucket(F.col("cv"), bits)
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    bits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate vectors: same sign bucket AND cosine ≥ threshold.
+    The bucket join is the blocker (documented recall contract: a near-dup
+    pair split across buckets is missed — multi-probe closes the gap)."""
+    v = emb.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v"))).withColumn(
+        "bucket", sign_bucket(F.col("v"), bits)
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "cosine", dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(F.col("cosine") + 1e-9, 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Deduplication queries — exact, MinHash signatures, MinHash-LSH near-dup
+pairs, SimHash, exact n-gram Jaccard. All oracle-checkable: every hash is
+md5-derived so DuckDB reproduces the identical integers (functions.text).
+
+The oracle SQL is generated from the same constants (permutation params,
+band geometry, thresholds) as the Spark plans — one source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.dedup import (
+    MERSENNE_P,
+    dedup_exact,
+    lsh_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from mapreduce_model_spark.registry import query, table
+from mapreduce_model_spark.operators.dedup import perm_params
+
+K = 32
+BANDS, ROWS = 8, 4
+SHINGLE_K = 3
+LSH_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.5
+MAX_SHINGLE_DF = 50
+MAX_BUCKET = 200
+SIMHASH_BITS = 32
+
+# Words + distinct 3-gram shingle hashes (mod P), twin of
+# operators.dedup.doc_shingle_hashes.
+_SHX = rf"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(words) - {SHINGLE_K - 2}),
+                       i -> array_to_string(words[i:i+{SHINGLE_K - 1}], ' ')))) AS s
+    FROM wbase
+    WHERE len(words) >= {SHINGLE_K}
+), shx AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT % {MERSENNE_P} AS x
+    FROM sh
+)
+"""
+
+_PERMS = perm_params(K)
+_SIG_SQL = (
+    "["
+    + ", ".join(f"min(({a} * x + {b}) % {MERSENNE_P})" for a, b in _PERMS)
+    + "]"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+WITH h AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash
+    FROM documents
+), ranked AS (
+    SELECT doc_id, text_hash,
+           row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn,
+           count(*)     OVER (PARTITION BY text_hash)                 AS group_size
+    FROM h
+)
+SELECT doc_id, text_hash, group_size FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_sig",
+    oracle=_SHX + f"""
+SELECT doc_id, {_SIG_SQL} AS sig
+FROM shx GROUP BY doc_id
+""",
+)
+def q_minhash_sig(spark, sf_dir):
+    """Per-doc MinHash signature (k=32, md5-derived — byte-identical in
+    DuckDB, a fully checkable sketch)."""
+    return minhash_signatures(
+        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+    )
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=_SHX + f"""
+, sig AS (
+    SELECT doc_id, {_SIG_SQL} AS sig FROM shx GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, sig,
+           md5(concat(j::VARCHAR, ',',
+               array_to_string(sig[j*{ROWS}+1 : j*{ROWS}+{ROWS}], ','))) AS band_key
+    FROM sig CROSS JOIN range(0, {BANDS}) t(j)
+), capped AS (
+    SELECT *, count(*) OVER (PARTITION BY band_key) AS bn FROM banded
+    QUALIFY bn <= {MAX_BUCKET}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+    FROM capped a JOIN capped b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+), est AS (
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, {K + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+           / {K}.0 AS est_jaccard
+    FROM pairs
+)
+SELECT id_a, id_b, round(1e-9 + est_jaccard, 4) AS est_jaccard
+FROM est WHERE est_jaccard >= {LSH_THRESHOLD}
+""",
+)
+def q_near_minhash(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs (8 bands × 4 rows, est-J ≥ 0.5)."""
+    sig = minhash_signatures(
+        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+    )
+    return lsh_near_dup_pairs(
+        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+    )
+
+
+def _simhash_sql() -> str:
+    vs = ",\n           ".join(
+        f"sum(tf * (2 * ((x >> {i}) & 1) - 1)) AS v{i}" for i in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), w AS (SELECT doc_id, unnest(words) AS word FROM wbase),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf,
+           ('0x' || substr(md5(word), 1, 8))::BIGINT AS x
+    FROM w GROUP BY doc_id, word
+), vs AS (
+    SELECT doc_id,
+           {vs}
+    FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM vs
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def q_simhash(spark, sf_dir):
+    """TF-weighted 32-bit SimHash per doc — no pair join, the cheapest
+    near-dup signal at scale; hamming-distance pairing is done downstream
+    (tests cover the property: identical docs → identical hash)."""
+    return simhash(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHX + f"""
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+dfq AS (SELECT x, count(*) AS dfx FROM shx GROUP BY x),
+rare AS (SELECT shx.doc_id, shx.x FROM shx JOIN dfq USING (x) WHERE dfx <= {MAX_SHINGLE_DF}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM rare a JOIN rare b USING (x) WHERE a.doc_id < b.doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM shx a JOIN shx b USING (x) WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), j AS (
+    SELECT cand.id_a, cand.id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM cand
+    JOIN inter USING (id_a, id_b)
+    JOIN sizes sa ON sa.doc_id = cand.id_a
+    JOIN sizes sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, round(1e-9 + jaccard, 4) AS jaccard
+FROM j WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥ 0.5, blocked on shared rare shingles
+    (df ≤ 50) — the exact-verification stage behind MinHash candidates."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )

@@ -1,0 +1,54 @@
+"""Multimodal-column queries: binary payload + struct/array/map round-trip
+(oracle-checked) and the mapInPandas feature-extraction path (rows-only —
+pandas UDFs are not SQL-expressible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.multimodal import attach_payload, extract_features
+from mapreduce_model_spark.registry import query, table
+
+
+@query(
+    "multimodal_cols",
+    oracle="""
+SELECT doc_id,
+       octet_length(text::BLOB)          AS payload_len,
+       md5(text)                         AS payload_md5,
+       lang                              AS meta_lang,
+       source                            AS meta_source,
+       n_chars                           AS meta_n_chars,
+       'utf8-blob'                       AS meta_format,
+       len(string_split(source, 'c'))    AS src_parts
+FROM documents
+WHERE octet_length(text::BLOB) > 64
+""",
+)
+def multimodal_cols(spark, sf_dir):
+    """Binary + nested columns carried through scan/filter/projection:
+    payload bytes hashed and measured, metadata struct fields projected
+    back out — proves BinaryType/StructType/ArrayType survive the engine."""
+    docs = attach_payload(table(spark, sf_dir, "documents"))
+    return (
+        docs.filter(F.octet_length("payload") > 64)
+        .withColumn("src_parts", F.size(F.split("source", "c", -1)))
+        .select(
+            "doc_id",
+            F.octet_length("payload").alias("payload_len"),
+            F.md5("payload").alias("payload_md5"),
+            F.col("meta.lang").alias("meta_lang"),
+            F.col("meta.source").alias("meta_source"),
+            F.col("meta.n_chars").alias("meta_n_chars"),
+            F.col("meta.format").alias("meta_format"),
+            "src_parts",
+        )
+    )
+
+
+@query("multimodal_features")  # mapInPandas — rows-only check
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads (the decode
+    stub's plumbing): deterministic fake features, real mapInPandas shape."""
+    media = attach_payload(table(spark, sf_dir, "documents"))
+    return extract_features(media)

@@ -1,0 +1,125 @@
+"""Similarity-search queries over the embeddings table (north-star ops).
+
+Dot products are computed in double precision, multiply-accumulate left to
+right, in BOTH engines (Spark ``zip_with``+``aggregate`` vs DuckDB
+``list_dot_product`` on ``DOUBLE[]``) — identical bits, so ranking on the
+raw cosine is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.functions.rounding import rnd
+from mapreduce_model_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+)
+from mapreduce_model_spark.registry import query, table
+
+N_QUERIES = 20
+TOPK = 10
+ANN_QUERIES = 50
+ANN_K = 3
+ANN_BITS = 6
+NEAR_DUP_THRESHOLD = 0.3
+
+_V = """
+WITH v AS (
+    SELECT vec_id,
+           embedding::DOUBLE[] AS ve,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+"""
+
+
+def _bucket_sql(col: str, bits: int) -> str:
+    parts = ", ".join(
+        f"CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"concat({parts})"
+
+
+@query(
+    "similarity_topk",
+    oracle=_V
+    + f"""
+, scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           list_dot_product(q.ve, c.ve) / (q.nrm * c.nrm) AS cosine
+    FROM v q CROSS JOIN v c
+    WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, vec_id, round(1e-9 + cosine, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {TOPK}
+""",
+)
+def similarity_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for the first 20 query vectors —
+    the correctness baseline every ANN variant is judged against."""
+    emb = table(spark, sf_dir, "embeddings")
+    res = cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
+    return res.select(
+        "query_id", "vec_id", rnd(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=_V
+    + f"""
+, vb AS (
+    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           list_dot_product(q.ve, c.ve) / (q.nrm * c.nrm) AS cosine
+    FROM vb q JOIN vb c USING (bucket)
+    WHERE q.vec_id < {ANN_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, round(1e-9 + cosine, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {ANN_K}
+""",
+)
+def similarity_ann_lsh(spark, sf_dir):
+    """Sign-LSH ANN: candidates share the 6-bit sign bucket; exact cosine
+    within the bucket. The scale path — the bucket equi-join replaces the
+    cross join (N/2^bits candidates per query at any N)."""
+    emb = table(spark, sf_dir, "embeddings")
+    res = lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_QUERIES), k=ANN_K, bits=ANN_BITS
+    )
+    return res.select(
+        "query_id", "vec_id", rnd(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=_V
+    + f"""
+, vb AS (
+    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(1e-9 + list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6) AS cosine
+FROM vb a JOIN vb b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
+""",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs within sign buckets (blocked —
+    the embedding analogue of MinHash-LSH for semantic dedup)."""
+    return embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_THRESHOLD,
+        bits=ANN_BITS,
+    )

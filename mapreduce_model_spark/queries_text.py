@@ -1,0 +1,312 @@
+"""Text-analysis queries: stats, token counting, language-ID, quality
+scoring, fingerprinting, TF-IDF (SURVEY.md §2 Table B + north-star ops).
+
+All built-in expressions (no Python UDFs): at 100 TB the text hot path stays
+inside whole-stage codegen. The DuckDB oracles mirror the same tokenization
+CTE (trim → split \\s+ → lower → strip [^a-z] → drop empties) so both engines
+compute over identical word multisets (reference semantics A3-A5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.functions.rounding import rnd
+from mapreduce_model_spark.functions.text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    md5_int32,
+    shingles,
+    tokens_array,
+    words_array,
+)
+from mapreduce_model_spark.registry import query, table
+
+# DuckDB twin of tokens_array / words_array.
+_WBASE = r"""
+WITH wbase AS (
+    SELECT doc_id, text, lang,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+)
+"""
+
+_SQL_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@query(
+    "text_stats",
+    oracle=_WBASE
+    + f"""
+SELECT doc_id,
+       length(text)                         AS n_chars_calc,
+       len(toks)                            AS n_tokens,
+       len(words)                           AS n_words,
+       CASE WHEN len(words) > 0 THEN
+            round(1e-9 + CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                  / len(words), 4) END      AS avg_word_len,
+       CASE WHEN len(words) > 0 THEN
+            round(1e-9 + CAST(len(list_filter(words, w -> w IN {_SQL_STOP})) AS DOUBLE)
+                  / len(words), 4) END      AS stopword_ratio,
+       round(1e-9 + CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / length(text), 4)             AS punct_ratio
+FROM wbase
+""",
+)
+def text_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    words = words_array("text")
+    nw = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    word_len_sum = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(tokens_array("text")).alias("n_tokens"),
+        nw.alias("n_words"),
+        F.when(nw > 0, rnd(word_len_sum.cast("double") / nw, 4)).alias("avg_word_len"),
+        F.when(nw > 0, rnd(stop_hits.cast("double") / nw, 4)).alias("stopword_ratio"),
+        rnd(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=rf"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+'))        AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))      AS n_bpe_tokens,
+       length(text)                                         AS n_chars_calc
+FROM documents
+""",
+)
+def token_count(spark, sf_dir):
+    """Whitespace + BPE-ish (letter-run | digit-run | symbol) token counts."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_array("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+_LANG_STOP = {
+    "en": STOPWORDS,
+    "es": "el la de que y en los se del las un por con no una su para es al lo como".split(),
+    "fr": "le la de et les des en un une du que est pour qui dans ce il au sur ne".split(),
+    "de": "der die und den von zu das mit sich des auf ist im nicht ein als auch es an".split(),
+}
+
+
+def _lang_case_sql() -> str:
+    sets = {
+        lang: "(" + ", ".join(f"'{w}'" for w in ws) + ")"
+        for lang, ws in _LANG_STOP.items()
+    }
+    scores = ",\n       ".join(
+        f"CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, w -> w IN {sets[lang]})) AS DOUBLE) / len(words) ELSE 0.0 END AS s_{lang}"
+        for lang in _LANG_STOP
+    )
+    return f"""
+, scored AS (
+    SELECT doc_id, lang,
+       {scores}
+    FROM wbase
+)
+SELECT doc_id, lang,
+       round(1e-9 + s_en, 4) AS score_en,
+       round(1e-9 + s_es, 4) AS score_es,
+       round(1e-9 + s_fr, 4) AS score_fr,
+       round(1e-9 + s_de, 4) AS score_de,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0.0 THEN 'und'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+            WHEN s_fr >= s_de THEN 'fr'
+            ELSE 'de' END AS predicted
+FROM scored
+"""
+
+
+@query("lang_id", oracle=_WBASE + _lang_case_sql())
+def lang_id(spark, sf_dir):
+    """Stopword-ratio n-gram heuristic language ID (deterministic rule,
+    argmax over per-language stopword hit ratios with fixed tie priority)."""
+    docs = table(spark, sf_dir, "documents")
+    words = words_array("text")
+    nw = F.size(words)
+    out = docs.select("doc_id", "lang", words.alias("words"))
+
+    def _hit_counter(stop_list):
+        # single-arg lambda per language (a default arg would change the
+        # lambda's arity, which PySpark uses to build the HOF signature)
+        return F.size(F.filter(F.col("words"), lambda w: w.isin(*stop_list)))
+
+    for lang, ws in _LANG_STOP.items():
+        hits = _hit_counter(ws)
+        out = out.withColumn(
+            f"s_{lang}",
+            F.when(F.size("words") > 0, hits.cast("double") / F.size("words")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_STOP}
+    predicted = (
+        F.when(F.greatest(*s.values()) == 0.0, "und")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        rnd(s["en"], 4).alias("score_en"),
+        rnd(s["es"], 4).alias("score_es"),
+        rnd(s["fr"], 4).alias("score_fr"),
+        rnd(s["de"], 4).alias("score_de"),
+        predicted.alias("predicted"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=_WBASE
+    + f"""
+SELECT doc_id,
+       round(1e-9 +
+         0.3 * least(CAST(len(words) AS DOUBLE) / 100, 1.0)
+       + 0.3 * least(CASE WHEN len(words) > 0
+                          THEN CAST(len(list_filter(words, w -> w IN {_SQL_STOP})) AS DOUBLE) / len(words)
+                          ELSE 0.0 END * 5, 1.0)
+       + 0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text))
+       , 4) AS quality
+FROM wbase
+""",
+)
+def quality_score(spark, sf_dir):
+    """Heuristic doc quality: length + stopword density + alpha ratio
+    (the classic Gopher/C4-style cheap filters, deterministic)."""
+    docs = table(spark, sf_dir, "documents")
+    words = words_array("text")
+    nw = F.size(words)
+    stop_ratio = F.when(
+        nw > 0,
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double") / nw,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.length("text")
+    )
+    q = (
+        0.3 * F.least(nw.cast("double") / 100, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.4 * alpha_ratio
+    )
+    return docs.select("doc_id", rnd(q, 4).alias("quality"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=_WBASE
+    + r"""
+, sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(words) - 3),
+                       i -> array_to_string(words[i:i+4], ' ')))) AS s
+    FROM wbase
+    WHERE len(words) >= 5
+), shx AS (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x FROM sh
+)
+SELECT doc_id,
+       min(x)                 AS fp_min,
+       bit_xor(x)             AS fp_xor,
+       count(*)               AS n_shingles
+FROM shx GROUP BY doc_id
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Rolling 5-gram fingerprint: min-hash + xor-fold over md5-int32 shingle
+    hashes — a compact content signature (winnowing's min-selection)."""
+    docs = table(spark, sf_dir, "documents")
+    words = words_array("text")
+    sh = (
+        docs.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("words"), 5))).alias("s"),
+        )
+        .select("doc_id", md5_int32(F.col("s")).alias("x"))
+    )
+    return sh.groupBy("doc_id").agg(
+        F.min("x").alias("fp_min"),
+        F.expr("bit_xor(x)").alias("fp_xor"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+
+
+@query(
+    "tfidf_top5",
+    oracle=_WBASE
+    + r"""
+, w AS (SELECT doc_id, unnest(words) AS word FROM wbase),
+wc AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+tot AS (SELECT doc_id, sum(tf) AS tot FROM wc GROUP BY doc_id),
+dfq AS (SELECT word, count(*) AS dfn FROM wc GROUP BY word),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT wc.doc_id, wc.word,
+           (CAST(tf AS DOUBLE) / CAST(tot AS DOUBLE))
+           * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfn + 1 AS DOUBLE)) + 1.0) AS tfidf
+    FROM wc JOIN tot USING (doc_id) JOIN dfq USING (word) CROSS JOIN nd
+)
+SELECT doc_id, word, round(1e-9 + tfidf, 6) AS tfidf, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def tfidf_top5(spark, sf_dir):
+    """Top-5 TF-IDF terms per document. df/idf from one extra small agg +
+    broadcast joins; ranking on the raw double with word tie-break (identical
+    arithmetic both engines → identical order)."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(words_array("text")).alias("word"))
+    wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tot = wc.groupBy("doc_id").agg(F.sum("tf").alias("tot"))
+    dfq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("dfn"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        wc.join(tot, "doc_id")
+        .join(dfq, "word")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") / F.col("tot").cast("double"))
+            * (
+                F.log(
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("dfn") + 1).cast("double")
+                )
+                + 1.0
+            ),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "word", rnd(F.col("tfidf"), 6).alias("tfidf"), "rn")
+    )

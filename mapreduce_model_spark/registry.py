@@ -65,8 +65,12 @@ def query(name: str, oracle: str | None = None):
 # purpose: a broken module must fail loudly, not silently shrink coverage.
 def _load() -> None:
     from mapreduce_model_spark import (  # noqa: F401
+        queries_dedup,
+        queries_multimodal,
         queries_reference,
         queries_relational,
+        queries_similarity,
+        queries_text,
     )
 
 

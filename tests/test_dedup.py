@@ -1,0 +1,82 @@
+"""Property tests for dedup operators on synthetic corpora with known
+duplicate structure (oracle parity is covered by test_oracle_parity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.dedup import (
+    dedup_exact,
+    lsh_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+MUTATED = BASE.replace("warm", "cold")  # one word differs
+UNRELATED = (
+    "spark executes declarative query plans with catalyst optimizing "
+    "joins aggregations and shuffles across many distributed partitions"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                      # exact dup of 1
+        (3, "  " + BASE.upper() + " "), # dup after normalization
+        (4, MUTATED),                   # near-dup of 1
+        (5, UNRELATED),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_dedup_exact_keeps_first(spark, corpus):
+    out = {r.doc_id: r.group_size for r in dedup_exact(corpus).collect()}
+    assert out[1] == 3          # docs 1,2,3 collapse; smallest id survives
+    assert 2 not in out and 3 not in out
+    assert out[4] == 1 and out[5] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(spark, corpus):
+    sigs = {r.doc_id: tuple(r.sig) for r in minhash_signatures(corpus).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    # near-dup shares most of the signature, unrelated shares ~none
+    near = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    far = sum(a == b for a, b in zip(sigs[1], sigs[5]))
+    assert near > 16, f"near-dup only matched {near}/32 minhashes"
+    assert far < 8, f"unrelated matched {far}/32 minhashes"
+
+
+def test_lsh_finds_near_dups(spark, corpus):
+    sig = minhash_signatures(corpus)
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in lsh_near_dup_pairs(sig, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs  # the one-word mutation is caught
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_properties(spark, corpus):
+    out = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+    assert out[1] == out[2] == out[3]
+    ham_near = bin(out[1] ^ out[4]).count("1")
+    ham_far = bin(out[1] ^ out[5]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 6, f"near-dup hamming {ham_near}"
+
+
+def test_ngram_jaccard_exact_values(spark, corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.5 < pairs[(1, 4)] < 1.0
+    assert not any(5 in p for p in pairs)

@@ -1,0 +1,84 @@
+"""Operator tests: similarity search recall/exactness, as-of join semantics,
+multimodal binary plumbing (mapInPandas stub)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.joins import asof_join
+from mapreduce_model_spark.operators.multimodal import (
+    attach_payload,
+    decode_image,
+    extract_features,
+)
+from mapreduce_model_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    order = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [0, 1, 2, 3]
+    by_id = {r.vec_id: r.cosine for r in out}
+    assert by_id[0] == pytest.approx(1.0)
+    assert by_id[1] == pytest.approx(0.9 / math.sqrt(0.82), rel=1e-9)
+    assert by_id[2] == pytest.approx(0.0, abs=1e-12)
+    assert by_id[3] == pytest.approx(-1.0)
+
+
+def test_lsh_topk_subset_of_exact(spark, sf_dir):
+    """Every ANN hit must be a true neighbor with identical cosine (LSH
+    prunes candidates but never rescores)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    ann = lsh_cosine_topk(emb, queries, k=3, bits=6).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert (r.query_id, r.vec_id) in exact
+        assert r.cosine == pytest.approx(exact[(r.query_id, r.vec_id)], rel=1e-12)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 20, 100)],
+        "event_id: long, user_id: long, ts_s: long",
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (20, 300, 3.0)],
+        "user_id: long, ts_s: long, price: double",
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+    out = {
+        r.event_id: (r.asof_ts_us, r.asof_price)
+        for r in asof_join(left, right, key="user_id", right_cols=["price"]).collect()
+    }
+    assert out[1] == (100_000_000, 1.0)   # equal ts matches (<=)
+    assert out[2] == (200_000_000, 2.0)   # latest prior
+    assert out[3] == (None, None)         # nothing before
+    assert out[4] == (None, None)         # user 20's quote is later
+
+
+def test_multimodal_stub_and_features(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = attach_payload(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    for r in feats:
+        payload = raw[r.doc_id].encode("utf-8")
+        assert r.n_bytes == len(payload)
+        assert r.byte_sum_mod == sum(payload) % 997
+        assert r.fake_width == int(len(payload) ** 0.5)

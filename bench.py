@@ -1,0 +1,81 @@
+"""Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion with the noop sink (full physical
+execution — scan, shuffle, agg — without driver-side collect overhead),
+which is what a 1000-executor job does: results land in a sink, never on
+the driver. Timing includes plan + execution, excludes session startup.
+
+Env:
+  SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local core count (default 32)
+  BENCH_QUERIES       comma-separated subset (default: all registered)
+  BENCH_REPEAT        best-of-N per query (default 1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from mapreduce_model_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=int(cpus))
+    from mapreduce_model_spark import registry
+
+    names = list(registry.QUERIES)
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        names = [n for n in subset.split(",") if n in registry.QUERIES]
+
+    # Warm the JVM + parquet footers once so query timings measure the
+    # plan, not first-touch JIT/IO (clusters amortize this across jobs).
+    registry.table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+
+    total = round(sum(t for t in timings.values() if t > 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Streaming-window queries, driver-checked via batch equivalence.
+
+``window()``/``session_window()`` compute identical results on batch and
+streaming frames (same expressions, same shuffle); the driver oracle checks
+the batch path against DuckDB window math, and tests/test_streaming.py runs
+the REAL readStream path to completion and asserts it equals the batch
+result (batch/stream parity, SURVEY.md §5 port strategy)."""
+
+from __future__ import annotations
+
+from mapreduce_model_spark.registry import query, table
+from mapreduce_model_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)                        AS w_start,
+       CAST(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS TIMESTAMP) AS w_end,
+       event_type,
+       count(*) AS n,
+       round(1e-9 + sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def stream_tumbling(spark, sf_dir):
+    return tumbling_agg(table(spark, sf_dir, "events"), width="5 minutes")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH expanded AS (
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', ts)
+                - k * INTERVAL '5 minutes' AS TIMESTAMP) AS w_start,
+           value
+    FROM events CROSS JOIN range(0, 2) t(k)
+)
+SELECT w_start,
+       w_start + INTERVAL '10 minutes' AS w_end,
+       count(*) AS n,
+       round(1e-9 + sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark, sf_dir):
+    """10-min windows sliding by 5 — every event in exactly 2 windows (the
+    oracle enumerates both aligned buckets per event)."""
+    return sliding_agg(table(spark, sf_dir, "events"), width="10 minutes", slide="5 minutes")
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us, value FROM events
+), flagged AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(us)              AS s_start_us,
+       max(us) + 1800000000 AS s_end_us,
+       count(*)             AS n,
+       round(1e-9 + sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+""",
+)
+def stream_session(spark, sf_dir):
+    """Gap-based session windows (30 min) per user — session_window end is
+    last event + gap, matching the lag/cumsum construction exactly."""
+    return session_agg(table(spark, sf_dir, "events"), gap="30 minutes")

@@ -70,6 +70,7 @@ def _load() -> None:
         queries_reference,
         queries_relational,
         queries_similarity,
+        queries_streaming,
         queries_text,
     )
 

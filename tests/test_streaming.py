@@ -1,0 +1,88 @@
+"""Batch/stream parity (SURVEY.md §5): the readStream path must produce the
+same windows as the batch path, and watermark+append must emit exactly the
+finalized windows. Plus the applyInPandasWithState custom operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.registry import table
+from mapreduce_model_spark.streaming.stateful import running_user_totals
+from mapreduce_model_spark.streaming.windows import (
+    run_stream_to_table,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_batch_stream_parity(spark, sf_dir):
+    batch = tumbling_agg(table(spark, sf_dir, "events"))
+    stream = tumbling_agg(stream_events(spark, sf_dir))
+    assert stream.isStreaming
+    run_stream_to_table(stream, "t_tumbling", output_mode="complete")
+    cols = ["w_start", "w_end", "event_type", "n", "sum_value"]
+    assert _rows(spark.table("t_tumbling"), cols) == _rows(batch, cols)
+
+
+def test_session_batch_stream_parity(spark, sf_dir):
+    batch = session_agg(table(spark, sf_dir, "events"))
+    stream = session_agg(stream_events(spark, sf_dir), watermark="1 hour")
+    run_stream_to_table(stream, "t_session", output_mode="complete")
+    cols = ["user_id", "s_start_us", "s_end_us", "n", "sum_value"]
+    assert _rows(spark.table("t_session"), cols) == _rows(batch, cols)
+
+
+def test_watermark_append_emits_finalized_windows(spark, sf_dir):
+    """Append mode + watermark: after the file source drains, exactly the
+    windows whose end <= max(ts) - watermark are emitted (late-data
+    contract); the still-open tail windows are withheld."""
+    wm = "10 minutes"
+    stream = sliding_agg(stream_events(spark, sf_dir), watermark=wm)
+    run_stream_to_table(stream, "t_append", output_mode="append")
+    emitted = {
+        (r.w_start, r.w_end, r.n, r.sum_value)
+        for r in spark.table("t_append").collect()
+    }
+    batch_df = sliding_agg(table(spark, sf_dir, "events"))
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    threshold = max_ts.timestamp() - 600  # seconds
+    expected = {
+        (r.w_start, r.w_end, r.n, r.sum_value)
+        for r in batch_df.collect()
+        if r.w_end.timestamp() <= threshold
+    }
+    assert emitted == expected
+    # and something WAS withheld (the open tail)
+    all_windows = {(r.w_start, r.w_end) for r in batch_df.collect()}
+    assert len(all_windows) > len({(a, b) for a, b, _, _ in emitted})
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState: final update per user equals the batch
+    aggregate (single micro-batch over the finite source)."""
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    out = running_user_totals(ev)
+    run_stream_to_table(out, "t_state", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.last_ts_us)
+        for r in spark.table("t_state").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 2), r.last_us)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    assert got == batch

@@ -32,6 +32,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_model_spark.functions.partitioning import spread_for_fanout
 from mapreduce_model_spark.functions.text import md5_int32, shingles, words_array
 
 MERSENNE_P = 2147483647  # 2^31 - 1
@@ -75,7 +76,12 @@ def doc_shingle_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id, shingle_hash) — distinct md5-int32 hashes (mod P) of word
-    k-gram shingles. The shared front end of MinHash and Jaccard."""
+    k-gram shingles. The shared front end of MinHash and Jaccard.
+
+    The shingle explosion multiplies each doc into ~|words| rows of string
+    hashing; spread the narrow (id, text) input first so that CPU uses the
+    whole cluster even when the scan had few splits."""
+    df = spread_for_fanout(df, id_col)
     return df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(words_array(text_col), k))).alias("sh"),
@@ -171,7 +177,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     hashes. Identical docs → identical simhash; near-identical → small
     hamming distance. Pure two-level aggregation, no pair join."""
     tf = (
-        df.select(F.col(id_col), F.explode(words_array(text_col)).alias("w"))
+        spread_for_fanout(df, id_col)
+        .select(F.col(id_col), F.explode(words_array(text_col)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("x", md5_int32(F.col("w")))
@@ -200,28 +207,26 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs blocked by shared rare shingles.
 
-    Shingles with document frequency > ``max_shingle_df`` are dropped from
-    *blocking only* (they still count in set sizes), bounding the pair join.
-    Output: (id_a, id_b, jaccard) for pairs ≥ threshold **that share at
-    least one rare shingle** — the documented recall contract of the blocker.
+    Shingles with document frequency > ``max_shingle_df`` are used for
+    *blocking only* (all shingles still count in the Jaccard), bounding the
+    pair join. Output: (id_a, id_b, jaccard) for pairs ≥ threshold **that
+    share at least one rare shingle** — the documented recall contract.
+
+    Scale shape: the only pairwise work is the rare-shingle self-join, which
+    is ≤ max_shingle_df²/2 pairs per shingle by construction. Intersection
+    sizes come from ``array_intersect`` over per-doc shingle-set arrays
+    joined onto the candidates — never from a self-join of all shingle
+    occurrences, whose hot keys (boilerplate 3-grams in ~every doc) are
+    quadratic no matter how many executors you have.
     """
     sh = doc_shingle_hashes(df, text_col, id_col, shingle_k).dropDuplicates(
         [id_col, "x"]
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # One pass builds both the set array (for intersections) and its size.
+    sets = sh.groupBy(id_col).agg(F.collect_set("x").alias("xs"))
     dfreq = Window.partitionBy("x")
     rare = sh.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
         F.col("df") <= max_shingle_df
-    )
-    a = sh.alias("a")  # intersection counted over ALL shingles
-    b = sh.alias("b")
-    inter = (
-        a.join(b, on="x")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     cand = (
         rare.alias("ra")
@@ -232,15 +237,16 @@ def ngram_jaccard_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("xs").alias("xs_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("xs").alias("xs_b"))
     return (
-        cand.join(inter, ["id_a", "id_b"])
-        .join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("xs_a", "xs_b")))
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("n_inter")
+            / (F.size("xs_a") + F.size("xs_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard"))

@@ -1,0 +1,90 @@
+"""Physical-plan regression tests — the 100 TB scale contract.
+
+Correctness tests say the answers are right; these say the *plans* are the
+ones that survive a 1000-executor cluster: small dimensions broadcast
+(never shuffled), predicates and projections reach the parquet scan, and
+nothing degenerates into an unblocked cartesian product. A regression here
+is a performance bug even when every value still matches the oracle.
+"""
+
+import pytest
+
+from mapreduce_model_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_join_multi_broadcasts_all_dims(spark):
+    """orders⋈customer⋈nation⋈region: every dim side must broadcast — a
+    sort-merge join against a 25-row nation table means statistics or the
+    broadcast threshold broke."""
+    p = plan(spark, "join_multi")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_join_inner_is_not_sort_merge(spark):
+    p = plan(spark, "join_inner")
+    assert "BroadcastHashJoin" in p
+
+
+def test_groupby_agg_pushes_filter_and_partial_agg(spark):
+    """TPC-H Q1 shape: the shipdate predicate must reach the scan, and the
+    aggregate must be two-phase (map-side partial before the exchange)."""
+    p = plan(spark, "groupby_agg")
+    assert "LessThanOrEqual(l_shipdate" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_scan_project_prunes_columns(spark):
+    """A 4-column projection must not read the other 12 lineitem columns."""
+    p = plan(spark, "scan_project")
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_filter_pred_pushes_predicates(spark):
+    p = plan(spark, "filter_pred")
+    assert "PushedFilters: [" in p
+    # at least one real (non-IsNotNull) predicate reached the scan
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any(
+        ("GreaterThan" in l) or ("LessThan" in l) or ("In(" in l) or ("EqualTo" in l)
+        for l in pushed
+    ), pushed
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    """Brute-force cosine top-k: the tiny query-vector side is broadcast;
+    the corpus is streamed once. BroadcastNestedLoopJoin is the *intended*
+    physical shape; an unhinted CartesianProduct is not."""
+    p = plan(spark, "similarity_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_no_query_uses_cartesian_product(spark):
+    """No registered query may degenerate into a non-broadcast cartesian
+    product — at 100 TB that plan never finishes."""
+    offenders = []
+    for name in sorted(QUERIES):
+        if "CartesianProduct" in plan(spark, name):
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_inverted_index_single_wide_shuffle(spark):
+    """distinct + groupBy('word') must collapse onto one hash exchange of
+    the pair stream (plus the presentation sort) — two data shuffles of the
+    full pair set would double network cost at scale."""
+    p = plan(spark, "inverted_index")
+    assert p.count("hashpartitioning") <= 2, p

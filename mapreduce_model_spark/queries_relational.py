@@ -607,3 +607,102 @@ def scalar_funcs(spark, sf_dir):
         F.ceil("value").alias("ceil_v"),
         (F.col("event_id") % 7).cast("long").alias("id_mod"),
     )
+
+
+# --- grouping sets / statistics / SQL API ----------------------------------
+
+@query(
+    "grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def grouping_sets(spark, sf_dir):
+    """Explicit grouping sets (beyond rollup/cube): one pass, Catalyst
+    expands to a single Expand + hash aggregate — not three scans."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+SELECT l_returnflag,
+       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                      x -> round(1e-9 + x, 4)) AS qty_quartiles,
+       round(1e-9 + median(l_extendedprice), 4) AS median_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def percentile_stats(spark, sf_dir):
+    """Exact percentiles (continuous interpolation — identical definition in
+    DuckDB's quantile_cont). Exact percentile sorts within groups; at 100 TB
+    prefer approx_percentile (see approx_distinct for the sketch pattern)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
+            lambda x: F.round(x + 1e-9, 4),
+        ).alias("qty_quartiles"),
+        rnd(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("median_price"),
+    )
+
+
+@query(
+    "corr_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(1e-9 + corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+       round(1e-9 + stddev_samp(l_quantity), 4)                 AS qty_sd,
+       round(1e-9 + var_samp(l_discount), 6)                    AS disc_var,
+       round(1e-9 + covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def corr_stats(spark, sf_dir):
+    """Statistical aggregates — single-pass distributed moments (no second
+    scan for the mean), identical estimator definitions in DuckDB."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        rnd(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+        rnd(F.var_samp("l_discount"), 6).alias("disc_var"),
+        rnd(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate  > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+@query("sql_api_q3", oracle=_Q3_SQL)
+def sql_api_q3(spark, sf_dir):
+    """TPC-H Q3 shape through the SQL entry point: the engine surface is
+    DataFrame AND SQL — one Catalyst plan either way. The exact same query
+    text is the DuckDB oracle (dialect-neutral by construction)."""
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreduce_model_spark.operators.inverted_index import invert, word_doc_pairs
+from mapreduce_model_spark.operators.skew import salted_collect_set
 from mapreduce_model_spark.registry import query, table
 
 _WORDS_CTE = r"""
@@ -55,3 +56,31 @@ GROUP BY word
 def inverted_index_agg(spark, sf_dir):
     idx = invert(table(spark, sf_dir, "documents"))
     return idx.select("letter", "word", "docs", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+@query(
+    "inverted_index_salted",
+    oracle=_WORDS_CTE
+    + """
+SELECT substr(word, 1, 1) AS letter,
+       word,
+       list_sort(list(DISTINCT doc_id)) AS docs,
+       count(DISTINCT doc_id) AS n_docs
+FROM words
+WHERE length(word) > 0
+GROUP BY word
+""",
+)
+def inverted_index_salted(spark, sf_dir):
+    """The hot-key-safe postings build: stopwords ('the' ∈ ~every doc) are
+    collected per (word, salt) then merged, bounding any single task's state
+    at 100 TB. Same oracle as inverted_index_agg — salting must be invisible
+    in results."""
+    pairs = word_doc_pairs(table(spark, sf_dir, "documents"))
+    postings = salted_collect_set(pairs, keys=["word"], value="doc_id", n_salts=16)
+    return postings.select(
+        F.substring("word", 1, 1).alias("letter"),
+        "word",
+        F.col("vals").alias("docs"),
+        F.size("vals").cast("long").alias("n_docs"),
+    )

@@ -1,0 +1,56 @@
+"""Salted aggregation must be result-identical to the unsalted plan —
+salting is a physical rewrite, never a semantic one."""
+
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.inverted_index import word_doc_pairs
+from mapreduce_model_spark.operators.skew import (
+    salted_collect_set,
+    salted_count_distinct,
+)
+from mapreduce_model_spark.registry import table
+
+
+def test_salted_collect_set_equals_unsalted(spark, sf_dir):
+    pairs = word_doc_pairs(table(spark, sf_dir, "documents"))
+    plain = {
+        r.word: list(r.vals)
+        for r in pairs.groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("vals"))
+        .collect()
+    }
+    salted = {
+        r.word: list(r.vals)
+        for r in salted_collect_set(
+            pairs, keys=["word"], value="doc_id", n_salts=7
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_count_distinct_is_exact(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    plain = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.event_type: r.n_distinct
+        for r in salted_count_distinct(
+            ev, keys=["event_type"], value="user_id", n_salts=5
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salt_is_deterministic(spark, sf_dir):
+    """Same input → same salt (retry/speculation safety): two evaluations
+    of the salted phase-1 produce identical partials."""
+    pairs = word_doc_pairs(table(spark, sf_dir, "documents")).limit(500)
+    a = salted_collect_set(pairs, ["word"], "doc_id", n_salts=4).collect()
+    b = salted_collect_set(pairs, ["word"], "doc_id", n_salts=4).collect()
+    assert sorted((r.word, tuple(r.vals)) for r in a) == sorted(
+        (r.word, tuple(r.vals)) for r in b
+    )

@@ -26,7 +26,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine_topk", "sign_bucket", "lsh_cosine_topk"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_topk",
+    "sign_bucket",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -116,6 +123,73 @@ def lsh_cosine_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _rank_centroids(
+    vectors: DataFrame, centroids: DataFrame, max_rank: int
+) -> DataFrame:
+    """Score every vector against every (broadcast) centroid, keep the
+    ``max_rank`` nearest cells. Output adds ``cid`` and ``crank``."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cscore", dot(F.col("v"), F.col("ce")) / (F.col("n") * F.col("cn"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("_cscore").desc(), F.col("cid"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= max_rank)
+        .drop("_cscore", "ce", "cn")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    stride: int = 25,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: a coarse quantizer partitions the corpus into cells; each
+    query probes only its ``nprobe`` nearest cells, exact cosine within.
+
+    The centroid set is the deterministic slice ``vec_id % stride == 0`` —
+    a data-dependent quantizer without an iterative k-means (one training
+    pass is the production upgrade; the join shape is identical). Corpus
+    vectors are assigned to their single nearest cell (crank = 1); the cell
+    id is the shuffle key, so at a billion vectors each cell is one
+    partition-local candidate list, and multi-probe trades recall for
+    ``nprobe`` × the candidate volume. Output: (query_id, vec_id, cosine,
+    rank) — recall vs the brute-force baseline is the quality metric.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    cents = v.filter(F.col("vid") % stride == 0).select(
+        F.col("vid").alias("cid"), F.col("v").alias("ce"), F.col("n").alias("cn")
+    )
+    cells = _rank_centroids(v, cents, 1).select(
+        F.col("vid").alias("vec_id"), F.col("v").alias("cv"), F.col("n").alias("cnm"), "cid"
+    )
+    q = queries.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    probes = _rank_centroids(q, cents, nprobe).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn"), "cid"
+    )
+    scored = (
+        probes.join(cells, on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnm"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))

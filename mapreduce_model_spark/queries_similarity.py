@@ -14,6 +14,7 @@ from mapreduce_model_spark.functions.rounding import rnd
 from mapreduce_model_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from mapreduce_model_spark.registry import query, table
@@ -95,6 +96,57 @@ def similarity_ann_lsh(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     res = lsh_cosine_topk(
         emb, emb.filter(F.col("vec_id") < ANN_QUERIES), k=ANN_K, bits=ANN_BITS
+    )
+    return res.select(
+        "query_id", "vec_id", rnd(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+IVF_STRIDE = 25
+IVF_NPROBE = 2
+
+
+@query(
+    "similarity_ann_ivf",
+    oracle=_V
+    + f"""
+, cents AS (
+    SELECT vec_id AS cid, ve AS ce, nrm AS cn FROM v WHERE vec_id % {IVF_STRIDE} = 0
+), assign AS (
+    SELECT v.vec_id, v.ve, v.nrm, cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(ve, ce) / (nrm * cn) DESC,
+                                       cid) AS crank
+    FROM v CROSS JOIN cents
+), cells AS (
+    SELECT vec_id, ve AS cv, nrm AS cnm, cid FROM assign WHERE crank = 1
+), probes AS (
+    SELECT vec_id AS query_id, ve AS qv, nrm AS qn, cid
+    FROM assign WHERE vec_id < {ANN_QUERIES} AND crank <= {IVF_NPROBE}
+), scored AS (
+    SELECT query_id, cells.vec_id,
+           list_dot_product(qv, cv) / (qn * cnm) AS cosine
+    FROM probes JOIN cells USING (cid)
+    WHERE cells.vec_id <> query_id
+)
+SELECT query_id, vec_id, round(1e-9 + cosine, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {ANN_K}
+""",
+)
+def similarity_ann_ivf(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (every stride-th vector),
+    single-cell corpus assignment, 2-probe query search — the partitioned
+    index layout for billion-vector corpora."""
+    emb = table(spark, sf_dir, "embeddings")
+    res = ivf_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < ANN_QUERIES),
+        k=ANN_K,
+        stride=IVF_STRIDE,
+        nprobe=IVF_NPROBE,
     )
     return res.select(
         "query_id", "vec_id", rnd(F.col("cosine"), 6).alias("cosine"), "rank"

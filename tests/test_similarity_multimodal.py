@@ -82,3 +82,38 @@ def test_multimodal_stub_and_features(spark, sf_dir):
         assert r.n_bytes == len(payload)
         assert r.byte_sum_mod == sum(payload) % 997
         assert r.fake_width == int(len(payload) ** 0.5)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """The IVF contract: probing ALL cells degenerates to exact search —
+    candidate generation loses nothing, only cell pruning does. (On these
+    near-random synthetic embeddings a fixed recall bar for partial probes
+    would be arbitrary; subset + exactness are the invariants.)"""
+    from mapreduce_model_spark.operators.similarity import ivf_cosine_topk
+    from mapreduce_model_spark.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    # exact top-3 per query after dropping the self-match (IVF excludes it)
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(
+        cosine_topk(emb, queries, k=4).collect(), key=lambda r: (r.query_id, r.rank)
+    ):
+        if r.vec_id != r.query_id:
+            by_q.setdefault(r.query_id, []).append(r.vec_id)
+    exact_sans_self = {
+        (q, v, i + 1) for q, vs in by_q.items() for i, v in enumerate(vs[:3])
+    }
+    full = ivf_cosine_topk(emb, queries, k=3, stride=50, nprobe=10_000)
+    full_pairs = {(r.query_id, r.vec_id, r.rank) for r in full.collect()}
+    assert full_pairs == exact_sans_self
+    assert len(full_pairs) == 20 * 3
+
+    # partial probe: strict subset of the full-probe candidate space, with
+    # identical cosines for shared (query, vec) pairs
+    part = ivf_cosine_topk(emb, queries, k=3, stride=50, nprobe=2)
+    part_cos = {(r.query_id, r.vec_id): r.cosine for r in part.collect()}
+    full_cos = {(r.query_id, r.vec_id): r.cosine for r in full.collect()}
+    shared = set(part_cos) & set(full_cos)
+    assert shared, "partial probe found nothing the full probe found"
+    assert all(part_cos[p] == full_cos[p] for p in shared)

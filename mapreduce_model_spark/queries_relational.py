@@ -706,3 +706,75 @@ def sql_api_q3(spark, sf_dir):
     for t in ("customer", "orders", "lineitem"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q3_SQL)
+
+
+@query(
+    "array_funcs",
+    oracle="""
+SELECT event_id,
+       generate_series(1, 1 + event_id % 4)                         AS seq,
+       list_contains(generate_series(1, 1 + event_id % 4), 3)      AS has3,
+       generate_series(1, 1 + event_id % 4)[1:2]                   AS first2,
+       list_max(generate_series(1, 1 + event_id % 4))              AS seq_max,
+       list_reverse(generate_series(1, 1 + event_id % 4))          AS rev,
+       CAST(list_sum(generate_series(1, 1 + event_id % 4)) AS BIGINT) AS seq_sum,
+       list_transform(generate_series(1, 1 + event_id % 4), x -> x * x) AS squares,
+       list_filter(generate_series(1, 1 + event_id % 4), x -> x % 2 = 0) AS evens,
+       list_sort([event_id % 7, event_id % 3, event_id % 5])       AS srt
+FROM events
+""",
+)
+def array_funcs(spark, sf_dir):
+    """Array scalar surface: construction, membership, slicing, fold,
+    higher-order transform/filter — all JVM built-ins (whole-stage codegen),
+    the pattern every array<...> column op in the engine follows."""
+    ev = table(spark, sf_dir, "events")
+    n = F.lit(1) + F.col("event_id") % 4
+    seq = F.sequence(F.lit(1).cast("long"), n)
+    return ev.select(
+        "event_id",
+        seq.alias("seq"),
+        F.array_contains(seq, 3).alias("has3"),
+        F.slice(seq, 1, 2).alias("first2"),
+        F.array_max(seq).alias("seq_max"),
+        F.reverse(seq).alias("rev"),
+        F.aggregate(seq, F.lit(0).cast("long"), lambda a, x: a + x).alias("seq_sum"),
+        F.transform(seq, lambda x: x * x).alias("squares"),
+        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.sort_array(
+            F.array(F.col("event_id") % 7, F.col("event_id") % 3, F.col("event_id") % 5)
+        ).alias("srt"),
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+       round(1e-9 + l_quantity, 2) AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price', round(1e-9 + l_extendedprice, 2)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', round(1e-9 + l_tax, 2)
+FROM lineitem
+""",
+)
+def unpivot_long(spark, sf_dir):
+    """Wide → long (the inverse of pivot_wide): one narrow pass, no shuffle
+    — Catalyst expands to a generator, never N scans (the UNION ALL oracle
+    is the dialect-neutral spelling, not the plan)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd("l_quantity", 2).alias("quantity"),
+        rnd("l_extendedprice", 2).alias("price"),
+        rnd("l_tax", 2).alias("tax"),
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["quantity", "price", "tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

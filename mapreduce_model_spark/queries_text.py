@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from mapreduce_model_spark.functions.partitioning import spread_for_fanout
 from mapreduce_model_spark.functions.rounding import rnd
 from mapreduce_model_spark.functions.text import (
     BPE_TOKEN_RE,
@@ -239,7 +240,7 @@ FROM shx GROUP BY doc_id
 def doc_fingerprint(spark, sf_dir):
     """Rolling 5-gram fingerprint: min-hash + xor-fold over md5-int32 shingle
     hashes — a compact content signature (winnowing's min-selection)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
     words = words_array("text")
     sh = (
         docs.select("doc_id", words.alias("words"))
@@ -283,7 +284,9 @@ def tfidf_top5(spark, sf_dir):
     broadcast joins; ranking on the raw double with word tie-break (identical
     arithmetic both engines → identical order)."""
     docs = table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.explode(words_array("text")).alias("word"))
+    w = spread_for_fanout(docs, "doc_id").select(
+        "doc_id", F.explode(words_array("text")).alias("word")
+    )
     wc = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     tot = wc.groupBy("doc_id").agg(F.sum("tf").alias("tot"))
     dfq = wc.groupBy("word").agg(F.count(F.lit(1)).alias("dfn"))

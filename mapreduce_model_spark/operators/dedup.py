@@ -64,7 +64,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
     w = Window.partitionBy("text_hash")
     return (
-        df.select(F.col(id_col), h)
+        spread_for_fanout(df, id_col).select(F.col(id_col), h)
         .withColumn("rn", F.row_number().over(w.orderBy(id_col)))
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .filter(F.col("rn") == 1)

@@ -22,10 +22,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from mapreduce_model_spark.functions.partitioning import spread_for_fanout
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -71,7 +74,10 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
-            byte_sum = payloads.map(lambda b: sum(b) % 997)
+            # vectorized per-payload byte sum — never a Python byte loop
+            byte_sum = payloads.map(
+                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) % 997
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -85,4 +91,8 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return media.select(id_col, "payload").mapInPandas(_extract, FEATURE_SCHEMA)
+    # Parallelism of mapInPandas == input partitions: one low-split scan
+    # would mean ONE Python worker for the whole table.
+    return spread_for_fanout(media.select(id_col, "payload"), id_col).mapInPandas(
+        _extract, FEATURE_SCHEMA
+    )

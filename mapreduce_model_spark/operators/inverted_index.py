@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+
 __all__ = [
     "normalize_token",
     "tokenize",
@@ -56,8 +58,11 @@ def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     ``split`` on ``\\s+`` mirrors C++ ``operator>>`` (main.cc:73): any run of
     whitespace separates tokens; a leading run yields one empty token which
     normalization would keep as ``""`` — dropped later like every empty word.
-    Narrow op: stays inside whole-stage codegen, no shuffle.
+    Narrow op: stays inside whole-stage codegen, no shuffle — but the
+    explode multiplies rows ~|tokens|×, so an under-partitioned scan is
+    spread first (no-op on many-split corpora).
     """
+    docs = spread_for_fanout(docs, id_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),

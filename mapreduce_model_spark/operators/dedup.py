@@ -219,13 +219,17 @@ def ngram_jaccard_pairs(
     occurrences, whose hot keys (boilerplate 3-grams in ~every doc) are
     quadratic no matter how many executors you have.
     """
-    sh = doc_shingle_hashes(df, text_col, id_col, shingle_k).dropDuplicates(
-        [id_col, "x"]
+    # Hash the text ONCE: per-doc shingle-set arrays are the only artifact
+    # derived from raw text; the blocking branch re-explodes the (cheap)
+    # integer arrays instead of re-scanning and re-hashing the corpus.
+    sets = (
+        doc_shingle_hashes(df, text_col, id_col, shingle_k)
+        .groupBy(id_col)
+        .agg(F.collect_set("x").alias("xs"))
     )
-    # One pass builds both the set array (for intersections) and its size.
-    sets = sh.groupBy(id_col).agg(F.collect_set("x").alias("xs"))
+    exploded = sets.select(id_col, F.explode("xs").alias("x"))
     dfreq = Window.partitionBy("x")
-    rare = sh.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
+    rare = exploded.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
         F.col("df") <= max_shingle_df
     )
     cand = (

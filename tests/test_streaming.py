@@ -86,3 +86,29 @@ def test_stateful_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir):
+    """Stream-static join: each micro-batch joins against a static dim
+    (broadcast — no stream-side shuffle), the canonical enrichment shape.
+    Result must equal the batch join."""
+    static_dim = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("type_total"))
+    )
+    stream = stream_events(spark, sf_dir).join(
+        F.broadcast(static_dim), "event_type"
+    ).groupBy("event_type", "type_total").agg(F.count(F.lit(1)).alias("n"))
+    run_stream_to_table(stream, "t_enrich", output_mode="complete")
+    got = {
+        (r.event_type, r.type_total, r.n) for r in spark.table("t_enrich").collect()
+    }
+    batch = {
+        (r.event_type, r.n, r.n)  # joined to its own totals: n == type_total
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch

@@ -96,3 +96,53 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return spread_for_fanout(media.select(id_col, "payload"), id_col).mapInPandas(
         _extract, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_len", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    every_k: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling: the 1→N mapInPandas shape for video/audio — each
+    payload splits into fixed-size frames and every k-th frame is emitted
+    with its index. A real codec replaces the byte-slicer (stub contract as
+    ``decode_image``); the Spark plumbing — row explosion inside Arrow
+    batches, binary output column, partition-bound memory — is the
+    production shape. Output rows ≈ |payload|/(frame_bytes·k) per doc."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload)
+                for j, start in enumerate(range(0, n, frame_bytes)):
+                    if j % every_k == 0:
+                        chunk = payload[start : start + frame_bytes]
+                        ids.append(did)
+                        idxs.append(j)
+                        frames.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "frame_len": pd.Series(
+                        [len(f) for f in frames], dtype="int32"
+                    ),
+                }
+            )
+
+    return spread_for_fanout(media.select(id_col, "payload"), id_col).mapInPandas(
+        _frames, FRAME_SCHEMA
+    )

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mapreduce_model_spark.operators.multimodal import attach_payload, extract_features
+from mapreduce_model_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    sample_frames,
+)
 from mapreduce_model_spark.registry import query, table
 
 
@@ -52,3 +56,29 @@ def multimodal_features(spark, sf_dir):
     stub's plumbing): deterministic fake features, real mapInPandas shape."""
     media = attach_payload(table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+WITH f AS (
+    SELECT doc_id,
+           octet_length(text::BLOB) AS n,
+           unnest(range(0, CAST(ceil(octet_length(text::BLOB) / 256.0) AS BIGINT))) AS j
+    FROM documents
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       CAST(least(256, n - j * 256) AS INTEGER) AS frame_len
+FROM f WHERE j % 4 = 0
+""",
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling (video/audio shape): payloads split into 256-byte
+    frames, every 4th emitted. The oracle checks the sampling geometry
+    (doc, index, length) — the binary frame column itself is exercised by
+    tests (BinaryType is not hash-comparable across engines)."""
+    media = attach_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=256, every_k=4).select(
+        "doc_id", "frame_idx", "frame_len"
+    )

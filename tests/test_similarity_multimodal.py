@@ -117,3 +117,23 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     shared = set(part_cos) & set(full_cos)
     assert shared, "partial probe found nothing the full probe found"
     assert all(part_cos[p] == full_cos[p] for p in shared)
+
+
+def test_sample_frames_content(spark, sf_dir):
+    """Frame bytes must be the exact payload slices (every 4th 256-byte
+    chunk), not just the right geometry."""
+    from mapreduce_model_spark.operators.multimodal import attach_payload, sample_frames
+    from mapreduce_model_spark.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    media = attach_payload(docs)
+    got = {}
+    for r in sample_frames(media, frame_bytes=256, every_k=4).collect():
+        got.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame)
+    for r in docs.collect():
+        payload = r.text.encode("utf-8")
+        expected = {
+            j: payload[j * 256 : (j + 1) * 256]
+            for j in range(0, -(-len(payload) // 256), 4)
+        }
+        assert got[r.doc_id] == expected, r.doc_id

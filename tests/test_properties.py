@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): independent oracles for operators
+whose SQL oracle shares construction logic with the implementation."""
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.joins import asof_join
+from mapreduce_model_spark.sources.manifest import read_manifest
+
+events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+)
+quotes = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 1000), st.floats(0, 100)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ev=events, qt=quotes)
+def test_asof_join_matches_pandas_merge_asof(spark, ev, qt):
+    """asof_join == pandas merge_asof (backward) on arbitrary inputs —
+    an oracle with a completely independent implementation."""
+    ldf = (
+        pd.DataFrame(ev, columns=["key", "ts_s"])
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    ldf["event_id"] = ldf.index
+    rdf = (
+        pd.DataFrame(qt, columns=["key", "ts_s", "price"])
+        .drop_duplicates(["key", "ts_s"])
+        .astype({"key": "int64", "ts_s": "int64", "price": "float64"})
+    )
+    ldf = ldf.astype({"key": "int64", "ts_s": "int64", "event_id": "int64"})
+
+    left = spark.createDataFrame(ldf).withColumn("ts", F.timestamp_seconds("ts_s"))
+    right = (
+        spark.createDataFrame(rdf)
+        if len(rdf)
+        else spark.createDataFrame([], "key: long, ts_s: long, price: double")
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+
+    got = {
+        r.event_id: r.asof_price
+        for r in asof_join(left, right, key="key", right_cols=["price"]).collect()
+    }
+
+    expected_df = pd.merge_asof(
+        ldf.sort_values("ts_s"),
+        rdf.sort_values("ts_s"),
+        on="ts_s",
+        by="key",
+        direction="backward",
+    )
+    expected = {
+        int(r.event_id): (None if pd.isna(r.price) else float(r.price))
+        for r in expected_df.itertuples()
+    }
+    assert got == expected
+
+
+def test_read_manifest_errors(tmp_path):
+    missing = tmp_path / "m1.txt"
+    missing.write_text("2\nnope_a.txt\nnope_b.txt\n")
+    with pytest.raises(FileNotFoundError):
+        read_manifest(str(missing))
+
+    short = tmp_path / "m2.txt"
+    short.write_text("3\nonly_one.txt\n")
+    with pytest.raises(ValueError):
+        read_manifest(str(short))
+
+    empty = tmp_path / "m3.txt"
+    empty.write_text("")
+    with pytest.raises(ValueError):
+        read_manifest(str(empty))

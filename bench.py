@@ -42,9 +42,19 @@ def main() -> None:
     if subset:
         names = [n for n in subset.split(",") if n in registry.QUERIES]
 
-    # Warm the JVM + parquet footers once so query timings measure the
-    # plan, not first-touch JIT/IO (clusters amortize this across jobs).
+    # Warm the JVM, parquet footers, shuffle machinery, and Python workers
+    # once so query timings measure the plan, not first-touch JIT/worker
+    # spawn (clusters amortize these across jobs).
     registry.table(spark, sf_dir, "lineitem").count()
+    from pyspark.sql import functions as F
+
+    docs = registry.table(spark, sf_dir, "documents").limit(200)
+    docs.select(F.explode(F.split("text", " ")).alias("w")).groupBy(
+        "w"
+    ).count().write.format("noop").mode("overwrite").save()
+    docs.select("doc_id").mapInPandas(
+        lambda it: it, "doc_id bigint"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

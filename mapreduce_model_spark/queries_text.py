@@ -313,3 +313,73 @@ def tfidf_top5(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("doc_id", "word", rnd(F.col("tfidf"), 6).alias("tfidf"), "rn")
     )
+
+
+@query(
+    "c4_filters",
+    oracle=_WBASE
+    + f"""
+SELECT doc_id,
+       len(words) < 50                                          AS too_short,
+       NOT (text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?' OR text LIKE '%"')
+                                                                AS no_terminal_punct,
+       contains(text, '{{') OR contains(text, '}}')             AS has_curly,
+       CASE WHEN len(words) > 0 THEN
+            CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+            / len(words) NOT BETWEEN 3.0 AND 10.0
+       ELSE TRUE END                                            AS odd_word_len,
+       CASE WHEN len(words) > 0 THEN
+            CAST(len(list_filter(words, w -> w IN {_SQL_STOP})) AS DOUBLE)
+            / len(words) < 0.01
+       ELSE TRUE END                                            AS no_stopwords,
+       len(words) >= 50
+       AND (text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?' OR text LIKE '%"')
+       AND NOT (contains(text, '{{') OR contains(text, '}}'))
+       AND CASE WHEN len(words) > 0 THEN
+             CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+             / len(words) BETWEEN 3.0 AND 10.0 ELSE FALSE END
+       AND CASE WHEN len(words) > 0 THEN
+             CAST(len(list_filter(words, w -> w IN {_SQL_STOP})) AS DOUBLE)
+             / len(words) >= 0.01 ELSE FALSE END                AS keep
+FROM wbase
+""",
+)
+def c4_filters(spark, sf_dir):
+    """C4/Gopher-style quality gates as boolean flags + a combined keep
+    decision — the standard pre-training corpus filter pass, one narrow
+    projection (no shuffle, fully pushed into the scan stage)."""
+    docs = table(spark, sf_dir, "documents")
+    words = words_array("text")
+    nw = F.size(words)
+    mean_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast(
+        "double"
+    ) / nw
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double") / nw
+    )
+    terminal = (
+        F.col("text").endswith(".")
+        | F.col("text").endswith("!")
+        | F.col("text").endswith("?")
+        | F.col("text").endswith('"')
+    )
+    curly = F.col("text").contains("{") | F.col("text").contains("}")
+    too_short = nw < 50
+    odd_len = F.when(nw > 0, ~mean_len.between(3.0, 10.0)).otherwise(F.lit(True))
+    no_stop = F.when(nw > 0, stop_ratio < 0.01).otherwise(F.lit(True))
+    keep = (
+        (nw >= 50)
+        & terminal
+        & ~curly
+        & F.when(nw > 0, mean_len.between(3.0, 10.0)).otherwise(F.lit(False))
+        & F.when(nw > 0, stop_ratio >= 0.01).otherwise(F.lit(False))
+    )
+    return docs.select(
+        "doc_id",
+        too_short.alias("too_short"),
+        (~terminal).alias("no_terminal_punct"),
+        curly.alias("has_curly"),
+        odd_len.alias("odd_word_len"),
+        no_stop.alias("no_stopwords"),
+        keep.alias("keep"),
+    )

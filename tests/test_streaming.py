@@ -112,3 +112,34 @@ def test_stream_static_broadcast_enrichment(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """writeStream → parquet with a checkpoint: draining the finite source
+    lands every window exactly once, and restarting the same query against
+    the same checkpoint writes nothing new (offset log replay)."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            tumbling_agg(stream_events(spark, sf_dir), watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    run_once()  # restart with same checkpoint: no new input → no new rows
+    second = spark.read.parquet(out).count()
+    assert second == first
+    # no duplicate windows either
+    df = spark.read.parquet(out)
+    assert df.count() == df.dropDuplicates(["w_start", "w_end", "event_type"]).count()

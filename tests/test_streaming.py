@@ -143,3 +143,68 @@ def test_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     # no duplicate windows either
     df = spark.read.parquet(out)
     assert df.count() == df.dropDuplicates(["w_start", "w_end", "event_type"]).count()
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Late-data contract end to end: batch 1 advances the watermark; rows
+    in batch 2 whose windows closed below it are DROPPED from an append
+    aggregation (state for those windows is already finalized/evicted)."""
+    import time as _time
+
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_events(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long"
+        ).write.parquet(str(src / name))
+
+    base = 1_700_000_000_000_000  # µs epoch
+    hour = 3_600 * 1_000_000
+    # batch 1: fresh events two hours in
+    write_events("b1", [(1, base + 2 * hour, 1), (2, base + 2 * hour + 60_000_000, 2)])
+    _time.sleep(1.1)  # FileStreamSource orders files by modification time
+    # batch 2: a straggler from hour 0 (far below the advanced watermark)
+    # and one fresh event (must still land)
+    write_events("b2", [(3, base, 3), (4, base + 2 * hour + 120_000_000, 4)])
+    _time.sleep(1.1)
+    # batch 3: far-future event pushes the watermark past the 2h windows so
+    # append mode flushes them (nothing flushes without watermark movement)
+    write_events("b3", [(5, base + 5 * hour, 5)])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withColumn("ts", SF.timestamp_micros("ts_us"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(SF.window("ts", "5 minutes").alias("w"))
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .select(SF.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from datetime import datetime, timezone
+
+    starts = {r.w_start for r in spark.table("t_late").collect()}
+
+    def win_start(us):
+        aligned = (us // 300_000_000) * 300_000_000  # 5-min epoch alignment
+        return datetime.fromtimestamp(aligned / 1e6, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # the straggler's hour-0 window was dropped on arrival (below watermark)
+    assert win_start(base) not in starts
+    # the fresh 2h windows flushed once the watermark passed them
+    assert win_start(base + 2 * hour) in starts

@@ -171,6 +171,22 @@ def q_simhash(spark, sf_dir):
     return simhash(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
+@query("dedup_clusters")  # iterative fixpoint — rows-only check (no recursive CTE)
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup clustering: MinHash-LSH pairs → distributed
+    connected components (label propagation) → keep-first survivor flags.
+    Iterative, hence no single-query oracle; correctness is pinned by the
+    union-find property test (tests/test_graph.py)."""
+    from mapreduce_model_spark.operators.graph import dedup_survivors
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, k=K, shingle_k=SHINGLE_K)
+    pairs = lsh_near_dup_pairs(
+        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+    ).select("id_a", "id_b")
+    return dedup_survivors(docs, pairs)
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=_SHX + f"""

@@ -1,0 +1,64 @@
+"""Connected components vs a pure-python union-find oracle, plus the
+end-to-end dedup survivor pick."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.dedup import lsh_near_dup_pairs, minhash_signatures
+from mapreduce_model_spark.operators.graph import connected_components, dedup_survivors
+from mapreduce_model_spark.registry import table
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(trial * 1000, trial * 1000 + 120))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(60 + 40 * trial)
+        ]
+        e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {r.node: r.component for r in connected_components(e).collect()}
+        exp = _union_find(edges)
+        # union-find roots ARE component minima: union always parents the
+        # larger root under the smaller, so the root never exceeds any member
+        touched = {n for ab in edges for n in ab if ab[0] != ab[1]}
+        assert {n: got[n] for n in touched} == {n: exp[n] for n in touched}
+
+
+def test_dedup_survivors_end_to_end(spark, sf_dir):
+    """LSH pairs → components → exactly one survivor (the min id) per
+    cluster; docs without dups survive as their own component."""
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, k=32, shingle_k=3)
+    pairs = lsh_near_dup_pairs(sig, threshold=0.5).select("id_a", "id_b")
+    out = dedup_survivors(docs, pairs)
+    assert out.count() == docs.count()
+    by_comp = (
+        out.groupBy("component")
+        .agg(
+            F.sum(F.col("is_survivor").cast("int")).alias("n_surv"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .collect()
+    )
+    for r in by_comp:
+        assert r.n_surv == 1, r
+        assert r.component == r.min_id, r

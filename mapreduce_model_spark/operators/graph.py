@@ -44,6 +44,10 @@ def connected_components(
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
         F.col("u") != F.col("v")
     )
+    # materialize the edge list once — labels join it every round, and its
+    # upstream (e.g. the whole MinHash-LSH pipeline) must not re-execute
+    # per iteration
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

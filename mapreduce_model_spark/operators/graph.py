@@ -6,10 +6,22 @@ expressible in one SQL query (Spark has no recursive CTE) — so this is a
 genuine custom operator: large-star/small-star-style label propagation on
 DataFrames.
 
-Algorithm: every node starts labeled with itself; each round, a node adopts
-the minimum label in its closed neighborhood; stop when no label changes.
-Rounds = O(graph diameter); near-dup graphs are unions of small dense
-blobs, so 2-4 rounds in practice.
+Algorithm — phased forest contraction:
+1. **Hook**: every node picks ``parent = min(neighbors ∪ {self})`` — a
+   forest whose edges always point to smaller ids (acyclic).
+2. **Compress**: pointer-jump the *static* forest (``parent =
+   parent[parent]``) to fixpoint — the forest never changes during
+   jumping, so depth halves every round: O(log depth) rounds. (Interleaving
+   hooking with jumping — the naive "label propagation + jump" loop —
+   rewrites pointers each round and degrades to one hop per round on
+   chains; the phase separation is what makes doubling real.)
+3. **Contract**: rewrite edges through the roots, drop intra-component
+   edges, recurse on the contracted graph. Every non-root merges into a
+   root, so node count at least halves per phase: O(log n) phases.
+
+Each round is joins + a changed-count; the driver never sees data. Non-
+convergence within the caps raises — wrong components are never returned
+silently.
 
 Scale notes:
 - Each round is one join (edges ⋈ labels) + one groupBy(min) — two shuffles
@@ -27,11 +39,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _compress(parent: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Pointer-jump a static parent forest ``(node, par)`` to fixpoint:
+    every node ends pointing at its root. Depth halves per round."""
+    for _ in range(max_rounds):
+        grand = parent.select(
+            F.col("node").alias("g_node"), F.col("par").alias("g_par")
+        )
+        jumped = parent.join(grand, parent["par"] == grand["g_node"], "left").select(
+            "node",
+            F.coalesce(F.col("g_par"), F.col("par")).alias("par"),
+            (F.coalesce(F.col("g_par"), F.col("par")) < F.col("par")).alias("_chg"),
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        n = jumped.filter(F.col("_chg")).count()
+        parent = jumped.drop("_chg")
+        if n == 0:
+            return parent
+    raise RuntimeError(f"forest compression did not converge in {max_rounds} rounds")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_phases: int = 30,
 ) -> DataFrame:
     """Undirected connected components. ``edges``: two long columns.
 
@@ -40,46 +72,53 @@ def connected_components(
     table to pick keep-first survivors.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # symmetrize once; self-loops are harmless but dropped for volume
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
-        F.col("u") != F.col("v")
-    )
-    # materialize the edge list once — labels join it every round, and its
-    # upstream (e.g. the whole MinHash-LSH pipeline) must not re-execute
-    # per iteration
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("u").alias("node"))
+    # symmetrize; materialize once so the iteration never re-executes the
+    # upstream pipeline (e.g. MinHash-LSH) that produced the pairs
+    g = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        # each node: min(own label, neighbors' labels)
-        neighbor_min = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .select(F.col("u").alias("node"), F.col("component"))
-            .groupBy("node")
-            .agg(F.min("component").alias("nmin"))
+    labels = (
+        g.select(F.col("u").alias("node")).distinct().withColumn("component", F.col("node"))
+    )
+    for _ in range(max_phases):
+        if g.isEmpty():
+            return labels
+        # hook: parent = min(neighbors ∪ {self}); strictly decreasing ⇒ forest
+        parent = (
+            g.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select(F.col("u").alias("node"), F.least("u", "mv").alias("par"))
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
+        roots = _compress(parent)
+        # fold this phase's roots into the global labels
+        labels = (
+            labels.join(roots, labels["component"] == roots["node"], "left")
             .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("nmin"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
+                labels["node"],
+                F.coalesce(F.col("par"), F.col("component")).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
-            break
-    return labels
+        # contract: rewrite edges through roots, drop intra-component edges
+        ru = roots.select(F.col("node").alias("u"), F.col("par").alias("ru"))
+        rv = roots.select(F.col("node").alias("v"), F.col("par").alias("rv"))
+        g = (
+            g.join(ru, "u")
+            .join(rv, "v")
+            .filter(F.col("ru") != F.col("rv"))
+            .select(F.col("ru").alias("u"), F.col("rv").alias("v"))
+        )
+        g = (
+            g.unionByName(g.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_phases} phases"
+    )
 
 
 def dedup_survivors(

@@ -62,3 +62,18 @@ def test_dedup_survivors_end_to_end(spark, sf_dir):
     for r in by_comp:
         assert r.n_surv == 1, r
         assert r.component == r.min_id, r
+
+
+def test_connected_components_long_chain(spark):
+    """A 300-node path graph has diameter 299 — one-hop label propagation
+    under any sane iteration cap returns wrong labels; pointer jumping must
+    converge in O(log n) rounds with every node labeled by the chain min."""
+    import random as _random
+
+    ids = list(range(1000, 1300))
+    _random.Random(3).shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.node: r.component for r in connected_components(e).collect()}
+    assert set(got.values()) == {min(ids)}
+    assert len(got) == len(ids)

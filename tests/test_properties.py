@@ -28,10 +28,10 @@ quotes = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(ev=events, qt=quotes)
-def test_asof_join_matches_pandas_merge_asof(spark, ev, qt):
-    """asof_join == pandas merge_asof (backward) on arbitrary inputs —
-    an oracle with a completely independent implementation."""
+@given(ev=events, qt=quotes, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_merge_asof(spark, ev, qt, direction):
+    """asof_join == pandas merge_asof (both directions) on arbitrary
+    inputs — an oracle with a completely independent implementation."""
     ldf = (
         pd.DataFrame(ev, columns=["key", "ts_s"])
         .drop_duplicates()
@@ -54,7 +54,9 @@ def test_asof_join_matches_pandas_merge_asof(spark, ev, qt):
 
     got = {
         r.event_id: r.asof_price
-        for r in asof_join(left, right, key="key", right_cols=["price"]).collect()
+        for r in asof_join(
+            left, right, key="key", right_cols=["price"], direction=direction
+        ).collect()
     }
 
     expected_df = pd.merge_asof(
@@ -62,7 +64,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, ev, qt):
         rdf.sort_values("ts_s"),
         on="ts_s",
         by="key",
-        direction="backward",
+        direction=direction,
     )
     expected = {
         int(r.event_id): (None if pd.isna(r.price) else float(r.price))

@@ -40,6 +40,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the rebuilt ts is TZ-aware (unlike the NTZ ms timestamps of the
+        # other tables): pin the session to UTC so year()/hour()/window()
+        # match the DuckDB oracle regardless of the caller's session TZ
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

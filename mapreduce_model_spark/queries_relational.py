@@ -778,3 +778,43 @@ def unpivot_long(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@query(
+    "datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)          AS due_date,
+       date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)     AS days_since_epoch_start,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)       AS order_month,
+       CAST(last_day(o_orderdate) AS TIMESTAMP)                  AS month_end,
+       dayofweek(o_orderdate) + 1                                AS dow,
+       CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR)           AS ym,
+       quarter(o_orderdate)                                      AS q,
+       weekofyear(o_orderdate)                                   AS woy,
+       regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 1)     AS prio_num,
+       regexp_extract(o_orderpriority, '^([0-9]+)-(.*)$', 2)     AS prio_name
+FROM orders
+""",
+)
+def datetime_funcs(spark, sf_dir):
+    """Date/interval arithmetic + regexp group extraction — identical
+    definitions both engines (DuckDB dayofweek is 0=Sunday vs Spark's
+    1=Sunday — oracle shifts by one; weekofyear is ISO in both)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp_ntz")).cast("long").alias(
+            "days_since_epoch_start"
+        ),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("order_month"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.quarter(d).cast("long").alias("q"),
+        F.weekofyear(d).cast("long").alias("woy"),
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)-(.*)$", 1).alias("prio_num"),
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)-(.*)$", 2).alias("prio_name"),
+    )

@@ -26,21 +26,29 @@ def write_sized(
 
     Row count comes from one narrow count pass (cheap vs the write itself);
     the repartition is round-robin so files are uniform even when the
-    upstream partitioning was skewed. With ``partition_by``, files are
-    sized per directory via repartition on the partition columns plus a
-    within-partition splitter.
+    upstream partitioning was skewed. With ``partition_by``, a hash-salt
+    splitter bounds files per directory: each task holds whole
+    (partition values, salt) groups, so a directory gets ≈
+    rows_in_dir / target files instead of one file per task that happens
+    to contain the value.
     """
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
     if partition_by:
-        writer = (
-            df.repartition(n_files, *partition_by)
+        n_dirs = max(1, df.select(*partition_by).distinct().count())
+        files_per_dir = max(1, round(n / n_dirs / target_rows_per_file))
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_dir))
+        (
+            df.withColumn("_file_salt", salt)
+            .repartition(n_files, *partition_by, "_file_salt")
+            .drop("_file_salt")
             .write.mode("overwrite")
             .partitionBy(*partition_by)
+            .format(fmt)
+            .save(path)
         )
-    else:
-        writer = df.repartition(n_files).write.mode("overwrite")
-    writer.format(fmt).save(path)
+        return
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(path)
 
 
 def compact(

@@ -38,3 +38,26 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     a = {r.doc_id for r in spark.read.parquet(out).collect()}
     b = {r.doc_id for r in docs.collect()}
     assert a == b
+
+
+def test_write_sized_partitioned_bounds_files_per_dir(spark, sf_dir, tmp_path):
+    """Partitioned sized write: each letter directory gets about
+    rows_in_dir/target files (salt splitter), and values round-trip."""
+    from mapreduce_model_spark.operators.inverted_index import invert
+
+    idx = invert(table(spark, sf_dir, "documents")).select(
+        "letter", "word", "n_docs"
+    )
+    out = str(tmp_path / "sized_part")
+    write_sized(idx, out, target_rows_per_file=2000, partition_by=["letter"])
+    import glob as _glob
+    import os as _os
+
+    dirs = _glob.glob(_os.path.join(out, "letter=*"))
+    assert dirs
+    for d in dirs:
+        n_rows = spark.read.parquet(d).count()
+        n_files = len(_files(d))
+        assert n_files <= max(2, -(-n_rows // 2000) + 2), (d, n_rows, n_files)
+    back = spark.read.parquet(out)
+    assert back.count() == idx.count()

@@ -383,3 +383,33 @@ def c4_filters(spark, sf_dir):
         no_stop.alias("no_stopwords"),
         keep.alias("keep"),
     )
+
+
+@query(
+    "vocab_topk",
+    oracle=_WBASE
+    + """
+, w AS (SELECT DISTINCT doc_id, unnest(words) AS word FROM wbase),
+dfq AS (SELECT word, count(*) AS df FROM w GROUP BY word)
+SELECT word, df, rn
+FROM (SELECT *, row_number() OVER (ORDER BY df DESC, word) AS rn FROM dfq)
+WHERE rn <= 100
+""",
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus heavy hitters: top-100 words by document frequency. The
+    groupBy count is map-side-combined; the global top-k is a tiny
+    all-to-one sort of one row per distinct word ABOVE the partial top-k
+    pruning Catalyst applies under the limit window (TakeOrderedAndProject
+    at scale, not a full sort)."""
+    docs = table(spark, sf_dir, "documents")
+    w = spread_for_fanout(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(words_array("text"))).alias("word")
+    )
+    dfq = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    win = Window.orderBy(F.col("df").desc(), "word")
+    return (
+        dfq.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 100)
+        .select("word", "df", "rn")
+    )

@@ -208,3 +208,46 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     assert win_start(base) not in starts
     # the fresh 2h windows flushed once the watermark passed them
     assert win_start(base + 2 * hour) in starts
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate event_ids arriving in later
+    micro-batches (within the watermark) are dropped — the streaming
+    counterpart of dedup_exact for at-least-once sources."""
+    import time as _time
+
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000_000_000
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "event_id long, ts_us long").write.parquet(
+            str(src / name)
+        )
+
+    write("b1", [(1, base), (2, base + 1_000_000)])
+    _time.sleep(1.1)
+    # batch 2 redelivers id 2 and adds id 3
+    write("b2", [(2, base + 1_000_000), (3, base + 2_000_000)])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withColumn("ts", SF.timestamp_micros("ts_us"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.event_id for r in spark.table("t_dedup_stream").collect())
+    assert ids == [1, 2, 3]

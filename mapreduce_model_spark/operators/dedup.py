@@ -143,10 +143,10 @@ def lsh_near_dup_pairs(
             )
         ).alias("band_key"),
     )
-    bucket_n = Window.partitionBy("band_key")
-    banded = banded.withColumn("bn", F.count(F.lit(1)).over(bucket_n)).filter(
-        F.col("bn") <= max_bucket
-    )
+    # bucket-size cap via groupBy+join (no per-occurrence sort); the banded
+    # side's exchange on band_key is shared with the pair self-join below
+    bucket_n = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bn"))
+    banded = banded.join(bucket_n.filter(F.col("bn") <= max_bucket), "band_key")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -228,10 +228,11 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set("x").alias("xs"))
     )
     exploded = sets.select(id_col, F.explode("xs").alias("x"))
-    dfreq = Window.partitionBy("x")
-    rare = exploded.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
-        F.col("df") <= max_shingle_df
-    )
+    # document frequency via groupBy (partial-agg + tiny result) rather than
+    # a count-over-window (which must SORT every shingle occurrence); the
+    # exploded side's hash exchange on x is shared with the join below
+    dfq = exploded.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    rare = exploded.join(dfq.filter(F.col("df") <= max_shingle_df), "x")
     cand = (
         rare.alias("ra")
         .join(rare.alias("rb"), on="x")

@@ -818,3 +818,35 @@ def datetime_funcs(spark, sf_dir):
         F.regexp_extract("o_orderpriority", r"^([0-9]+)-(.*)$", 1).alias("prio_num"),
         F.regexp_extract("o_orderpriority", r"^([0-9]+)-(.*)$", 2).alias("prio_name"),
     )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+SELECT event_id,
+       map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS m_type,
+       cardinality(map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS m_size,
+       array_to_string(map_keys(map(['type','user'],
+                                    [event_type, CAST(user_id AS VARCHAR)])), ',') AS m_keys,
+       map(['k'], [CAST(event_id % 10 AS BIGINT)])['k'][1] AS m_val
+FROM events
+""",
+)
+def map_funcs(spark, sf_dir):
+    """MapType construction and access carried through projections. Output
+    columns are scalars (map columns themselves are not hash-stable across
+    engines — key order is undefined in both)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.size(m).cast("long").alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+        F.element_at(
+            F.create_map(F.lit("k"), (F.col("event_id") % 10).cast("long")), "k"
+        ).alias("m_val"),
+    )

@@ -126,3 +126,40 @@ def asof_join(
         out = out.withColumn(f"asof_{c}", F.col(f"__best.{c}"))
     drop = ["__ord", "__match", "__best"] + [f"__p_{c}" for c in right_cols]
     return out.drop(*drop)
+
+
+def interval_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_gap_us: int,
+) -> DataFrame:
+    """KEYLESS bounded-range join: all (left, right) pairs with
+    ``|left.ts - right.ts| <= max_gap_us`` — no equi key available.
+
+    The scalable construction (SURVEY.md §2 join_range note): bucketize
+    time into ``max_gap_us``-wide cells; a qualifying pair is always in the
+    same or adjacent buckets, so exploding the left side into its bucket
+    and both neighbors turns the theta join into an equi join on bucket id
+    plus a residual filter. Cost: 3× the left rows shuffled on bucket —
+    versus a cartesian product, which never finishes at scale. Buckets
+    inherit time skew; AQE's skew-join splitting handles hot buckets.
+
+    Inputs must carry µs-long timestamp columns. Output keeps all left and
+    right columns (right's prefixed ``r_`` by the caller's select).
+    """
+    lb = left.withColumn("_lb", (F.col(left_ts) / F.lit(max_gap_us)).cast("long"))
+    probe = lb.withColumn(
+        "_bucket", F.explode(F.array(F.col("_lb") - 1, F.col("_lb"), F.col("_lb") + 1))
+    ).drop("_lb")
+    rb = right.withColumn(
+        "_bucket", (F.col(right_ts) / F.lit(max_gap_us)).cast("long")
+    )
+    return (
+        probe.join(rb, "_bucket")
+        .filter(
+            F.abs(F.col(left_ts) - F.col(right_ts)) <= max_gap_us
+        )
+        .drop("_bucket")
+    )

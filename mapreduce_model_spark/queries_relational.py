@@ -850,3 +850,40 @@ def map_funcs(spark, sf_dir):
             F.create_map(F.lit("k"), (F.col("event_id") % 10).cast("long")), "k"
         ).alias("m_val"),
     )
+
+
+@query(
+    "join_range_keyless",
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+), s AS (
+    SELECT event_id AS s_id, epoch_us(ts) AS s_us FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_id, e.user_id, s.s_id,
+       CAST(abs(e.us - s.s_us) AS BIGINT) AS gap_us
+FROM e JOIN s ON abs(e.us - s.s_us) <= 30000000
+""",
+)
+def join_range_keyless(spark, sf_dir):
+    """Keyless time-proximity join (purchases within 30s of ANY signup) via
+    interval bucketization — equi join on bucket + residual, never a
+    cartesian product (plan-asserted in test_plan_shape)."""
+    from mapreduce_model_spark.operators.joins import interval_bucket_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), F.unix_micros("ts").alias("s_us")
+    )
+    out = interval_bucket_join(purchases, signups, "us", "s_us", 30_000_000)
+    # no dedup needed: a right row sits in exactly one bucket, so each
+    # qualifying pair joins through exactly one of the three probe buckets
+    return out.select(
+        "event_id",
+        "user_id",
+        "s_id",
+        F.abs(F.col("us") - F.col("s_us")).cast("long").alias("gap_us"),
+    )

@@ -8,6 +8,7 @@ is a performance bug even when every value still matches the oracle.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from mapreduce_model_spark.registry import QUERIES
 
@@ -88,3 +89,28 @@ def test_inverted_index_single_wide_shuffle(spark):
     full pair set would double network cost at scale."""
     p = plan(spark, "inverted_index")
     assert p.count("hashpartitioning") <= 2, p
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-partitioned layout + a partition-column predicate must prune at
+    planning time: the scan's partition filter appears in the plan and only
+    the matching directory's files are read."""
+    from mapreduce_model_spark.operators.inverted_index import invert
+    from mapreduce_model_spark.registry import table as t
+
+    idx = invert(t(spark, SF, "documents")).select("letter", "word", "n_docs")
+    out = str(tmp_path / "by_letter")
+    idx.write.mode("overwrite").partitionBy("letter").parquet(out)
+
+    q = spark.read.parquet(out).filter(F.col("letter") == "s").select("word")
+    p = spark._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in p
+    assert "isnotnull(letter" in p or "letter" in p.split("PartitionFilters")[1][:200]
+    n_s = q.count()
+    assert n_s == idx.filter(F.col("letter") == "s").count()
+
+
+def test_keyless_range_join_is_not_cartesian(spark):
+    p = plan(spark, "join_range_keyless")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

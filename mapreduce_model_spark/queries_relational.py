@@ -887,3 +887,38 @@ def join_range_keyless(spark, sf_dir):
         "s_id",
         F.abs(F.col("us") - F.col("s_us")).cast("long").alias("gap_us"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT)       AS n_last_10min,
+       round(1e-9 + sum(value) OVER w, 2)    AS sum_last_10min
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_frame(spark, sf_dir):
+    """Value-RANGE window frames (vs window_analytic's ROW frames): per
+    user, activity within the trailing 10 minutes of event time — the frame
+    is defined by timestamp distance, not row count, so ties and gaps
+    behave by value. One shuffle on user_id."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_10min"),
+        rnd(F.sum("value").over(w), 2).alias("sum_last_10min"),
+    )

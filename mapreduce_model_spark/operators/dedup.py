@@ -127,6 +127,22 @@ def lsh_near_dup_pairs(
     the quadratic pair join (scale guard).
     """
     k = bands * rows
+    # Guard the geometry: matches are counted over the whole signature and
+    # divided by bands*rows — a shorter/longer sig silently skews est_jaccard
+    # (slice() would just read a prefix). assert_true fails the job instead.
+    sig = sig.withColumn(
+        "sig",
+        F.when(
+            F.assert_true(
+                F.size("sig") == k,
+                F.concat(
+                    F.lit(f"signature length must equal bands*rows={k}, got "),
+                    F.size("sig").cast("string"),
+                ),
+            ).isNull(),
+            F.col("sig"),
+        ),
+    )
     banded = sig.select(
         F.col(id_col),
         "sig",

@@ -84,8 +84,9 @@ def asof_join(
     lexicographic order over payload values). One shuffle on ``key``, no
     driver state — valid at any scale.
 
-    Returns ``left.*`` plus ``asof_ts`` (matched right timestamp) and
-    ``asof_<c>`` for each requested right column; nulls where unmatched.
+    Returns ``left.*`` plus ``asof_ts_us`` (matched right timestamp as a
+    µs-epoch long) and ``asof_<c>`` for each requested right column; nulls
+    where unmatched.
     """
     right_cols = right_cols or []
     sign = 1 if direction == "backward" else -1

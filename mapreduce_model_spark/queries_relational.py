@@ -236,13 +236,18 @@ GROUP BY n_name, r_name
 """,
 )
 def join_multi(spark, sf_dir):
-    """TPC-H Q5 shape: fact ⋈ chain of broadcast dims — at 100 TB the fact
-    table never shuffles for the dim joins; only the final small agg does."""
+    """TPC-H Q5 shape. orders is a FACT (≈¼ of lineitem — ~25 TB at target
+    scale), so it joins without a broadcast hint: Catalyst/AQE picks
+    broadcast at toy scale and shuffle join at real scale. Only the true
+    dims (customer/nation/region — MBs to low GBs at any SF) are forced
+    broadcast, so the fact side never shuffles for them."""
     li = table(spark, sf_dir, "lineitem")
+    with_orders = li.join(
+        table(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey")
+    )
     joined = broadcast_star_join(
-        li,
+        with_orders,
         [
-            (table(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey")),
             (table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey")),
             (table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey")),
             (table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey")),
@@ -456,9 +461,12 @@ SELECT o_custkey AS custkey FROM orders
 """,
 )
 def set_ops_except(spark, sf_dir):
+    """subtract == SQL EXCEPT (set semantics): a left row with ANY match on
+    the right is eliminated entirely — exceptAll().distinct() would wrongly
+    keep left rows whose duplicates merely outnumber the right's."""
     c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return c.exceptAll(o).distinct()
+    return c.subtract(o)
 
 
 # --- window functions -----------------------------------------------------

@@ -26,7 +26,7 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_manifest", "read_corpus"]
+__all__ = ["read_manifest", "read_corpus", "read_paths"]
 
 
 def read_manifest(manifest_path: str) -> list[str]:
@@ -62,10 +62,25 @@ def read_corpus(spark: SparkSession, manifest_path: str) -> DataFrame:
     as plain whitespace (main.cc:73), so per-line rows feed ``tokenize``
     unchanged — the (word, doc_id) set is identical to whole-file reading.
     """
-    paths = read_manifest(manifest_path)
+    return read_paths(spark, read_manifest(manifest_path))
+
+
+def read_paths(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Ordered path list → ``DataFrame[doc_id, text]`` (1-based positional
+    ids). The programmatic front door for callers whose file lists don't
+    come from a whitespace-tokenized manifest (which cannot represent
+    paths containing spaces — reference ``operator>>`` semantics)."""
     id_rows = [(os.path.abspath(p), i + 1) for i, p in enumerate(paths)]
     path_to_id = spark.createDataFrame(id_rows, "path: string, doc_id: int")
-    text = spark.read.text(paths).withColumn(
-        "path", F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-    )
+    # Read each distinct file ONCE — a path listed twice is two doc ids
+    # (main.cc:79 positional identity), and the path→id join below fans
+    # each line out to every id holding that path; passing the duplicate
+    # to spark.read.text as well would double the lines per id.
+    distinct_paths = list(dict.fromkeys(paths))
+    # input_file_name() is a URI: percent-encoded (space → %20) but with
+    # literal '+'. url_decode is form-decoding ('+' → ' '), so protect
+    # literal plus as %2B first — yields the exact filesystem path.
+    uri_path = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+    decoded = F.url_decode(F.regexp_replace(uri_path, r"\+", "%2B"))
+    text = spark.read.text(distinct_paths).withColumn("path", decoded)
     return text.join(F.broadcast(path_to_id), "path").select("doc_id", F.col("value").alias("text"))

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mapreduce_model_spark.functions.rounding import rnd
+
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -61,7 +63,7 @@ def tumbling_agg(events: DataFrame, width: str = "5 minutes", watermark: str | N
         events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value") + 1e-9, 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value"), 2).alias("sum_value"))
         .select(
             F.col("w.start").alias("w_start"),
             F.col("w.end").alias("w_end"),
@@ -83,7 +85,7 @@ def sliding_agg(
         events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value") + 1e-9, 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value"), 2).alias("sum_value"))
         .select(
             F.col("w.start").alias("w_start"),
             F.col("w.end").alias("w_end"),
@@ -102,7 +104,7 @@ def session_agg(
         events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value") + 1e-9, 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value"), 2).alias("sum_value"))
         .select(
             "user_id",
             F.unix_micros("w.start").alias("s_start_us"),

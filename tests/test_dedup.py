@@ -80,3 +80,20 @@ def test_ngram_jaccard_exact_values(spark, corpus):
     assert pairs[(1, 2)] == 1.0
     assert (1, 4) in pairs and 0.5 < pairs[(1, 4)] < 1.0
     assert not any(5 in p for p in pairs)
+
+
+def test_lsh_rejects_mismatched_band_geometry(spark, sf_dir):
+    """bands*rows must equal the signature length — a silent prefix read
+    skews est_jaccard, so the job must fail instead."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from mapreduce_model_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        minhash_signatures,
+    )
+    from mapreduce_model_spark.registry import table
+
+    sig = minhash_signatures(table(spark, sf_dir, "documents").limit(20), k=32)
+    with pytest.raises(Exception, match="signature length"):
+        lsh_near_dup_pairs(sig, bands=4, rows=4).collect()

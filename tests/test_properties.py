@@ -88,3 +88,54 @@ def test_read_manifest_errors(tmp_path):
     empty.write_text("")
     with pytest.raises(ValueError):
         read_manifest(str(empty))
+
+
+def test_read_paths_special_chars_and_duplicates(spark, tmp_path):
+    """Paths with spaces/plus survive the input_file_name URI round trip
+    (a manifest cannot express space paths — operator>> tokenization — so
+    this exercises the programmatic read_paths front door), and a path
+    listed twice is two documents, each with the lines ONCE."""
+    d = tmp_path / "corpus dir"
+    d.mkdir()
+    (d / "my doc.txt").write_text("alpha beta\ngamma\n")
+    (d / "a+b.txt").write_text("delta\n")
+    from mapreduce_model_spark.sources.manifest import read_paths
+
+    rows = read_paths(
+        spark,
+        [str(d / "my doc.txt"), str(d / "a+b.txt"), str(d / "my doc.txt")],
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.text)
+    assert sorted(by_doc) == [1, 2, 3]
+    assert sorted(by_doc[1]) == ["alpha beta", "gamma"]  # once, not doubled
+    assert by_doc[2] == ["delta"]
+    assert sorted(by_doc[3]) == ["alpha beta", "gamma"]  # dup entry = own doc
+
+
+def test_read_corpus_duplicate_manifest_entries(spark, tmp_path):
+    """Manifest path: duplicate entries are distinct documents with the
+    file's lines exactly once each (no read-twice doubling)."""
+    f = tmp_path / "doc.txt"
+    f.write_text("one two\nthree\n")
+    manifest = tmp_path / "m.txt"
+    manifest.write_text(f"2\n{f}\n{f}\n")
+    from mapreduce_model_spark.sources.manifest import read_corpus
+
+    rows = read_corpus(spark, str(manifest)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.text)
+    assert sorted(by_doc) == [1, 2]
+    for i in (1, 2):
+        assert sorted(by_doc[i]) == ["one two", "three"]
+
+
+def test_except_set_semantics_with_duplicates(spark):
+    """EXCEPT (set semantics): a left row with ANY right match disappears
+    even when the left holds it more times than the right."""
+    left = spark.createDataFrame([(1,), (1,), (2,), (3,)], "v: long")
+    right = spark.createDataFrame([(1,), (3,)], "v: long")
+    got = sorted(r.v for r in left.subtract(right).collect())
+    assert got == [2]

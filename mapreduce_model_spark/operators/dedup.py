@@ -63,6 +63,11 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
     w = Window.partitionBy("text_hash")
+    # spread BEFORE hashing is deliberate: it ships raw text, but only when
+    # the scan is under-partitioned — where the alternative is computing
+    # every md5+normalize on the scan's few cores (measured 3x slower).
+    # On a well-split production table spread_for_fanout is a no-op and
+    # nothing extra is shuffled.
     return (
         spread_for_fanout(df, id_col).select(F.col(id_col), h)
         .withColumn("rn", F.row_number().over(w.orderBy(id_col)))

@@ -413,3 +413,24 @@ def vocab_topk(spark, sf_dir):
         .filter(F.col("rn") <= 100)
         .select("word", "df", "rn")
     )
+
+
+@query(
+    "token_positions",
+    oracle=_WBASE
+    + """
+SELECT doc_id,
+       CAST(generate_subscripts(words, 1) - 1 AS BIGINT) AS pos,
+       unnest(words) AS word
+FROM wbase
+WHERE len(words) > 0
+""",
+)
+def token_positions(spark, sf_dir):
+    """Ordinal explode (posexplode): token positions survive the generator
+    — the building block for positional n-grams, span labeling, and
+    context-window extraction. Narrow generator, no shuffle."""
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    return docs.select(
+        "doc_id", F.posexplode(words_array("text")).alias("pos", "word")
+    ).withColumn("pos", F.col("pos").cast("long"))

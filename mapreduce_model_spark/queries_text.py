@@ -407,12 +407,13 @@ def vocab_topk(spark, sf_dir):
         "doc_id", F.explode(F.array_distinct(words_array("text"))).alias("word")
     )
     dfq = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # Prune to the top-100 FIRST (TakeOrderedAndProject: per-partition top-k
+    # + driver merge — never a global sort), then rank the 100 survivors.
+    # A bare row_number window over the full vocabulary would funnel every
+    # distinct word of the corpus through one partition.
+    top = dfq.orderBy(F.col("df").desc(), "word").limit(100)
     win = Window.orderBy(F.col("df").desc(), "word")
-    return (
-        dfq.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") <= 100)
-        .select("word", "df", "rn")
-    )
+    return top.withColumn("rn", F.row_number().over(win)).select("word", "df", "rn")
 
 
 @query(

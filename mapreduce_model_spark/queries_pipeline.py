@@ -1,0 +1,446 @@
+"""Training-data-pipeline queries + relational depth (round-2 surface).
+
+Pipeline ops a 100 TB pre-training corpus build needs beyond dedup/quality
+(queries_dedup / queries_text): deterministic sampling and splits (hash-based
+— reproducible on any cluster size, no RNG state), corpus mixing stats, PII
+scrubbing, and repetition signals (Gopher). Plus relational coverage widened:
+distribution window functions, correlated scalar subquery, HAVING, histogram
+binning, extended string scalars, embedding norms.
+
+Hash-portability discipline (functions.text): every sampling/split decision
+derives from md5 — identical in Spark and DuckDB — never from engine-private
+``hash``/``xxhash64``/``random``. At scale this also means re-runs and
+backfills select the SAME rows (idempotent pipelines), which RNG sampling
+cannot guarantee.
+
+Heritage: the reference's only sampling-adjacent structure is its static
+letter-range partitioning (main.cc:132-141) — everything here is north-star
+surface (BASELINE.json: LLM-data-pipeline operators as first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.functions.rounding import rnd
+from mapreduce_model_spark.functions.text import md5_int32, sql_md5_int32
+from mapreduce_model_spark.registry import query, table
+
+# --- deterministic sampling / splits --------------------------------------
+
+# Per-source keep rates (percent). Hash-mod sampling keeps ~rate% of each
+# stratum deterministically; at 100 TB this is a pure narrow filter pushed
+# into the scan stage — no shuffle, no RNG seed plumbing.
+_HEAVY_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_HEAVY_RATE = 50
+_LIGHT_RATE = 20
+
+_SRC_LIST = ", ".join(f"'{s}'" for s in _HEAVY_SOURCES)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {sql_md5_int32("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+      < CASE WHEN source IN ({_SRC_LIST}) THEN {_HEAVY_RATE} ELSE {_LIGHT_RATE} END
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-source downsampling: keep ~50% of the heavy sources
+    and ~20% of the rest, selected by md5(doc_id) mod 100. Same rows on every
+    run, any partitioning — the reproducibility contract RNG sampling lacks."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = md5_int32(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    rate = F.when(F.col("source").isin(*_HEAVY_SOURCES), _HEAVY_RATE).otherwise(
+        _LIGHT_RATE
+    )
+    return docs.filter(bucket < rate).select("doc_id", "source", "lang")
+
+
+@query(
+    "train_val_split",
+    oracle=f"""
+WITH assigned AS (
+    SELECT source, n_chars,
+           CASE WHEN {sql_md5_int32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {sql_md5_int32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents
+)
+SELECT source, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM assigned GROUP BY source, split
+""",
+)
+def train_val_split(spark, sf_dir):
+    """80/10/10 train/val/test assignment by md5 bucket, reported per source.
+    The salt ('split:') decorrelates this hash from sample_stratified's — a
+    doc's sample fate and split fate are independent."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = md5_int32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "corpus_mix",
+    oracle="""
+WITH per AS (
+    SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY source, lang
+), tot AS (SELECT count(*) AS n_total FROM documents)
+SELECT source, lang, n_docs, total_chars,
+       round(1e-9 + CAST(n_docs AS DOUBLE) / n_total, 6) AS doc_share
+FROM per CROSS JOIN tot
+""",
+)
+def corpus_mix(spark, sf_dir):
+    """Corpus composition by (source, lang): doc counts, char volume, and
+    share of corpus — the mixing table a data curriculum is planned from.
+    The grand total is a 1-row broadcast, not a global window."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        rnd(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias("doc_share"),
+    )
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '{_EMAIL_RE}'))  AS n_emails,
+       len(regexp_extract_all(text2, '{_PHONE_RE}'))  AS n_phones,
+       md5(regexp_replace(regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrub_hash
+FROM seeded
+""",
+)
+def pii_scrub(spark, sf_dir):
+    """Regex PII redaction (emails, phone numbers) with match counts and a
+    hash of the scrubbed text. The synthetic corpus carries no PII, so each
+    doc is first seeded with a deterministic address+number — both engines
+    build the identical input, then the scrub path is verified end-to-end.
+    Pure narrow projection: at 100 TB this runs inside the scan stage."""
+    docs = table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = docs.select("doc_id", text2.alias("text2"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text2", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text2", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text2", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+# --- repetition signals (Gopher) ------------------------------------------
+
+_REP_WBASE = r"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+)
+"""
+
+
+@query(
+    "repetition_stats",
+    oracle=_REP_WBASE
+    + """
+, w AS (SELECT doc_id, unnest(words) AS word FROM wbase),
+wc AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+wstat AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+           round(1e-9 + CAST(count(*) AS DOUBLE) / sum(tf), 4)  AS distinct_ratio,
+           round(1e-9 + CAST(max(tf) AS DOUBLE) / sum(tf), 4)   AS top_word_frac
+    FROM wc GROUP BY doc_id
+), big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i + 1])) AS bg
+    FROM wbase WHERE len(words) >= 2
+), bc AS (SELECT doc_id, bg, count(*) AS tf FROM big GROUP BY doc_id, bg),
+bstat AS (
+    SELECT doc_id,
+           round(1e-9 + CAST(max(tf) AS DOUBLE) / sum(tf), 4) AS top_bigram_frac
+    FROM bc GROUP BY doc_id
+)
+SELECT wstat.doc_id, n_words, distinct_ratio, top_word_frac, top_bigram_frac
+FROM wstat LEFT JOIN bstat ON wstat.doc_id = bstat.doc_id
+""",
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per doc: distinct-word ratio, top-word
+    fraction, top-bigram fraction. Two narrow explode+agg branches joined on
+    doc_id — each branch shuffles (doc_id, gram) counts, never raw text."""
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+    from mapreduce_model_spark.functions.text import shingles, words_array
+
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", words_array("text").alias("words")
+    )
+    wc = (
+        docs.select("doc_id", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wstat = wc.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        rnd(F.count(F.lit(1)).cast("double") / F.sum("tf"), 4).alias("distinct_ratio"),
+        rnd(F.max("tf").cast("double") / F.sum("tf"), 4).alias("top_word_frac"),
+    )
+    bc = (
+        docs.filter(F.size("words") >= 2)
+        .select("doc_id", F.explode(shingles(F.col("words"), 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bstat = bc.groupBy("doc_id").agg(
+        rnd(F.max("tf").cast("double") / F.sum("tf"), 4).alias("top_bigram_frac")
+    )
+    return wstat.join(bstat, "doc_id", "left").select(
+        "doc_id", "n_words", "distinct_ratio", "top_word_frac", "top_bigram_frac"
+    )
+
+
+# --- relational depth ------------------------------------------------------
+
+@query(
+    "window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       ntile(4)       OVER w                                   AS quartile,
+       round(1e-9 + percent_rank() OVER w, 6)                  AS pct_rank,
+       round(1e-9 + cume_dist()    OVER w, 6)                  AS cum_dist,
+       first_value(o_orderkey) OVER wf                         AS first_key,
+       last_value(o_orderkey)  OVER wf                         AS last_key,
+       nth_value(o_orderkey, 2) OVER wf                        AS second_key
+FROM orders
+WINDOW w  AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile/percent_rank/cume_dist) and
+    positional values (first/last/nth) — explicit full frame for the
+    positional ones (the default frame stops at CURRENT ROW, which would
+    make last_value degenerate). One shuffle on o_orderpriority."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(1e-9 + o_totalprice, 2) AS o_totalprice,
+       round(1e-9 + o_totalprice /
+             (SELECT avg(o2.o_totalprice) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey), 4) AS vs_cust_avg
+FROM orders o
+WHERE o_totalprice > 1.2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                             WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def subquery_scalar(spark, sf_dir):
+    """Correlated scalar subquery (orders 20% above their customer's mean),
+    decorrelated the way Catalyst itself would: one aggregate per customer
+    joined back — the per-customer mean is computed once, not per row."""
+    o = table(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        o.join(avgs, o.o_custkey == avgs.k)
+        .filter(F.col("o_totalprice") > 1.2 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            rnd("o_totalprice", 2).alias("o_totalprice"),
+            rnd(F.col("o_totalprice") / F.col("cust_avg"), 4).alias("vs_cust_avg"),
+        )
+    )
+
+
+@query(
+    "having_agg",
+    oracle="""
+SELECT l_orderkey,
+       round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+HAVING sum(l_quantity) > 200
+""",
+)
+def having_agg(spark, sf_dir):
+    """GROUP BY + HAVING (TPC-H Q18's inner shape): the post-aggregate
+    predicate runs on the agg output — tiny vs the input, no second scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("_sq"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("_sq") > 200)
+        .select("l_orderkey", rnd("_sq", 2).alias("sum_qty"), "n_lines")
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+       count(*)                                      AS n,
+       round(1e-9 + min(l_extendedprice), 2)         AS bin_min,
+       round(1e-9 + max(l_extendedprice), 2)         AS bin_max
+FROM lineitem GROUP BY bin
+""",
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width histogram via arithmetic binning — the portable (and
+    shuffle-light: one agg on a small key space) histogram pattern."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bin", F.floor(F.col("l_extendedprice") / 5000).cast("long")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.min("l_extendedprice"), 2).alias("bin_min"),
+            rnd(F.max("l_extendedprice"), 2).alias("bin_max"),
+        )
+    )
+
+
+@query(
+    "string_funcs2",
+    oracle="""
+SELECT p_partkey,
+       levenshtein(p_name, p_type)              AS name_type_dist,
+       split_part(p_name, ' ', 1)               AS first_word,
+       translate(p_brand, '#', '-')             AS brand_dashed,
+       repeat(left(p_name, 2), 3)               AS rep2x3,
+       reverse(p_name)                          AS name_rev,
+       strpos(p_name, 'a')                      AS a_pos,
+       right(p_type, 3)                         AS type_tail,
+       contains(p_name, 'red')                  AS has_red
+FROM part
+""",
+)
+def string_funcs2(spark, sf_dir):
+    """Extended string scalar surface: edit distance, field splitting,
+    char translation, positional ops — all JVM built-ins with identical
+    DuckDB definitions."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("rep2x3"),
+        F.reverse("p_name").alias("name_rev"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
+        F.substring(F.col("p_type"), -3, 3).alias("type_tail"),
+        F.col("p_name").contains("red").alias("has_red"),
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+WITH v AS (
+    SELECT label,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       round(1e-9 + avg(nrm), 4) AS avg_norm,
+       round(1e-9 + min(nrm), 6) AS min_norm,
+       round(1e-9 + max(nrm), 6) AS max_norm
+FROM v GROUP BY label
+""",
+)
+def embedding_norms(spark, sf_dir):
+    """Embedding-table hygiene stats: L2 norm distribution per label (zero
+    or exploding norms are the standard upstream-encoder failure signals).
+    Dot product in double precision, left-to-right — bit-identical to
+    DuckDB's list_dot_product (see queries_similarity)."""
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            rnd(F.avg("nrm"), 4).alias("avg_norm"),
+            rnd(F.min("nrm"), 6).alias("min_norm"),
+            rnd(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )

@@ -71,6 +71,7 @@ def _load() -> None:
     from mapreduce_model_spark import (  # noqa: F401
         queries_dedup,
         queries_multimodal,
+        queries_pipeline,
         queries_reference,
         queries_relational,
         queries_similarity,

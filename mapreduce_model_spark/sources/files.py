@@ -1,0 +1,76 @@
+"""Delimited/JSON file sources — the generalized A2 scan surface.
+
+The reference reads exactly one format: whitespace-tokenized text files
+(main.cc:64-80). A general engine ingests CSV and JSON-lines too; these
+helpers wrap ``spark.read`` with the two contracts that matter at 100 TB:
+
+- **Explicit schema, always.** Schema inference is a full extra pass over
+  the data before the real job starts (and on JSON it samples, so two runs
+  can disagree). Every reader here requires a schema.
+- **Explicit error posture.** ``FAILFAST`` (default) aborts the job on the
+  first malformed record — corrupt input should fail loudly, like the
+  reference's hard error on a missing file (main.cc:66-70). ``PERMISSIVE``
+  quarantines bad lines into ``_corrupt_record`` for a dead-letter audit
+  instead; callers opt in deliberately.
+
+Parquet stays the primary format (columnar, statistics, pushdown —
+``registry.table``); CSV/JSONL are ingest formats, read once and landed to
+parquet (``sinks.write_sized``), never scanned repeatedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+__all__ = ["read_csv", "read_jsonl", "with_corrupt_capture"]
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def with_corrupt_capture(schema: StructType) -> StructType:
+    """Schema + the quarantine column PERMISSIVE mode fills for bad rows."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | str,
+    header: bool = True,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    """CSV scan with a mandatory schema and explicit malformed-row posture.
+
+    In PERMISSIVE mode the returned frame carries ``_corrupt_record``
+    (null for clean rows) — filter on it to split good rows from the
+    dead-letter stream.
+    """
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if mode.upper() == "PERMISSIVE":
+        schema = with_corrupt_capture(schema)
+    return (
+        spark.read.options(header=header, mode=mode, **options)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | str,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    """JSON-lines scan (one object per line — the splittable JSON layout;
+    multiline JSON documents are not splittable and don't scale)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if mode.upper() == "PERMISSIVE":
+        schema = with_corrupt_capture(schema)
+    return spark.read.options(mode=mode, **options).schema(schema).json(path)

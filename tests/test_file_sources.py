@@ -1,0 +1,79 @@
+"""CSV / JSON-lines source contracts: schema round-trip, FAILFAST aborts,
+PERMISSIVE quarantines (sources/files.py — the generalized A2 scan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.registry import table
+from mapreduce_model_spark.sources.files import CORRUPT_COL, read_csv, read_jsonl
+
+DDL = "l_orderkey bigint, l_linenumber int, l_quantity double, l_returnflag string"
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .limit(200)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "csv")
+    sample.write.option("header", True).csv(p)
+    back = read_csv(spark, p, DDL)
+    assert back.schema == sample.schema
+    assert _rows(back) == _rows(sample)
+
+
+def test_jsonl_roundtrip(spark, sample, tmp_path):
+    p = str(tmp_path / "jsonl")
+    sample.write.json(p)
+    back = read_jsonl(spark, p, DDL)
+    assert back.schema == sample.schema
+    assert _rows(back) == _rows(sample)
+
+
+def test_csv_failfast_aborts_on_malformed(spark, tmp_path):
+    f = tmp_path / "bad.csv"
+    f.write_text(
+        "l_orderkey,l_linenumber,l_quantity,l_returnflag\n"
+        "1,1,10.5,A\n"
+        "not_a_number,x,y,z\n"
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv(spark, str(f), DDL).collect()
+
+
+def test_csv_permissive_quarantines(spark, tmp_path):
+    f = tmp_path / "bad.csv"
+    f.write_text(
+        "l_orderkey,l_linenumber,l_quantity,l_returnflag\n"
+        "1,1,10.5,A\n"
+        "not_a_number,x,y,z\n"
+        "2,3,4.0,R\n"
+    )
+    df = read_csv(spark, str(f), DDL, mode="PERMISSIVE").cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull())
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0][CORRUPT_COL]
+    df.unpersist()
+
+
+def test_jsonl_permissive_quarantines(spark, tmp_path):
+    f = tmp_path / "bad.jsonl"
+    f.write_text(
+        '{"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 10.5, "l_returnflag": "A"}\n'
+        "{this is not json}\n"
+    )
+    df = read_jsonl(spark, str(f), DDL, mode="PERMISSIVE").cache()
+    assert df.filter(F.col(CORRUPT_COL).isNull()).count() == 1
+    assert df.filter(F.col(CORRUPT_COL).isNotNull()).count() == 1
+    df.unpersist()

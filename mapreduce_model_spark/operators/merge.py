@@ -1,0 +1,41 @@
+"""MERGE (upsert) — the batch CDC primitive.
+
+Spark has no single MERGE INTO operator on plain parquet (that lives in
+table formats layered above), but the relational algebra is two ops:
+keep target rows with no update (left anti join on the key), then union
+the updates. At 100 TB both sides shuffle on the merge key once; if the
+changeset is small — the common CDC case — the anti join broadcasts it
+and the target never shuffles at all.
+
+Heritage: north-star ETL surface; the reference overwrites outputs whole
+(main.cc:158-172), it has no incremental path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: list[str] | str,
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Upsert ``updates`` into ``target`` by ``key``: matched target rows are
+    replaced, unmatched update rows are inserted. Both inputs must share a
+    schema; update keys must be unique (enforce upstream — last-writer-wins
+    needs an explicit version column and a window, not silent duplicates).
+
+    ``broadcast_updates`` hints the anti join for the small-changeset case;
+    AQE falls back to shuffle join when the hint is wrong at runtime.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    missing = [c for c in target.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing merge columns: {missing}")
+    upd = updates.select(*target.columns)
+    right = F.broadcast(upd.select(*keys)) if broadcast_updates else upd.select(*keys)
+    kept = target.join(right, on=keys, how="left_anti")
+    return kept.unionByName(upd)

@@ -406,6 +406,170 @@ def string_funcs2(spark, sf_dir):
     )
 
 
+# --- CDC merge / decontamination ------------------------------------------
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+WITH upd AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           avg(o_totalprice) AS c_acctbal, c_mktsegment
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name, c_nationkey, c_mktsegment
+), merged AS (
+    SELECT * FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT * FROM upd
+)
+SELECT c_custkey, c_name, c_nationkey,
+       round(1e-9 + c_acctbal, 2) AS c_acctbal, c_mktsegment
+FROM merged
+""",
+)
+def merge_upsert_customers(spark, sf_dir):
+    """Batch CDC MERGE: a changeset (customers' balances recomputed from
+    their orders) upserted into the customer table — anti join keeps the
+    untouched rows, union inserts the new versions (operators.merge). The
+    changeset side is broadcast: the common small-delta case never
+    shuffles the big target."""
+    from mapreduce_model_spark.operators.merge import merge_upsert
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    updates = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .agg(F.avg("o_totalprice").alias("c_acctbal"))
+    )
+    merged = merge_upsert(c, updates, "c_custkey")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        rnd("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+# Eval-set decontamination: src0 plays the held-out benchmark corpus.
+_EVAL_SOURCE = "src0"
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "decontaminate_exact",
+    oracle=f"""
+WITH ev AS (
+    SELECT DISTINCT md5({_NORM_SQL}) AS h
+    FROM documents WHERE source = '{_EVAL_SOURCE}'
+)
+SELECT doc_id, source FROM documents
+WHERE source <> '{_EVAL_SOURCE}'
+  AND md5({_NORM_SQL}) NOT IN (SELECT h FROM ev)
+""",
+)
+def decontaminate_exact(spark, sf_dir):
+    """Training-set decontamination, exact: drop any training doc whose
+    normalized text hash appears in the eval corpus. An anti join on a
+    16-byte hash — the eval side is tiny and broadcasts, so the 100 TB
+    training side never shuffles."""
+    from mapreduce_model_spark.operators.dedup import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(normalize_text(F.col("text")))
+    ev = (
+        docs.filter(F.col("source") == _EVAL_SOURCE)
+        .select(h.alias("h"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != _EVAL_SOURCE).select(
+        "doc_id", "source", h.alias("h")
+    )
+    return train.join(F.broadcast(ev), "h", "left_anti").select("doc_id", "source")
+
+
+_SH5_SQL = r"""
+           list_distinct(list_transform(range(1, len(words) - 3),
+                                        i -> array_to_string(words[i:i+4], ' ')))
+"""
+
+_DECON_WBASE = rf"""
+WITH wbase AS (
+    SELECT doc_id, source,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+)
+"""
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=_DECON_WBASE
+    + f"""
+, ev AS (
+    SELECT DISTINCT ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+    FROM (SELECT unnest({_SH5_SQL}) AS s
+          FROM wbase WHERE source = '{_EVAL_SOURCE}' AND len(words) >= 5)
+), tr AS (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+    FROM (SELECT doc_id, unnest({_SH5_SQL}) AS s
+          FROM wbase WHERE source <> '{_EVAL_SOURCE}' AND len(words) >= 5)
+), hits AS (
+    SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (x) GROUP BY doc_id
+)
+SELECT w.doc_id, w.source,
+       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(n_shared, 0) = 0             AS keep
+FROM wbase w LEFT JOIN hits ON w.doc_id = hits.doc_id
+WHERE w.source <> '{_EVAL_SOURCE}'
+""",
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Training-set decontamination, n-gram: flag training docs sharing any
+    5-gram with the eval corpus (the benchmark-overlap rule used for
+    pre-training data). n_shared counts the doc's distinct contaminated
+    shingles. The eval shingle-hash set is small (eval corpora are) →
+    broadcast; training-side work is one explode + one semi-style join,
+    no pair join anywhere."""
+    from mapreduce_model_spark.functions.text import shingles, words_array
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", words_array("text").alias("words")
+    )
+
+    def sh5(df):
+        return (
+            df.filter(F.size("words") >= 5)
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(shingles(F.col("words"), 5))).alias("s"),
+            )
+            .select("doc_id", md5_int32(F.col("s")).alias("x"))
+        )
+
+    ev = sh5(docs.filter(F.col("source") == _EVAL_SOURCE)).select("x").distinct()
+    tr = sh5(docs.filter(F.col("source") != _EVAL_SOURCE))
+    hits = tr.join(F.broadcast(ev), "x").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    train = docs.filter(F.col("source") != _EVAL_SOURCE).select("doc_id", "source")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
 @query(
     "embedding_norms",
     oracle="""

@@ -1,0 +1,38 @@
+"""merge_upsert operator contract (operators/merge.py)."""
+
+import pytest
+
+from mapreduce_model_spark.operators.merge import merge_upsert
+
+
+def test_merge_replaces_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    out = {r.k: (r.name, r.v) for r in merge_upsert(target, updates, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_compound_key(spark):
+    target = spark.createDataFrame([(1, "x", 1.0), (1, "y", 2.0)], "k int, s string, v double")
+    updates = spark.createDataFrame([(1, "y", 9.0)], "k int, s string, v double")
+    out = {(r.k, r.s): r.v for r in merge_upsert(target, updates, ["k", "s"]).collect()}
+    assert out == {(1, "x"): 1.0, (1, "y"): 9.0}
+
+
+def test_merge_rejects_missing_columns(spark):
+    target = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    updates = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="missing merge columns"):
+        merge_upsert(target, updates, "k")
+
+
+def test_merge_ignores_extra_update_columns(spark):
+    target = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    updates = spark.createDataFrame([(2, 5.0, "extra")], "k int, v double, junk string")
+    merged = merge_upsert(target, updates, "k")
+    assert merged.columns == ["k", "v"]
+    assert merged.count() == 2

@@ -1,4 +1,4 @@
-"""Distributed connected components — dup-pair edges → dup clusters.
+"""Distributed iterative graph operators — connected components, PageRank.
 
 Near-duplicate detection produces PAIRS; deduplication needs CLUSTERS (keep
 one survivor per component). Components are an iterative fixpoint — not
@@ -119,6 +119,73 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_phases} phases"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 20,
+) -> DataFrame:
+    """Directed PageRank, fixed ``n_iter`` power iterations (the production
+    choice: deterministic output and runtime, no convergence-test join).
+    Returns ``(node, rank)`` summing to 1; dangling-node mass (nodes with no
+    out-edges) is redistributed uniformly each iteration, so the invariant
+    holds on any graph.
+
+    Scale shape per iteration: one join (edges ⋈ ranks, shuffle on src) +
+    one groupBy(dst) — the same two-exchange round as connected_components;
+    ranks are (node, double). The only driver-side values are two scalars
+    per iteration (dangling mass; nothing else), never rows. Lineage is cut
+    with localCheckpoint so iteration N's plan doesn't replay iterations
+    1..N-1.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # static (node, outdeg) frame; outdeg null ⇔ dangling
+    base = nodes.join(outdeg, "node", "left").localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        return base.select("node", F.lit(0.0).alias("rank"))
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        contrib = (
+            e.join(ranks, e["u"] == ranks["node"])
+            .select("v", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, base["node"] == contrib["v"], "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
 
 
 def dedup_survivors(

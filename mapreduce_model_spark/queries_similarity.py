@@ -175,3 +175,35 @@ def q_embedding_near_dup(spark, sf_dir):
         threshold=NEAR_DUP_THRESHOLD,
         bits=ANN_BITS,
     )
+
+
+@query("graph_pagerank")  # iterative fixpoint — rows-only (no recursive SQL)
+def graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the embedding near-dup graph (each
+    cosine-near pair is an undirected edge ⇒ both directed edges): ranks
+    surface the hub vectors of semantic-duplicate clusters. Chains two
+    custom operators — LSH-blocked pair generation and the iterative
+    power-method fixpoint (operators.graph.pagerank; deterministic:
+    fixed 8 iterations, fixed damping). Top-50 by rank keeps the
+    rows-only check small; rank/vec_id tie-break gives a total order."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_model_spark.operators.graph import pagerank
+
+    pairs = embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_THRESHOLD,
+        bits=ANN_BITS,
+    ).select("id_a", "id_b")
+    both = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ranks = pagerank(both, n_iter=8)
+    return (
+        ranks.select(
+            F.col("node").alias("vec_id"),
+            F.round(F.col("rank") + 1e-12, 8).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "vec_id")
+        .limit(50)
+    )

@@ -6,7 +6,11 @@ import random
 from pyspark.sql import functions as F
 
 from mapreduce_model_spark.operators.dedup import lsh_near_dup_pairs, minhash_signatures
-from mapreduce_model_spark.operators.graph import connected_components, dedup_survivors
+from mapreduce_model_spark.operators.graph import (
+    connected_components,
+    dedup_survivors,
+    pagerank,
+)
 from mapreduce_model_spark.registry import table
 
 
@@ -77,3 +81,52 @@ def test_connected_components_long_chain(spark):
     got = {r.node: r.component for r in connected_components(e).collect()}
     assert set(got.values()) == {min(ids)}
     assert len(got) == len(ids)
+
+
+def test_pagerank_cycle_uniform(spark):
+    """A directed k-cycle is rank-symmetric: every node gets exactly 1/k."""
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "id_a: long, id_b: long"
+    )
+    ranks = {r.node: r["rank"] for r in pagerank(e, n_iter=10).collect()}
+    for v in ranks.values():
+        assert abs(v - 0.2) < 1e-12
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Same damping, same iteration count, dangling mass spread uniformly —
+    Spark and a dense numpy reference must agree on a random digraph
+    (including dangling nodes) to float tolerance."""
+    import numpy as np
+    import random as _random
+
+    rng = _random.Random(7)
+    n = 12
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(40)})
+    edges = [(u, v) for u, v in edges if u != v]
+    # make node 11 dangling: drop its out-edges
+    edges = [(u, v) for u, v in edges if u != 11]
+    nodes = sorted({x for uv in edges for x in uv})
+    idx = {node: i for i, node in enumerate(nodes)}
+    m = len(nodes)
+    d, iters = 0.85, 20
+
+    r = np.full(m, 1.0 / m)
+    out = np.zeros(m)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    for _ in range(iters):
+        nxt = np.full(m, (1.0 - d) / m)
+        dangling = r[out == 0].sum()
+        nxt += d * dangling / m
+        for u, v in edges:
+            nxt[idx[v]] += d * r[idx[u]] / out[idx[u]]
+        r = nxt
+
+    e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {row.node: row["rank"] for row in pagerank(e, damping=d, n_iter=iters).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, node
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -82,3 +82,28 @@ def stream_session(spark, sf_dir):
     """Gap-based session windows (30 min) per user — session_window end is
     last event + gap, matching the lag/cumsum construction exactly."""
     return session_agg(table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query(
+    "stream_attribution",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id  AS user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+""",
+)
+def stream_attribution(spark, sf_dir):
+    """Batch face of the stream-stream interval join (streaming/joins.py):
+    purchases attributed to same-user clicks in the prior 30 minutes. The
+    real watermarked stream-stream path runs in test_streaming.py and must
+    emit exactly these rows."""
+    from mapreduce_model_spark.streaming.joins import click_purchase_attribution
+
+    out = click_purchase_attribution(table(spark, sf_dir, "events"), lookback="30 minutes")
+    return out.select("purchase_id", "click_id", "user_id", "gap_us")

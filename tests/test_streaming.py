@@ -251,3 +251,21 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.stop()
     ids = sorted(r.event_id for r in spark.table("t_dedup_stream").collect())
     assert ids == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir):
+    """Stream-stream inner join (watermarks both sides + time-range
+    condition): once the finite stream drains, the emitted pairs equal the
+    batch join's — and the plan carries streaming join state only because
+    both watermarks are present (Spark would reject the query otherwise)."""
+    from mapreduce_model_spark.streaming.joins import click_purchase_attribution
+
+    batch = click_purchase_attribution(table(spark, sf_dir, "events"))
+    stream = click_purchase_attribution(stream_events(spark, sf_dir))
+    assert stream.isStreaming
+    run_stream_to_table(stream, "t_ss_join", output_mode="append")
+    cols = ["purchase_id", "click_id", "user_id", "gap_us"]
+    got = _rows(spark.table("t_ss_join"), cols)
+    want = _rows(batch, cols)
+    assert got == want
+    assert len(want) > 0

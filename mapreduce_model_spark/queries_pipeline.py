@@ -608,3 +608,74 @@ def embedding_norms(spark, sf_dir):
             rnd(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+# --- UDF surface: applyInPandas (A20) + regression aggregates --------------
+
+@query(
+    "group_zscore",
+    oracle="""
+WITH stats AS (
+    SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+    FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id AS user_id,
+       round(1e-9 + CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0.0 END, 4)
+           AS zscore
+FROM events e JOIN stats USING (user_id)
+""",
+)
+def group_zscore(spark, sf_dir):
+    """Per-user z-score normalization through ``applyInPandas`` — the
+    grouped-map face of the reference's pluggable reduce fn (A20,
+    main.cc:104): one shuffle on user_id, then each group is one Arrow
+    batch in pandas. Here the arithmetic is also SQL-expressible, which is
+    exactly what makes the Python path oracle-checkable — ddof=1 std in
+    both engines, zero-variance groups pinned to 0. For ops built-ins CAN
+    express, prefer built-ins (10-100x: no serialization, codegen) — this
+    query exists to verify the custom-operator escape hatch end-to-end."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        mu = pdf["value"].mean()
+        z = (pdf["value"] - mu) / sd if (pd.notna(sd) and sd > 0) else 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": (z + 1e-9).round(4),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _z, "event_id bigint, user_id bigint, zscore double"
+    )
+
+
+@query(
+    "regression_stats",
+    oracle="""
+SELECT event_type,
+       count(*)                                                   AS n,
+       round(1e-9 + regr_slope(value, epoch_us(ts) / 1000000.0), 8)     AS slope,
+       round(1e-9 + regr_intercept(value, epoch_us(ts) / 1000000.0), 2) AS intercept,
+       round(1e-9 + regr_r2(value, epoch_us(ts) / 1000000.0), 6)        AS r2
+FROM events GROUP BY event_type
+""",
+)
+def regression_stats(spark, sf_dir):
+    """Linear-regression aggregates (slope/intercept/R² of value over time)
+    per event type — single-pass distributed moments, no iteration, same
+    estimator definitions in DuckDB."""
+    ev = table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / 1_000_000.0
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.regr_slope(y, x), 8).alias("slope"),
+        rnd(F.regr_intercept(y, x), 2).alias("intercept"),
+        rnd(F.regr_r2(y, x), 6).alias("r2"),
+    )

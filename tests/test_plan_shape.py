@@ -114,3 +114,41 @@ def test_keyless_range_join_is_not_cartesian(spark):
     p = plan(spark, "join_range_keyless")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontaminate_exact_broadcasts_eval_side(spark):
+    """The eval hash set must broadcast into the anti join: the (100 TB)
+    training side may never shuffle for decontamination."""
+    p = plan(spark, "decontaminate_exact")
+    assert "BroadcastHashJoin" in p
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_decontaminate_ngram_broadcasts_eval_shingles(spark):
+    p = plan(spark, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_merge_upsert_broadcasts_changeset(spark):
+    """CDC merge: the small changeset broadcasts into the anti join — the
+    target table is scanned but never shuffled for the merge itself."""
+    p = plan(spark, "merge_upsert_customers")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_sample_stratified_is_scan_plus_filter_only(spark):
+    """Deterministic sampling is a narrow filter: no exchange of any kind
+    in the plan (the md5 predicate itself can't push to parquet, but
+    nothing may shuffle)."""
+    p = plan(spark, "sample_stratified")
+    assert "Exchange" not in p
+
+
+def test_pii_scrub_is_narrow(spark):
+    p = plan(spark, "pii_scrub")
+    assert "Exchange" not in p
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "lang" not in read_schema  # column pruning: only doc_id+text read

@@ -930,3 +930,99 @@ def window_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("long").alias("n_last_10min"),
         rnd(F.sum("value").over(w), 2).alias("sum_last_10min"),
     )
+
+
+@query(
+    "set_ops_bag",
+    oracle="""
+SELECT custkey, count(*) AS n FROM (
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+) GROUP BY custkey
+""",
+)
+def set_ops_bag(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL (multiset subtraction: each right occurrence
+    cancels ONE left occurrence — vs set_ops_except where any match
+    eliminates all). Aggregated so the checked result is order-free."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.exceptAll(open_).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "null_semantics",
+    oracle="""
+WITH n AS (
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O')                    AS status_n,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_totalprice END                    AS price_n
+    FROM orders
+)
+SELECT
+    count(*)                                             AS n_rows,
+    count(price_n)                                       AS n_price,
+    count(DISTINCT status_n)                             AS n_status,
+    CAST(sum(CASE WHEN price_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
+    round(1e-9 + avg(price_n), 4)                        AS avg_price_ignoring_nulls,
+    round(1e-9 + avg(coalesce(price_n, 0.0)), 4)         AS avg_price_nulls_as_zero,
+    CAST(sum(CASE WHEN status_n IS NOT DISTINCT FROM NULL
+             THEN 1 ELSE 0 END) AS BIGINT)               AS n_nullsafe_eq_null
+FROM n
+""",
+)
+def null_semantics(spark, sf_dir):
+    """Null behavior pinned down: count(col) vs count(*), aggregate null
+    skipping, coalesce, and null-safe equality (<=> / IS NOT DISTINCT FROM)
+    — the semantics every downstream op silently depends on. Nulls are
+    minted deterministically (the source tables have none)."""
+    o = table(spark, sf_dir, "orders")
+    n = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_n"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_n"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price_n").alias("n_price"),
+        F.countDistinct("status_n").alias("n_status"),
+        F.sum(F.when(F.col("price_n").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_price"),
+        rnd(F.avg("price_n"), 4).alias("avg_price_ignoring_nulls"),
+        rnd(F.avg(F.coalesce("price_n", F.lit(0.0))), 4).alias(
+            "avg_price_nulls_as_zero"
+        ),
+        F.sum(F.col("status_n").eqNullSafe(F.lit(None).cast("string")).cast("int"))
+        .cast("long")
+        .alias("n_nullsafe_eq_null"),
+    )
+
+
+@query(
+    "global_row_ids",
+    oracle="""
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY source, doc_id) AS row_id
+FROM documents
+""",
+)
+def global_row_ids(spark, sf_dir):
+    """Contiguous global ids in (source, doc_id) order WITHOUT a global
+    window: range-partition + per-partition numbering + partition offsets
+    (operators/ids.py). The oracle's OVER (ORDER BY …) is the semantic spec
+    only — the Spark plan must never single-partition the data (asserted in
+    test_plan_shape)."""
+    from mapreduce_model_spark.operators.ids import global_ordered_ids
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_ordered_ids(docs, ["source", "doc_id"])

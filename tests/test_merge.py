@@ -36,3 +36,19 @@ def test_merge_ignores_extra_update_columns(spark):
     merged = merge_upsert(target, updates, "k")
     assert merged.columns == ["k", "v"]
     assert merged.count() == 2
+
+
+def test_global_ordered_ids_match_sort_order(spark, sf_dir):
+    """Ids are 1..N, contiguous, and follow the (source, doc_id) total
+    order exactly (operators/ids.py)."""
+    from mapreduce_model_spark.operators.ids import global_ordered_ids
+    from mapreduce_model_spark.registry import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = global_ordered_ids(docs, ["source", "doc_id"], num_partitions=7).collect()
+    assert len(out) == docs.count()
+    by_id = sorted(out, key=lambda r: r.row_id)
+    assert [r.row_id for r in by_id] == list(range(1, len(out) + 1))
+    assert [(r.source, r.doc_id) for r in by_id] == sorted(
+        (r.source, r.doc_id) for r in out
+    )

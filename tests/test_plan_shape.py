@@ -152,3 +152,12 @@ def test_pii_scrub_is_narrow(spark):
     assert "Exchange" not in p
     read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "lang" not in read_schema  # column pruning: only doc_id+text read
+
+
+def test_global_row_ids_never_single_partitions(spark):
+    """The distributed row-numbering operator must not contain the global
+    window's SinglePartition exchange — that is the exact anti-pattern it
+    exists to replace."""
+    p = plan(spark, "global_row_ids")
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p

@@ -679,3 +679,99 @@ def regression_stats(spark, sf_dir):
         rnd(F.regr_intercept(y, x), 2).alias("intercept"),
         rnd(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+# --- data-quality audit -----------------------------------------------------
+
+@query(
+    "dq_audit",
+    oracle="""
+SELECT
+    (SELECT count(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                                                              AS orphan_orders,
+    (SELECT count(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                                                              AS orphan_lineitems,
+    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                           GROUP BY o_orderkey HAVING count(*) > 1))
+                                                              AS dup_order_keys,
+    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)     AS nonpositive_qty,
+    (SELECT count(*) FROM lineitem
+      WHERE l_discount < 0 OR l_discount > 1)                 AS bad_discount,
+    (SELECT count(*) FROM orders WHERE o_totalprice IS NULL)  AS null_totalprice
+""",
+)
+def dq_audit(spark, sf_dir):
+    """Data-quality audit as one summary row: referential integrity
+    (orphan FKs via anti joins — dims broadcast), key uniqueness, range and
+    null checks. The standard pre-flight every ingest runs before a table
+    is promoted; all checks are one scan each, combined driver-side into
+    a single 1-row frame (six scalars, not data)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    orphan_orders = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).count()
+    orphan_lineitems = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).count()
+    dup_order_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    checks = li.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("nonpositive_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bad_discount"),
+    ).first()
+    null_totalprice = o.filter(F.col("o_totalprice").isNull()).count()
+    return spark.createDataFrame(
+        [
+            (
+                orphan_orders,
+                orphan_lineitems,
+                dup_order_keys,
+                int(checks["nonpositive_qty"]),
+                int(checks["bad_discount"]),
+                null_totalprice,
+            )
+        ],
+        "orphan_orders long, orphan_lineitems long, dup_order_keys long, "
+        "nonpositive_qty long, bad_discount long, null_totalprice long",
+    )
+
+
+@query(
+    "safe_casts",
+    oracle="""
+SELECT o_orderkey,
+       TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER)  AS prio_num,
+       TRY_CAST(o_orderpriority AS INTEGER)                      AS whole_cast,
+       TRY_CAST(o_orderstatus AS DOUBLE)                         AS status_num,
+       coalesce(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER), -1)
+                                                                 AS prio_or_default
+FROM orders
+""",
+)
+def safe_casts(spark, sf_dir):
+    """Fault-tolerant casting (try_cast → NULL, never job failure) — how a
+    100 TB ingest survives the odd malformed value without poisoning the
+    whole partition, with an explicit default where the pipeline needs
+    one."""
+    o = table(spark, sf_dir, "orders")
+    prio = F.split_part("o_orderpriority", F.lit("-"), F.lit(1)).try_cast("int")
+    return o.select(
+        "o_orderkey",
+        prio.alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").alias("whole_cast"),
+        F.col("o_orderstatus").try_cast("double").alias("status_num"),
+        F.coalesce(prio, F.lit(-1)).alias("prio_or_default"),
+    )

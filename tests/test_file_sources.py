@@ -77,3 +77,20 @@ def test_jsonl_permissive_quarantines(spark, tmp_path):
     assert df.filter(F.col(CORRUPT_COL).isNull()).count() == 1
     assert df.filter(F.col(CORRUPT_COL).isNotNull()).count() == 1
     df.unpersist()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on the lake: files written before a column existed
+    read back as null under mergeSchema — additive evolution, no rewrite of
+    old files (the only evolution that scales to petabyte tables)."""
+    base = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(
+        base + "/part=old"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(base + "/part=new")
+    df = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(df.columns) == {"id", "name", "score", "part"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

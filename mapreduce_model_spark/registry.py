@@ -77,6 +77,7 @@ def _load() -> None:
         queries_similarity,
         queries_streaming,
         queries_text,
+        queries_tpch,
     )
 
 

@@ -147,6 +147,14 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size the iteration's shuffles to the graph, not the session default:
+    # a power iteration repeats ~2 exchanges × n_iter times, so per-partition
+    # scheduling overhead multiplies. ~1M edges per partition keeps small
+    # graphs on a handful of tasks while a trillion-edge graph still spreads.
+    n_edges = e.count()
+    parts = max(1, min(int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                       -(-n_edges // 1_000_000)))
+    e = e.repartition(parts, "u").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -161,30 +169,35 @@ def pagerank(
     if n == 0:
         return base.select("node", F.lit(0.0).alias("rank"))
     ranks = base.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
+    # A graph with no dangling nodes (e.g. any symmetrized undirected graph)
+    # never needs the per-iteration dangling-mass scalar — checking once
+    # here saves one Spark job per iteration.
+    has_dangling = base.filter(F.col("outdeg").isNull()).limit(1).count() > 0
+    for i in range(n_iter):
         dangling = (
             ranks.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).first()[0]
             or 0.0
-        )
+        ) if has_dangling else 0.0
         contrib = (
             e.join(ranks, e["u"] == ranks["node"])
             .select("v", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            base.join(contrib, base["node"] == contrib["v"], "left")
-            .select(
-                "node",
-                "outdeg",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + damping
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n)
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = base.join(contrib, base["node"] == contrib["v"], "left").select(
+            "node",
+            "outdeg",
+            (
+                F.lit((1.0 - damping) / n)
+                + damping * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n)
+            ).alias("rank"),
         )
+        # With dangling mass, every iteration must materialize anyway (the
+        # scalar above executes the plan); without it, checkpoint every few
+        # iterations — enough to cap lineage depth and failure-replay span,
+        # without paying a full materialization per round.
+        if has_dangling or (i + 1) % 3 == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 

@@ -775,3 +775,152 @@ def safe_casts(spark, sf_dir):
         F.col("o_orderstatus").try_cast("double").alias("status_num"),
         F.coalesce(prio, F.lit(-1)).alias("prio_or_default"),
     )
+
+
+# --- behavioral analytics: funnel / retention / gap-fill -------------------
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH stages AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup'   THEN epoch_us(ts) END) AS t_signup,
+           min(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT
+    count(*)                                                   AS n_users,
+    CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_signup,
+    CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+             THEN 1 ELSE 0 END) AS BIGINT)                     AS n_signup_then_click,
+    CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                   AND t_purchase > t_click
+             THEN 1 ELSE 0 END) AS BIGINT)                     AS n_full_funnel
+FROM stages
+""",
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (signup → click → purchase): per-user first-touch
+    times via conditional MIN (one agg pass — never N self-joins for an
+    N-stage funnel), then ordering checks. NULL comparisons are false in
+    both engines, so missing stages drop out without special-casing."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_touch(t):
+        return F.min(F.when(F.col("event_type") == t, F.unix_micros("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_touch("signup").alias("t_signup"),
+        first_touch("click").alias("t_click"),
+        first_touch("purchase").alias("t_purchase"),
+    )
+    sign = F.col("t_signup").isNotNull()
+    s_then_c = sign & (F.col("t_click") > F.col("t_signup"))
+    full = s_then_c & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(sign.cast("int")).cast("long").alias("n_signup"),
+        F.sum(s_then_c.cast("int")).cast("long").alias("n_signup_then_click"),
+        F.sum(full.cast("int")).cast("long").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+    FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('week', cohort_week, active_week) AS BIGINT) AS week_offset,
+       count(*) AS n_active
+FROM activity JOIN firsts USING (user_id)
+GROUP BY cohort_week, week_offset
+""",
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: users bucketed by first-seen week, counted
+    in each later active week. The cohort dim is one small agg broadcast
+    back onto the distinct-activity frame — two shuffles on user_id total,
+    both of (user, week) pairs, never raw events."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = ev.select("user_id", wk.alias("active_week")).distinct()
+    joined = activity.join(firsts, "user_id")
+    offset = F.floor(
+        (F.unix_micros("active_week") - F.unix_micros("cohort_week"))
+        / (7 * 24 * 3600 * 1_000_000)
+    ).cast("long")
+    return joined.groupBy(
+        "cohort_week", offset.alias("week_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@query(
+    "gap_fill_forward",
+    oracle="""
+WITH bounds AS (
+    SELECT user_id,
+           CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS t0,
+           CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS t1
+    FROM events GROUP BY user_id
+), grid AS (
+    SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_ts
+    FROM bounds
+), hourly AS (
+    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+           round(1e-9 + sum(value), 2) AS v
+    FROM events GROUP BY 1, 2
+)
+SELECT g.user_id AS user_id, g.hour_ts AS hour_ts,
+       coalesce(h.v,
+                last_value(h.v IGNORE NULLS)
+                    OVER (PARTITION BY g.user_id ORDER BY g.hour_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0.0) AS v_filled,
+       h.v IS NULL AS was_gap
+FROM grid g LEFT JOIN hourly h
+  ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+""",
+)
+def gap_fill_forward(spark, sf_dir):
+    """Time-series regularization: per-user hourly grid (sequence + explode
+    — generated, not stored), left join of actual hourly sums, forward-fill
+    of gaps via last-non-null window. The grid explode is linear in
+    (users × hours); the fill is one shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    bounds = ev.groupBy("user_id").agg(
+        F.min(hour).alias("t0"), F.max(hour).alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    hourly = ev.groupBy("user_id", hour.alias("hour_ts")).agg(
+        rnd(F.sum("value"), 2).alias("v")
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.coalesce(
+        F.col("v"), F.last("v", ignorenulls=True).over(w), F.lit(0.0)
+    )
+    return joined.select(
+        "user_id",
+        "hour_ts",
+        filled.alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )

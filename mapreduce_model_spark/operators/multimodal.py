@@ -98,6 +98,50 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("resized_bytes", T.IntegerType()),
+        T.StructField("truncated", T.BooleanType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 128, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize: the 1→1 payload-rewrite mapInPandas shape (thumbnailing,
+    re-encoding, downsampling). The stand-in transform truncates or
+    zero-pads to ``target_bytes`` — a real resize swaps in the codec call
+    (``decode_image`` contract) with identical Spark plumbing. Output
+    payloads are fixed-size, so downstream batch memory is exactly
+    predictable (rows × target_bytes per Arrow batch)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            orig = pdf["payload"].map(len)
+            resized = pdf["payload"].map(
+                lambda b: b[:target_bytes]
+                if len(b) >= target_bytes
+                else b + b"\x00" * (target_bytes - len(b))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": resized,
+                    "orig_bytes": orig.astype("int32"),
+                    "resized_bytes": resized.map(len).astype("int32"),
+                    "truncated": (orig > target_bytes),
+                }
+            )
+
+    return spread_for_fanout(media.select(id_col, "payload"), id_col).mapInPandas(
+        _resize, RESIZE_SCHEMA
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -82,3 +82,26 @@ def multimodal_frames(spark, sf_dir):
     return sample_frames(media, frame_bytes=256, every_k=4).select(
         "doc_id", "frame_idx", "frame_len"
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS INTEGER)      AS orig_bytes,
+       CAST(128 AS INTEGER)                           AS resized_bytes,
+       octet_length(text::BLOB) > 128                 AS truncated
+FROM documents
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Payload resize (thumbnail/re-encode shape): truncate-or-pad to a
+    fixed 128 bytes via mapInPandas. The oracle checks the size metadata;
+    the byte-exact payload contract (prefix / zero-pad) is pinned in
+    tests/test_similarity_multimodal.py."""
+    from mapreduce_model_spark.operators.multimodal import resize_media
+
+    media = attach_payload(table(spark, sf_dir, "documents"))
+    return resize_media(media, target_bytes=128).select(
+        "doc_id", "orig_bytes", "resized_bytes", "truncated"
+    )

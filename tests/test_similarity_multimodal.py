@@ -137,3 +137,27 @@ def test_sample_frames_content(spark, sf_dir):
             for j in range(0, -(-len(payload) // 256), 4)
         }
         assert got[r.doc_id] == expected, r.doc_id
+
+
+def test_resize_media_fixed_size(spark, sf_dir):
+    """Resize: every output payload is exactly target_bytes — long inputs
+    truncated to a prefix, short inputs zero-padded — and flagged
+    accordingly (operators/multimodal.py resize_media)."""
+    from mapreduce_model_spark.operators.multimodal import attach_payload, resize_media
+    from mapreduce_model_spark.registry import table
+
+    docs = table(spark, sf_dir, "documents").limit(20)
+    media = attach_payload(docs)
+    out = {r.doc_id: r for r in resize_media(media, target_bytes=128).collect()}
+    for r in docs.collect():
+        payload = r.text.encode("utf-8")
+        got = out[r.doc_id]
+        assert got.resized_bytes == 128
+        assert len(bytes(got.payload)) == 128
+        if len(payload) >= 128:
+            assert got.truncated == (len(payload) > 128)
+            assert bytes(got.payload) == payload[:128]
+        else:
+            assert not got.truncated
+            assert bytes(got.payload) == payload + b"\x00" * (128 - len(payload))
+        assert got.orig_bytes == len(payload)

@@ -147,14 +147,6 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Size the iteration's shuffles to the graph, not the session default:
-    # a power iteration repeats ~2 exchanges × n_iter times, so per-partition
-    # scheduling overhead multiplies. ~1M edges per partition keeps small
-    # graphs on a handful of tasks while a trillion-edge graph still spreads.
-    n_edges = e.count()
-    parts = max(1, min(int(e.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-                       -(-n_edges // 1_000_000)))
-    e = e.repartition(parts, "u").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))

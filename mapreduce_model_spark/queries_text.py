@@ -435,3 +435,97 @@ def token_positions(spark, sf_dir):
     return docs.select(
         "doc_id", F.posexplode(words_array("text")).alias("pos", "word")
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=_WBASE
+    + r"""
+, w AS (SELECT unnest(words) AS word FROM wbase),
+wc AS (SELECT word, count(*) AS tf FROM w GROUP BY word),
+pairs AS (
+    SELECT substr(word, i, 2) AS pair, CAST(sum(tf) AS BIGINT) AS n
+    FROM wc CROSS JOIN unnest(range(1, length(word))) t(i)
+    GROUP BY pair
+)
+SELECT pair, n, rn
+FROM (SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rn FROM pairs)
+WHERE rn <= 50
+""",
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """One BPE-training step: corpus-wide counts of adjacent character
+    pairs, weighted by word frequency — the argmax pair is the next merge.
+    Pair generation runs on the (tiny) word-frequency table, not the corpus:
+    the corpus is touched once for term frequencies, then every later BPE
+    iteration would reuse that aggregate. Top-50 pruned via
+    TakeOrderedAndProject before the rank window (vocab_topk discipline)."""
+    docs = table(spark, sf_dir, "documents")
+    w = spread_for_fanout(docs, "doc_id").select(
+        F.explode(words_array("text")).alias("word")
+    )
+    wc = w.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    # single-char words have no pairs; Spark's sequence(1, 0) would DESCEND
+    # ([1,0]) rather than return empty like DuckDB's range(1,1) — filter first
+    wc = wc.filter(F.length("word") >= 2)
+    pairs = (
+        wc.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, 2),
+                )
+            ).alias("pair"),
+            "tf",
+        )
+        .groupBy("pair")
+        .agg(F.sum("tf").cast("long").alias("n"))
+    )
+    top = pairs.orderBy(F.col("n").desc(), "pair").limit(50)
+    win = Window.orderBy(F.col("n").desc(), "pair")
+    return top.withColumn("rn", F.row_number().over(win)).select("pair", "n", "rn")
+
+
+@query(
+    "sequence_packing",
+    oracle=_WBASE
+    + """
+, toks AS (
+    SELECT doc_id, source, len(words) AS n_tokens
+    FROM (SELECT w.doc_id, d.source, w.words
+          FROM wbase w JOIN documents d ON w.doc_id = d.doc_id)
+), packed AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+    FROM toks
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id
+FROM packed
+""",
+)
+def sequence_packing(spark, sf_dir):
+    """Training-batch sequence packing: docs streamed in (source, doc_id)
+    order are packed into 512-token bins — pack_id = which bin this doc
+    STARTS in (docs may straddle bins; the splitter downstream handles
+    overflow). Cumulative sums run per source — every source packs in
+    parallel, no global window; at 100 TB sources are further split by the
+    global_row_ids two-phase pattern if one source dominates."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(words_array("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor((cum - F.col("n_tokens")) / 512).cast("long").alias("pack_id"),
+    )

@@ -74,3 +74,35 @@ def salted_key(col: Column | str, n_salts: int) -> Column:
     broadcast — don't salt.)"""
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.hash(c), F.lit(n_salts))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Skew-proof equi join: the fact side salts each row into one of
+    ``n_salts`` sub-keys (deterministic hash of a high-cardinality fact
+    column — ``salt_col``, default the fact's first non-key column), and the
+    dim side is replicated across ALL sub-keys, so a hot join key's rows
+    spread over n_salts tasks instead of one.
+
+    Use when the dim is too big to broadcast AND the fact key is skewed
+    beyond what AQE's skew-join splitting handles (AQE splits partitions,
+    not single hot KEYS feeding a hash join). Cost: dim shuffled ×n_salts.
+    Supports 'inner' and 'left' (fact-preserving) joins — the salt spread
+    never drops or duplicates fact rows because each fact row lands in
+    exactly one sub-key.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    basis = salt_col or next(c for c in fact.columns if c != key)
+    salted_fact = fact.withColumn("_salt", salted_key(basis, n_salts))
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_fact.join(replicated_dim, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_model_spark.operators.inverted_index import word_doc_pairs
 from mapreduce_model_spark.operators.skew import (
+    salted_join,
     salted_collect_set,
     salted_count_distinct,
 )
@@ -54,3 +55,39 @@ def test_salt_is_deterministic(spark, sf_dir):
     assert sorted((r.word, tuple(r.vals)) for r in a) == sorted(
         (r.word, tuple(r.vals)) for r in b
     )
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join == plain join, row for row — on inner and left, with a
+    dim missing some keys (left-null path) and a skewed fact key."""
+    from mapreduce_model_spark.registry import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    # dim deliberately missing some keys so 'left' exercises null-padding
+    part_dim = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .filter(F.col("p_partkey") % 3 != 0)
+    )
+    for how in ("inner", "left"):
+        plain = li.join(
+            part_dim, li.l_partkey == part_dim.p_partkey, how
+        ).select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+        salted = salted_join(
+            li, part_dim.withColumnRenamed("p_partkey", "l_partkey"),
+            key="l_partkey", n_salts=7, how=how,
+        ).select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        ), how
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest as _pytest
+
+    df = spark.range(5).withColumn("v", F.col("id"))
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, key="id", how="full")

@@ -924,3 +924,79 @@ def gap_fill_forward(spark, sf_dir):
         filled.alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+# --- UDTF / UDAF surface (completing the A20 triad) ------------------------
+
+@query(
+    "doc_chunks_udtf",
+    oracle="""
+WITH chunks AS (
+    SELECT doc_id,
+           unnest(range(0, CAST(ceil(length(text) / 200.0) AS BIGINT))) AS chunk_idx,
+           length(text) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER)                                   AS chunk_idx,
+       CAST(least(200, n - chunk_idx * 200) AS INTEGER)             AS chunk_len,
+       md5(substr((SELECT text FROM documents d2 WHERE d2.doc_id = chunks.doc_id),
+                  CAST(chunk_idx * 200 + 1 AS BIGINT), 200))        AS chunk_hash
+FROM chunks
+""",
+)
+def doc_chunks_udtf(spark, sf_dir):
+    """Document chunking through a Python UDTF (table function: one input
+    row → N output rows) joined laterally — the generator face of A20.
+    Chunk content is verified by hash against the oracle's substring math.
+    UDTFs are row-at-a-time Python (the slow path): real pipelines chunk
+    with built-in substring/sequence exactly like the oracle — this query
+    exists to verify the UDTF escape hatch end-to-end."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str, size: int):
+            for i in range(0, max(len(text), 1), size):
+                yield i // size, text[i : i + size]
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               c.chunk_idx,
+               length(c.chunk)  AS chunk_len,
+               md5(c.chunk)     AS chunk_hash
+        FROM documents d, LATERAL chunk_doc(d.text, 200) c
+        """
+    )
+
+
+@query(
+    "geo_mean_udaf",
+    oracle="""
+SELECT event_type,
+       round(1e-9 + exp(avg(ln(value + 1.0))), 4) AS geo_mean
+FROM events GROUP BY event_type
+""",
+)
+def geo_mean_udaf(spark, sf_dir):
+    """Custom aggregate (geometric mean) as an Arrow-batched GROUPED_AGG
+    pandas UDF — the UDAF face of A20. Arithmetic mirrors the oracle
+    (mean of logs in double); Arrow moves each group as one vector, never
+    row-at-a-time."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module runs under
+    # `from __future__ import annotations`, which stringifies signatures —
+    # pandas_udf can't infer GROUPED_AGG from 'pd.Series' -> 'float' text.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log(v.to_numpy() + 1.0).mean()))
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        rnd(geo_mean("value"), 4).alias("geo_mean")
+    )

@@ -58,3 +58,51 @@ def test_small_corpus_matches_reference_goldens(spark):
 def test_full_corpus_matches_reference_goldens(spark):
     """The reference's real grading corpus: 355 files, 33k output lines."""
     _assert_parity(spark, f"{CHECKER}/test.txt", f"{CHECKER}/test_out")
+
+
+def test_cli_matches_reference_goldens(tmp_path):
+    """The CLI front door (python -m mapreduce_model_spark M R manifest out)
+    must reproduce the reference checker's small-corpus goldens exactly —
+    the end-to-end contract of main.cc:199-257 including argument shape."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "cli_out"
+    out.mkdir()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "mapreduce_model_spark",
+            "2",
+            "4",
+            "/root/reference/checker/test_small.txt",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import pathlib
+
+    golden_dir = pathlib.Path("/root/reference/checker/test_out_small")
+    for letter in "abcdefghijklmnopqrstuvwxyz":
+        golden = (golden_dir / f"{letter}.txt").read_text()
+        got = (out / f"{letter}.txt").read_text()
+        norm = lambda s: [" ".join(l.split()) for l in s.splitlines() if l.strip()]
+        assert norm(got) == norm(golden), letter
+
+
+def test_cli_usage_error():
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "mapreduce_model_spark", "1"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 1
+    assert "Usage:" in proc.stderr

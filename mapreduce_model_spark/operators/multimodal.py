@@ -73,21 +73,30 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            # vectorized per-payload byte sum — never a Python byte loop
-            byte_sum = payloads.map(
-                lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) % 997
-            )
+            lens = payloads.map(len).to_numpy(dtype=np.int64)
+            # One concatenated buffer + segmented reduce: the whole Arrow
+            # batch is summed in C, no per-payload Python call. Offsets of
+            # zero-length payloads are masked out (reduceat misreads empty
+            # segments); their sum is 0 by definition.
+            byte_sum = np.zeros(len(lens), dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                offsets = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                byte_sum[nz] = np.add.reduceat(
+                    concat.astype(np.int64), offsets[nz]
+                )
+            byte_sum %= 997
+            widths = np.sqrt(lens).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": n_bytes.astype("int32"),
+                    "n_bytes": lens.astype("int32"),
                     "byte_sum_mod": byte_sum.astype("int32"),
                     # fake decode: pretend bytes are a square-ish image
-                    "fake_width": n_bytes.map(lambda n: int(n**0.5)).astype("int32"),
-                    "fake_height": n_bytes.map(
-                        lambda n: (n // max(int(n**0.5), 1))
-                    ).astype("int32"),
+                    "fake_width": widths.astype("int32"),
+                    "fake_height": (lens // np.maximum(widths, 1)).astype("int32"),
                 }
             )
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_model_spark.functions.partitioning import spread_for_fanout
@@ -58,11 +58,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Keep-first exact dedup on normalized text hash.
 
     Returns one row per distinct content: ``(id, text_hash, group_size)``,
-    keeping the smallest id (deterministic). Window over the hash = one
-    shuffle on a 32-hex-char key.
+    keeping the smallest id (deterministic). One groupBy on the hash —
+    min/count are algebraic, so the shuffle carries map-side partials and
+    nothing is SORTED (a row_number window would sort every group; keep-
+    "first" by min id needs no order at all).
     """
     h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
-    w = Window.partitionBy("text_hash")
     # spread BEFORE hashing is deliberate: it ships raw text, but only when
     # the scan is under-partitioned — where the alternative is computing
     # every md5+normalize on the scan's few cores (measured 3x slower).
@@ -70,10 +71,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     # nothing extra is shuffled.
     return (
         spread_for_fanout(df, id_col).select(F.col(id_col), h)
-        .withColumn("rn", F.row_number().over(w.orderBy(id_col)))
-        .withColumn("group_size", F.count(F.lit(1)).over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select(id_col, "text_hash", "group_size")
     )
 
 

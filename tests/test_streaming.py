@@ -269,3 +269,48 @@ def test_stream_stream_interval_join_parity(spark, sf_dir):
     want = _rows(batch, cols)
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_upsert_cdc_latest_state(spark, tmp_path):
+    """foreachBatch CDC upsert: across two micro-batches, the managed table
+    always holds each key's latest row (last-writer-wins by ts, then
+    event_id) — including keys updated in a later batch and keys born
+    there. Rerunning with the same checkpoint is a no-op (idempotence)."""
+    from mapreduce_model_spark.streaming.upsert import run_stream_upsert
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "user_id long, ts_us long, balance double, event_id long"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).write.parquet(str(src / name))
+
+    def stream():
+        return spark.readStream.schema(schema).option("basePath", str(src)).parquet(
+            str(src / "*")
+        )
+
+    def run():
+        run_stream_upsert(
+            stream(), spark, "cdc_latest", key="user_id",
+            order_cols=["ts_us", "event_id"], checkpoint_dir=ckpt,
+        )
+
+    import time as _time
+
+    write_batch("b1", [(1, 100, 10.0, 1), (1, 200, 20.0, 2), (2, 100, 5.0, 3)])
+    run()
+    state1 = {r.user_id: r.balance for r in spark.table("cdc_latest").collect()}
+    assert state1 == {1: 20.0, 2: 5.0}
+
+    _time.sleep(1.1)  # FileStreamSource orders files by modification time
+    write_batch("b2", [(2, 300, 7.5, 4), (3, 50, 99.0, 5)])
+    run()
+    state2 = {r.user_id: r.balance for r in spark.table("cdc_latest").collect()}
+    assert state2 == {1: 20.0, 2: 7.5, 3: 99.0}
+
+    run()  # no new files: same checkpoint, state unchanged
+    state3 = {r.user_id: r.balance for r in spark.table("cdc_latest").collect()}
+    assert state3 == state2
+    spark.sql("DROP TABLE IF EXISTS cdc_latest")

@@ -38,6 +38,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # the rebuilt ts is TZ-aware (unlike the NTZ ms timestamps of the
@@ -45,7 +46,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # match the DuckDB oracle regardless of the caller's session TZ
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(raw.schema["ts"].dataType, T.LongType):
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # datagen.py layout: ts already a µs timestamp — no rebuild needed
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

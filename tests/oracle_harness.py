@@ -42,11 +42,18 @@ def _rows_to_multiset(cols, rows):
 
 
 def run_oracle(sf_dir: str, sql: str):
+    import os
+
     con = duckdb.connect()
     try:
         for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            # harness tables are single files; Spark-generated ones
+            # (datagen.py) are directories of part files
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]

@@ -1026,3 +1026,32 @@ def global_row_ids(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     return global_ordered_ids(docs, ["source", "doc_id"])
+
+
+@query("sketch_mergeable_distinct")  # sketch estimates — rows-only check
+def sketch_mergeable_distinct(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    sketch per source over document words, then a sketch UNION for the
+    corpus-wide estimate — the two-level pattern that lets 100 TB of
+    per-partition/per-day sketches be pre-aggregated once and re-combined
+    arbitrarily (per week, per source group) without rescanning data.
+    Deterministic for fixed input (no RNG), but approximate ⇒ rows-only;
+    error bounds for the same estimator family are pinned in
+    test_sketch_accuracy.py."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+    from mapreduce_model_spark.functions.text import words_array
+
+    docs = table(spark, sf_dir, "documents")
+    words = spread_for_fanout(docs, "doc_id").select(
+        "source", F.explode(words_array("text")).alias("word")
+    )
+    per_source = words.groupBy("source").agg(
+        F.hll_sketch_agg("word", 14).alias("sk")
+    )
+    merged = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("global_distinct_words"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return merged

@@ -94,3 +94,39 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score", "part"}
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_manifest_datasource_matches_manifest_reader(spark):
+    """The custom Python DataSource (manifest_corpus) must produce the same
+    (doc_id, tokenized-text) corpus as the spark.read.text path — and the
+    same inverted index downstream (sources/pyds.py)."""
+    from mapreduce_model_spark.operators.inverted_index import invert
+    from mapreduce_model_spark.sources.manifest import read_corpus
+    from mapreduce_model_spark.sources.pyds import register
+
+    manifest = "/root/reference/checker/test_small.txt"
+    register(spark)
+    ds = spark.read.format("manifest_corpus").option("path", manifest).load()
+    assert ds.schema.simpleString() == "struct<doc_id:bigint,text:string>"
+
+    via_ds = sorted(
+        (r.letter, r.word, tuple(r.docs)) for r in invert(ds).collect()
+    )
+    via_text = sorted(
+        (r.letter, r.word, tuple(r.docs))
+        for r in invert(read_corpus(spark, manifest)).collect()
+    )
+    assert via_ds == via_text
+    assert len(via_ds) > 0
+
+
+def test_manifest_datasource_missing_file_fails(spark, tmp_path):
+    from mapreduce_model_spark.sources.pyds import register
+
+    bad = tmp_path / "bad_manifest.txt"
+    bad.write_text("1\n/nonexistent/file.txt\n")
+    register(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="missing on disk|FileNotFound"):
+        spark.read.format("manifest_corpus").option("path", str(bad)).load().collect()

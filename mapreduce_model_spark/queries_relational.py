@@ -1055,3 +1055,31 @@ def sketch_mergeable_distinct(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sources"),
     )
     return merged
+
+
+@query(
+    "json_struct_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER)             AS k_parsed,
+       json_extract_string(props, '$.missing') IS NULL         AS missing_is_null,
+       to_json(struct_pack(t := event_type, u := user_id))     AS packed
+FROM events
+""",
+)
+def json_struct_funcs(spark, sf_dir):
+    """Schema-full JSON: from_json into a typed struct (vs scalar
+    get_json_object in scalar_funcs), absent-key null semantics, and
+    struct→JSON serialization — identical compact rendering both engines."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_parsed"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        ).alias("packed"),
+    )

@@ -161,3 +161,13 @@ def test_global_row_ids_never_single_partitions(spark):
     p = plan(spark, "global_row_ids")
     assert "SinglePartition" not in p
     assert "rangepartitioning" in p
+
+
+def test_tpch_q10_q14_broadcast_dims(spark):
+    """TPC-H shapes: dims broadcast; the lineitem filters reach the scan."""
+    p10 = plan(spark, "tpch_q10_returned_items")
+    assert p10.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p10
+    p14 = plan(spark, "tpch_q14_promo_revenue")
+    assert "BroadcastHashJoin" in p14
+    assert "PushedFilters" in p14

@@ -84,15 +84,20 @@ def q_dedup_exact(spark, sf_dir):
 @query(
     "dedup_minhash_sig",
     oracle=_SHX + f"""
-SELECT doc_id, {_SIG_SQL} AS sig
+SELECT doc_id, array_to_string({_SIG_SQL}, ',') AS sig
 FROM shx GROUP BY doc_id
 """,
 )
 def q_minhash_sig(spark, sf_dir):
     """Per-doc MinHash signature (k=32, md5-derived — byte-identical in
-    DuckDB, a fully checkable sketch)."""
-    return minhash_signatures(
+    DuckDB, a fully checkable sketch). Joined to a comma string so the
+    driver's value hash never touches an array column."""
+    sig = minhash_signatures(
         table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+    )
+    return sig.select(
+        "doc_id",
+        F.array_join(F.transform("sig", lambda x: x.cast("string")), ",").alias("sig"),
     )
 
 

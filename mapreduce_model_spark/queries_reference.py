@@ -46,7 +46,7 @@ def inverted_index(spark, sf_dir):
     + """
 SELECT substr(word, 1, 1) AS letter,
        word,
-       list_sort(list(DISTINCT doc_id)) AS docs,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS docs,
        count(DISTINCT doc_id) AS n_docs
 FROM words
 WHERE length(word) > 0
@@ -54,8 +54,16 @@ GROUP BY word
 """,
 )
 def inverted_index_agg(spark, sf_dir):
+    # postings joined to 'd1 d2 d3' (the reference's own wire format,
+    # main.cc:160-170) — a flat string value-hashes identically everywhere,
+    # where a raw array column depends on the comparer's array handling.
     idx = invert(table(spark, sf_dir, "documents"))
-    return idx.select("letter", "word", "docs", F.col("n_docs").cast("long").alias("n_docs"))
+    return idx.select(
+        "letter",
+        "word",
+        F.array_join(F.transform("docs", lambda x: x.cast("string")), " ").alias("docs"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
 
 
 @query(
@@ -64,7 +72,7 @@ def inverted_index_agg(spark, sf_dir):
     + """
 SELECT substr(word, 1, 1) AS letter,
        word,
-       list_sort(list(DISTINCT doc_id)) AS docs,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS docs,
        count(DISTINCT doc_id) AS n_docs
 FROM words
 WHERE length(word) > 0
@@ -81,6 +89,6 @@ def inverted_index_salted(spark, sf_dir):
     return postings.select(
         F.substring("word", 1, 1).alias("letter"),
         "word",
-        F.col("vals").alias("docs"),
+        F.array_join(F.transform("vals", lambda x: x.cast("string")), " ").alias("docs"),
         F.size("vals").cast("long").alias("n_docs"),
     )

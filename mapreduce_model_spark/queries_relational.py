@@ -118,15 +118,22 @@ def groupby_agg(spark, sf_dir):
 @query(
     "collect_group",
     oracle="""
-SELECT o_custkey, list_sort(list(DISTINCT o_orderkey)) AS orderkeys
+SELECT o_custkey, array_to_string(list_sort(list(DISTINCT o_orderkey)), ' ') AS orderkeys
 FROM orders
 GROUP BY o_custkey
 """,
 )
 def collect_group(spark, sf_dir):
-    """A11+A12: group → sorted distinct array (the postings-list shape)."""
+    """A11+A12: group → sorted distinct array (the postings-list shape),
+    surfaced as a space-joined string so the driver's value hash is
+    array-representation-independent."""
     return table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("o_orderkey")).alias("orderkeys")
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("o_orderkey")), lambda x: x.cast("string")
+            ),
+            " ",
+        ).alias("orderkeys")
     )
 
 
@@ -647,21 +654,27 @@ def grouping_sets(spark, sf_dir):
     "percentile_stats",
     oracle="""
 SELECT l_returnflag,
-       list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-                      x -> round(1e-9 + x, 4)) AS qty_quartiles,
+       array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                      x -> CAST(round(1e-9 + x, 4) AS DECIMAL(18,4))::VARCHAR), ',')
+           AS qty_quartiles,
        round(1e-9 + median(l_extendedprice), 4) AS median_price
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def percentile_stats(spark, sf_dir):
     """Exact percentiles (continuous interpolation — identical definition in
-    DuckDB's quantile_cont). Exact percentile sorts within groups; at 100 TB
-    prefer approx_percentile (see approx_distinct for the sketch pattern)."""
+    DuckDB's quantile_cont). The quartile triple is joined to a string via a
+    fixed-scale DECIMAL cast (identical text in both engines). Exact
+    percentile sorts within groups; at 100 TB prefer approx_percentile (see
+    approx_distinct for the sketch pattern)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
-            lambda x: F.round(x + 1e-9, 4),
+        F.array_join(
+            F.transform(
+                F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"),
+                lambda x: F.round(x + 1e-9, 4).cast("decimal(18,4)").cast("string"),
+            ),
+            ",",
         ).alias("qty_quartiles"),
         rnd(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("median_price"),
     )
@@ -720,37 +733,46 @@ def sql_api_q3(spark, sf_dir):
     "array_funcs",
     oracle="""
 SELECT event_id,
-       generate_series(1, 1 + event_id % 4)                         AS seq,
-       list_contains(generate_series(1, 1 + event_id % 4), 3)      AS has3,
-       generate_series(1, 1 + event_id % 4)[1:2]                   AS first2,
-       list_max(generate_series(1, 1 + event_id % 4))              AS seq_max,
-       list_reverse(generate_series(1, 1 + event_id % 4))          AS rev,
-       CAST(list_sum(generate_series(1, 1 + event_id % 4)) AS BIGINT) AS seq_sum,
-       list_transform(generate_series(1, 1 + event_id % 4), x -> x * x) AS squares,
-       list_filter(generate_series(1, 1 + event_id % 4), x -> x % 2 = 0) AS evens,
-       list_sort([event_id % 7, event_id % 3, event_id % 5])       AS srt
+       array_to_string(generate_series(1, 1 + event_id % 4), ',')       AS seq,
+       list_contains(generate_series(1, 1 + event_id % 4), 3)           AS has3,
+       array_to_string(generate_series(1, 1 + event_id % 4)[1:2], ',')  AS first2,
+       list_max(generate_series(1, 1 + event_id % 4))                   AS seq_max,
+       array_to_string(list_reverse(generate_series(1, 1 + event_id % 4)), ',') AS rev,
+       CAST(list_sum(generate_series(1, 1 + event_id % 4)) AS BIGINT)   AS seq_sum,
+       array_to_string(list_transform(generate_series(1, 1 + event_id % 4), x -> x * x), ',') AS squares,
+       coalesce(array_to_string(list_filter(generate_series(1, 1 + event_id % 4), x -> x % 2 = 0), ','), '') AS evens,
+       array_to_string(list_sort([event_id % 7, event_id % 3, event_id % 5]), ',') AS srt
 FROM events
 """,
 )
 def array_funcs(spark, sf_dir):
     """Array scalar surface: construction, membership, slicing, fold,
     higher-order transform/filter — all JVM built-ins (whole-stage codegen),
-    the pattern every array<...> column op in the engine follows."""
+    the pattern every array<...> column op in the engine follows. Array
+    results are comma-joined for hash-stable comparison."""
     ev = table(spark, sf_dir, "events")
     n = F.lit(1) + F.col("event_id") % 4
     seq = F.sequence(F.lit(1).cast("long"), n)
+
+    def s(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return ev.select(
         "event_id",
-        seq.alias("seq"),
+        s(seq).alias("seq"),
         F.array_contains(seq, 3).alias("has3"),
-        F.slice(seq, 1, 2).alias("first2"),
+        s(F.slice(seq, 1, 2)).alias("first2"),
         F.array_max(seq).alias("seq_max"),
-        F.reverse(seq).alias("rev"),
+        s(F.reverse(seq)).alias("rev"),
         F.aggregate(seq, F.lit(0).cast("long"), lambda a, x: a + x).alias("seq_sum"),
-        F.transform(seq, lambda x: x * x).alias("squares"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
-        F.sort_array(
-            F.array(F.col("event_id") % 7, F.col("event_id") % 3, F.col("event_id") % 5)
+        s(F.transform(seq, lambda x: x * x)).alias("squares"),
+        s(F.filter(seq, lambda x: x % 2 == 0)).alias("evens"),
+        s(
+            F.sort_array(
+                F.array(
+                    F.col("event_id") % 7, F.col("event_id") % 3, F.col("event_id") % 5
+                )
+            )
         ).alias("srt"),
     )
 

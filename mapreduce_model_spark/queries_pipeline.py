@@ -704,48 +704,62 @@ SELECT
 )
 def dq_audit(spark, sf_dir):
     """Data-quality audit as one summary row: referential integrity
-    (orphan FKs via anti joins — dims broadcast), key uniqueness, range and
-    null checks. The standard pre-flight every ingest runs before a table
-    is promoted; all checks are one scan each, combined driver-side into
-    a single 1-row frame (six scalars, not data)."""
+    (orphan FKs as join-indicator sums), key uniqueness, range and null
+    checks. One Spark action, three aggregate subtrees cross-joined as
+    1-row frames: lineitem is scanned ONCE (orphan + range checks share a
+    pass), orders twice (FK/null pass + dup-key pass). No .count()/.first()
+    round-trips — at 100 TB, five sequential driver actions means five
+    times the scheduling latency and two redundant fact scans."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     li = table(spark, sf_dir, "lineitem")
 
-    orphan_orders = o.join(
-        F.broadcast(c.select("c_custkey")),
-        o.o_custkey == F.col("c_custkey"),
-        "left_anti",
-    ).count()
-    orphan_lineitems = li.join(
-        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
-    ).count()
-    dup_order_keys = (
+    # orders pass: orphan custkeys (broadcast dim indicator) + null prices
+    ind = F.broadcast(
+        c.select("c_custkey").distinct().withColumn("_c_hit", F.lit(1))
+    )
+    o_checks = (
+        o.select("o_custkey", "o_totalprice")
+        .join(ind, o.o_custkey == ind.c_custkey, "left")
+        .agg(
+            F.sum(F.col("_c_hit").isNull().cast("long")).alias("orphan_orders"),
+            F.sum(F.col("o_totalprice").isNull().cast("long")).alias(
+                "null_totalprice"
+            ),
+        )
+    )
+    # lineitem pass: orphan orderkeys + range checks, one scan
+    # distinct: a duplicated order key (itself an audit finding) must not
+    # fan out the lineitem rows and inflate the range-check sums
+    okeys = o.select("o_orderkey").distinct().withColumn("_o_hit", F.lit(1))
+    li_checks = (
+        li.select("l_orderkey", "l_quantity", "l_discount")
+        .join(okeys, li.l_orderkey == okeys.o_orderkey, "left")
+        .agg(
+            F.sum(F.col("_o_hit").isNull().cast("long")).alias("orphan_lineitems"),
+            F.sum((F.col("l_quantity") <= 0).cast("long")).alias("nonpositive_qty"),
+            F.sum(
+                ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+            ).alias("bad_discount"),
+        )
+    )
+    dup_keys = (
         o.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
-        .count()
+        .agg(F.count(F.lit(1)).alias("dup_order_keys"))
     )
-    checks = li.agg(
-        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("nonpositive_qty"),
-        F.sum(
-            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
-        ).alias("bad_discount"),
-    ).first()
-    null_totalprice = o.filter(F.col("o_totalprice").isNull()).count()
-    return spark.createDataFrame(
-        [
-            (
-                orphan_orders,
-                orphan_lineitems,
-                dup_order_keys,
-                int(checks["nonpositive_qty"]),
-                int(checks["bad_discount"]),
-                null_totalprice,
-            )
-        ],
-        "orphan_orders long, orphan_lineitems long, dup_order_keys long, "
-        "nonpositive_qty long, bad_discount long, null_totalprice long",
+    return (
+        o_checks.join(F.broadcast(li_checks))
+        .join(F.broadcast(dup_keys))
+        .select(
+            "orphan_orders",
+            "orphan_lineitems",
+            "dup_order_keys",
+            "nonpositive_qty",
+            "bad_discount",
+            "null_totalprice",
+        )
     )
 
 

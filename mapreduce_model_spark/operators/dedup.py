@@ -151,6 +151,12 @@ def lsh_near_dup_pairs(
             F.col("sig"),
         ),
     )
+    # The signature frame feeds three consumers (bucket counts + both sides
+    # of the band self-join); without materialization each consumer re-runs
+    # the whole shingle→md5→32-way-min pipeline. Persist it — k×8-byte rows,
+    # ~256 B/doc, memory-and-disk-safe at any corpus size (ContextCleaner
+    # unpersists once the plan is unreferenced).
+    sig = sig.persist()
     banded = sig.select(
         F.col(id_col),
         "sig",

@@ -256,6 +256,9 @@ def ngram_jaccard_pairs(
         doc_shingle_hashes(df, text_col, id_col, shingle_k)
         .groupBy(id_col)
         .agg(F.collect_set("x").alias("xs"))
+        # five consumers (df counts, both blocking sides, both Jaccard
+        # sides) — persist or the corpus is re-hashed for each
+        .persist()
     )
     exploded = sets.select(id_col, F.explode("xs").alias("x"))
     # document frequency via groupBy (partial-agg + tiny result) rather than

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
-__all__ = ["read_csv", "read_jsonl", "with_corrupt_capture"]
+__all__ = ["read_csv", "read_jsonl", "read_orc", "write_orc", "with_corrupt_capture"]
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -74,3 +74,20 @@ def read_jsonl(
     if mode.upper() == "PERMISSIVE":
         schema = with_corrupt_capture(schema)
     return spark.read.options(mode=mode, **options).schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str | list[str], **options
+) -> DataFrame:
+    """ORC scan — the other columnar interchange format. Self-describing
+    (schema travels with the file) and pushdown-capable like parquet:
+    filters reach the reader as ORC predicate pushdown (searchable
+    arguments over stripe/row-group statistics) and projections prune
+    columns at the stripe level; both are vectorized in Spark's native
+    reader."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """Land a frame as ORC (zstd, matching the parquet sink posture)."""
+    df.write.mode(mode).options(compression="zstd", **options).orc(path)

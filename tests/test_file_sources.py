@@ -130,3 +130,24 @@ def test_manifest_datasource_missing_file_fails(spark, tmp_path):
 
     with _pytest.raises(Exception, match="missing on disk|FileNotFound"):
         spark.read.format("manifest_corpus").option("path", str(bad)).load().collect()
+
+
+def test_orc_roundtrip_and_pushdown(spark, sample, tmp_path):
+    from mapreduce_model_spark.sources.files import read_orc, write_orc
+
+    p = str(tmp_path / "orc")
+    write_orc(sample, p)
+    back = read_orc(spark, p)
+    assert back.schema == sample.schema
+    assert _rows(back) == _rows(sample)
+    # filters must reach the ORC reader as pushed search arguments, and the
+    # projection must prune to the two referenced columns at the stripe level
+    plan = (
+        back.filter(F.col("l_quantity") > 25)
+        .select("l_orderkey", "l_quantity")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan

@@ -171,3 +171,49 @@ def test_tpch_q10_q14_broadcast_dims(spark):
     p14 = plan(spark, "tpch_q14_promo_revenue")
     assert "BroadcastHashJoin" in p14
     assert "PushedFilters" in p14
+
+
+def test_tpch_q5_q8_broadcast_all_dims(spark):
+    """The 6- and 7-way stars: every dimension side broadcasts; the only
+    shuffle joins are fact-fact (lineitem⋈orders on the order key)."""
+    p5 = plan(spark, "tpch_q5_local_supplier")
+    assert p5.count("BroadcastHashJoin") >= 4
+    p8 = plan(spark, "tpch_q8_market_share")
+    assert p8.count("BroadcastHashJoin") >= 5
+
+
+def test_tpch_q19_stays_a_hash_join(spark):
+    """The OR-of-ANDs must not break the p_partkey equi-join: Catalyst
+    keeps the hash join and evaluates the disjunction as a residual."""
+    p = plan(spark, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q21_semi_and_anti(spark):
+    """EXISTS → left semi, NOT EXISTS → left anti, in one plan."""
+    p = plan(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q18_semi_join_before_facts(spark):
+    """The IN(+HAVING) subquery must reach the plan as a semi join (never
+    materializing the big-order keys through a full inner join first)."""
+    p = plan(spark, "tpch_q18_large_orders")
+    assert "LeftSemi" in p
+
+
+def test_tpch_scalar_subqueries_broadcast(spark):
+    """Q11/Q15/Q22: the 1-row aggregate side of each scalar-subquery join
+    must broadcast — a shuffle against a 1-row frame is a planner bug."""
+    for name in (
+        "tpch_q11_important_inventory",
+        "tpch_q15_top_supplier",
+        "tpch_q22_sales_opportunity",
+    ):
+        p = plan(spark, name)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
+        assert "CartesianProduct" not in p, name

@@ -1105,3 +1105,36 @@ def json_struct_funcs(spark, sf_dir):
             F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
         ).alias("packed"),
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE tree AS (
+    SELECT p_partkey AS node, 0 AS depth
+    FROM part WHERE p_partkey = 1
+    UNION ALL
+    SELECT c.p_partkey, t.depth + 1
+    FROM tree t JOIN part c
+      ON c.p_partkey = 2 * t.node OR c.p_partkey = 2 * t.node + 1
+)
+SELECT depth, count(*) AS n,
+       min(node) AS first_node, max(node) AS last_node,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM tree
+GROUP BY depth
+"""
+
+
+@query("recursive_hierarchy", oracle=_RECURSIVE_SQL)
+def recursive_hierarchy(spark, sf_dir):
+    """WITH RECURSIVE as a first-class query surface (Spark 4 UnionLoop):
+    a hierarchical traversal — the implicit binary tree over part keys
+    (children of n are 2n, 2n+1) walked from the root, aggregated per
+    level. The fixpoint class (BOM explosion, org charts, reachability)
+    expressed declaratively; the identical query text is the DuckDB
+    oracle, like sql_api_q3. Each recursive step is one self-join against
+    the (broadcastable) key table — depth is logarithmic in the key
+    space, so 100 TB fact scale never touches the loop."""
+    from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_SQL)

@@ -76,13 +76,23 @@ def word_doc_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     ``std::set`` (main.cc:62-63, 17, 78-96). ``dropDuplicates`` gives the
     same set semantics with a map-side partial aggregate (the per-file
     combine, main.cc:62-63) for free.
+
+    ``distinct=False`` skips the dedup exchange for consumers whose own
+    aggregation already has set semantics (``invert``'s ``collect_set``) —
+    one shuffle of the pair stream instead of two.
     """
-    return (
+    return _word_doc_pairs(docs, text_col, id_col, distinct=True)
+
+
+def _word_doc_pairs(
+    docs: DataFrame, text_col: str, id_col: str, distinct: bool
+) -> DataFrame:
+    pairs = (
         tokenize(docs, text_col, id_col)
         .select(normalize_token(F.col("token")).alias("word"), "doc_id")
         .filter(F.length("word") > 0)  # main.cc:89 vs 132-137 — '' never output
-        .dropDuplicates(["word", "doc_id"])
     )
+    return pairs.dropDuplicates(["word", "doc_id"]) if distinct else pairs
 
 
 def invert(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -100,7 +110,10 @@ def invert(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     write time, not as a global sort.
     """
     postings = (
-        word_doc_pairs(docs, text_col, id_col)
+        # distinct=False: collect_set IS the set semantics (main.cc:62-63) —
+        # its map-side partial is the per-file combine, and skipping the
+        # separate dropDuplicates exchange halves the shuffled pair volume
+        _word_doc_pairs(docs, text_col, id_col, distinct=False)
         .groupBy("word")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
         .withColumn("n_docs", F.size("docs"))

@@ -1138,3 +1138,26 @@ def recursive_hierarchy(spark, sf_dir):
 
     table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n_name, t.c_custkey, t.c_acctbal
+FROM nation, LATERAL (
+    SELECT c_custkey, round(1e-9 + c_acctbal, 2) AS c_acctbal
+    FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) t
+"""
+
+
+@query("lateral_topn", oracle=_LATERAL_SQL)
+def lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — top-3 customers
+    per nation, the per-row-subquery surface (dependent join). Catalyst
+    decorrelates to a ranked window under the hood; the identical query
+    text is the DuckDB oracle."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)

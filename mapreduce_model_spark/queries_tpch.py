@@ -521,27 +521,28 @@ def tpch_q11(spark, sf_dir):
     oracle="""
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+           round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
     GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, round(1e-9 + total_revenue, 2) AS total_revenue
+SELECT s_suppkey, s_name, total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
 )
 def tpch_q15(spark, sf_dir):
     """Q15: top supplier by quarterly revenue — the revenue 'view' is one
-    grouped frame; the MAX scalar subquery is a 1-row broadcast; equality
-    on the unrounded double is exact because both sides come from the
-    same grouped value."""
+    grouped frame; the MAX scalar subquery is a 1-row broadcast. The sum
+    is rounded INSIDE the view: the equality then compares rounded
+    values, immune to the ulp-level nondeterminism of parallel float
+    summation (the same frame is evaluated once per consumer)."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
     )
@@ -551,7 +552,7 @@ def tpch_q15(spark, sf_dir):
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", rnd("total_revenue", 2).alias("total_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
     )
 
 

@@ -314,3 +314,43 @@ def test_stream_upsert_cdc_latest_state(spark, tmp_path):
     state3 = {r.user_id: r.balance for r in spark.table("cdc_latest").collect()}
     assert state3 == state2
     spark.sql("DROP TABLE IF EXISTS cdc_latest")
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent in this env)",
+)
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """transformWithStateInPandas (v2 state API): cross-batch ValueState
+    yields the same final per-user totals as the batch aggregate."""
+    from mapreduce_model_spark.streaming.stateful import running_user_totals_v2
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    out = running_user_totals_v2(ev)
+    run_stream_to_table(out, "t_state_v2", output_mode="update")
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.last_ts_us)
+        for r in spark.table("t_state_v2").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.s, 2), r.last_us)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    assert got == batch

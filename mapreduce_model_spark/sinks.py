@@ -67,3 +67,29 @@ def compact(
     n_files = max(1, math.ceil(n / target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(out_path)
     return n, n_files
+
+
+def write_observed(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    metric_cols: list[str] | None = None,
+) -> dict:
+    """Write ``df`` and return write-time metrics from ``df.observe`` —
+    rows written, null counts for the requested columns — WITHOUT a second
+    scan. The observation rides the write job itself (an accumulator-style
+    aggregate on the task path), which is how a 100 TB ingest gets its
+    row-count audit for free; a separate ``count()`` would re-read the
+    input. Returns {"rows": n, "nulls_<col>": n, ...}."""
+    from pyspark.sql import Observation
+
+    metric_cols = metric_cols or []
+    aggs = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        for c in metric_cols
+    ]
+    obs = Observation()
+    observed = df.observe(obs, *aggs)
+    observed.write.mode(mode).format(fmt).save(path)
+    return dict(obs.get)

@@ -52,3 +52,23 @@ def test_partitioned_parquet_round_trip(spark, sf_dir, tmp_path):
     a = {(r.word, tuple(r.docs), r.n_docs, r.letter) for r in idx.collect()}
     b = {(r.word, tuple(r.docs), r.n_docs, r.letter) for r in back.collect()}
     assert a == b
+
+
+def test_write_observed_metrics_match_data(spark, sf_dir, tmp_path):
+    """df.observe metrics ride the write job: rows + null counts equal the
+    ground truth without a second scan of the input."""
+    from mapreduce_model_spark.registry import table
+    from mapreduce_model_spark.sinks import write_observed
+    from pyspark.sql import functions as F
+
+    df = table(spark, sf_dir, "orders").withColumn(
+        "maybe_null", F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice"))
+    )
+    out = str(tmp_path / "observed")
+    m = write_observed(df, out, metric_cols=["maybe_null", "o_orderstatus"])
+    n = df.count()
+    n_null = df.filter(F.col("maybe_null").isNull()).count()
+    assert m["rows"] == n
+    assert m["nulls_maybe_null"] == n_null
+    assert m["nulls_o_orderstatus"] == 0
+    assert spark.read.parquet(out).count() == n

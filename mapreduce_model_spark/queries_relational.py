@@ -1114,7 +1114,8 @@ WITH RECURSIVE tree AS (
     UNION ALL
     SELECT c.p_partkey, t.depth + 1
     FROM tree t JOIN part c
-      ON c.p_partkey = 2 * t.node OR c.p_partkey = 2 * t.node + 1
+      ON CAST(floor(c.p_partkey / 2.0) AS BIGINT) = t.node
+    WHERE c.p_partkey >= 2
 )
 SELECT depth, count(*) AS n,
        min(node) AS first_node, max(node) AS last_node,

@@ -79,7 +79,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -129,7 +129,7 @@ def lsh_cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -196,7 +196,7 @@ def ivf_cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
 
 

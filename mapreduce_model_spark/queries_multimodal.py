@@ -36,10 +36,10 @@ def multimodal_cols(spark, sf_dir):
     docs = attach_payload(table(spark, sf_dir, "documents"))
     return (
         docs.filter(F.octet_length("payload") > 64)
-        .withColumn("src_parts", F.size(F.split("source", "c", -1)))
+        .withColumn("src_parts", F.size(F.split("source", "c", -1)).cast("long"))
         .select(
             "doc_id",
-            F.octet_length("payload").alias("payload_len"),
+            F.octet_length("payload").cast("long").alias("payload_len"),
             F.md5("payload").alias("payload_md5"),
             F.col("meta.lang").alias("meta_lang"),
             F.col("meta.source").alias("meta_source"),

@@ -71,7 +71,7 @@ WITH assigned AS (
                 THEN 'val' ELSE 'test' END AS split
     FROM documents
 )
-SELECT source, split, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM assigned GROUP BY source, split
 """,
 )
@@ -98,7 +98,7 @@ def train_val_split(spark, sf_dir):
     "corpus_mix",
     oracle="""
 WITH per AS (
-    SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY source, lang
 ), tot AS (SELECT count(*) AS n_total FROM documents)
 SELECT source, lang, n_docs, total_chars,
@@ -278,7 +278,7 @@ def window_distribution(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
         rnd(F.cume_dist().over(w), 6).alias("cum_dist"),
         F.first("o_orderkey").over(wf).alias("first_key"),
@@ -395,7 +395,7 @@ def string_funcs2(spark, sf_dir):
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.levenshtein("p_name", "p_type").cast("long").alias("name_type_dist"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
         F.translate("p_brand", "#", "-").alias("brand_dashed"),
         F.repeat(F.substring("p_name", 1, 2), 3).alias("rep2x3"),

@@ -505,8 +505,10 @@ def window_rank(spark, sf_dir):
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         3,
     )
-    return ranked.withColumn("rnk", F.rank().over(w)).withColumn(
-        "drnk", F.dense_rank().over(w)
+    return (
+        ranked.withColumn("rn", F.col("rn").cast("long"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
     )
 
 
@@ -606,14 +608,14 @@ def scalar_funcs(spark, sf_dir):
         F.upper("event_type").alias("type_upper"),
         F.substring("event_type", 1, 3).alias("type3"),
         F.concat_ws("#", "event_type", F.col("user_id").cast("string")).alias("tagged"),
-        F.length("props").alias("props_len"),
+        F.length("props").cast("long").alias("props_len"),
         F.regexp_replace("event_type", "i", "!").alias("replaced"),
         F.lpad(F.col("user_id").cast("string"), 6, "0").alias("user_pad"),
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
-        F.year("ts").alias("y"),
-        F.month("ts").alias("m"),
-        F.dayofmonth("ts").alias("d"),
-        F.hour("ts").alias("h"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
         F.date_trunc("day", "ts").alias("day_ts"),
         F.abs(F.col("value") - 100.0).alias("dist100"),
         rnd(F.sqrt("value"), 4).alias("sqrt_v"),
@@ -855,7 +857,7 @@ def datetime_funcs(spark, sf_dir):
     oracle="""
 SELECT event_id,
        map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS m_type,
-       cardinality(map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS m_size,
+       CAST(cardinality(map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS BIGINT) AS m_size,
        array_to_string(map_keys(map(['type','user'],
                                     [event_type, CAST(user_id AS VARCHAR)])), ',') AS m_keys,
        map(['k'], [CAST(event_id % 10 AS BIGINT)])['k'][1] AS m_val

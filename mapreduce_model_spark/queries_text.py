@@ -70,9 +70,9 @@ def text_stats(spark, sf_dir):
     )
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_calc"),
-        F.size(tokens_array("text")).alias("n_tokens"),
-        nw.alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(tokens_array("text")).cast("long").alias("n_tokens"),
+        nw.cast("long").alias("n_words"),
         F.when(nw > 0, rnd(word_len_sum.cast("double") / nw, 4)).alias("avg_word_len"),
         F.when(nw > 0, rnd(stop_hits.cast("double") / nw, 4)).alias("stopword_ratio"),
         rnd(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
@@ -94,11 +94,11 @@ def token_count(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(tokens_array("text")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
-            "n_bpe_tokens"
-        ),
-        F.length("text").alias("n_chars_calc"),
+        F.size(tokens_array("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
     )
 
 
@@ -311,7 +311,7 @@ def tfidf_top5(spark, sf_dir):
     return (
         scored.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= 5)
-        .select("doc_id", "word", rnd(F.col("tfidf"), 6).alias("tfidf"), "rn")
+        .select("doc_id", "word", rnd(F.col("tfidf"), 6).alias("tfidf"), F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -413,7 +413,7 @@ def vocab_topk(spark, sf_dir):
     # distinct word of the corpus through one partition.
     top = dfq.orderBy(F.col("df").desc(), "word").limit(100)
     win = Window.orderBy(F.col("df").desc(), "word")
-    return top.withColumn("rn", F.row_number().over(win)).select("word", "df", "rn")
+    return top.withColumn("rn", F.row_number().over(win)).select("word", "df", F.col("rn").cast("long").alias("rn"))
 
 
 @query(
@@ -483,7 +483,7 @@ def bpe_merge_candidates(spark, sf_dir):
     )
     top = pairs.orderBy(F.col("n").desc(), "pair").limit(50)
     win = Window.orderBy(F.col("n").desc(), "pair")
-    return top.withColumn("rn", F.row_number().over(win)).select("pair", "n", "rn")
+    return top.withColumn("rn", F.row_number().over(win)).select("pair", "n", F.col("rn").cast("long").alias("rn"))
 
 
 @query(

@@ -1109,6 +1109,67 @@ def json_struct_funcs(spark, sf_dir):
     )
 
 
+@query(
+    "variant_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER)      AS k_var,
+       json_extract_string(props, '$.missing') IS NULL  AS missing_is_null,
+       CAST(json_extract(props, '$') AS VARCHAR)        AS vstr
+FROM events
+""",
+)
+def variant_funcs(spark, sf_dir):
+    """Semi-structured VARIANT surface (Spark 4): ``parse_json`` into an
+    open-schema VARIANT value, typed path extraction with ``variant_get``,
+    absent-path null semantics, and VARIANT→string serialization (compact
+    JSON — matches DuckDB's ``json_extract(..., '$')::VARCHAR`` rendering
+    of the same payload). Unlike ``json_struct_funcs`` (from_json needs the
+    schema up front), VARIANT carries arbitrary shapes through shuffles and
+    parquet round-trips with a binary encoding — the 100 TB answer to
+    schemaless event payloads: parse once at ingest, extract typed paths
+    lazily at query time without re-tokenizing JSON text per access."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_var"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')")
+        .isNull()
+        .alias("missing_is_null"),
+        v.cast("string").alias("vstr"),
+    )
+
+
+@query(
+    "listagg_group",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id, event_id)
+           AS ids
+FROM events
+GROUP BY event_type
+""",
+)
+def listagg_group(spark, sf_dir):
+    """Ordered string aggregation (Spark 4 ``listagg ... WITHIN GROUP``) —
+    the SQL-standard form of the reference's postings-list assembly
+    (A11+A12: group, order within group, serialize). The WITHIN GROUP
+    ordering carries a total order per group (user_id, then unique
+    event_id), so the concatenation is deterministic under any parallelism
+    — same discipline the reference enforces by sorting postings before
+    writing (main.cc:143)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "listagg(cast(user_id as string), ',') "
+            "WITHIN GROUP (ORDER BY user_id, event_id)"
+        ).alias("ids"),
+    )
+
+
 _RECURSIVE_SQL = """
 WITH RECURSIVE tree AS (
     SELECT p_partkey AS node, 0 AS depth

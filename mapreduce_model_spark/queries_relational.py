@@ -1170,6 +1170,60 @@ def listagg_group(spark, sf_dir):
     )
 
 
+@query(
+    "mode_bitwise_stats",
+    oracle="""
+WITH freq AS (
+    SELECT event_type, user_id, count(*) AS n
+    FROM events GROUP BY event_type, user_id
+),
+md AS (
+    SELECT event_type, min(user_id) AS mode_uid
+    FROM (
+        SELECT event_type, user_id, n,
+               max(n) OVER (PARTITION BY event_type) AS mx
+        FROM freq
+    )
+    WHERE n = mx
+    GROUP BY event_type
+),
+agg AS (
+    SELECT event_type,
+           round(median(value) + 1e-9, 4)  AS med_v,
+           bit_and(user_id)                AS band,
+           bit_or(user_id)                 AS bor,
+           bit_xor(user_id)                AS bxor,
+           bool_and(value > 0)             AS all_pos,
+           bool_or(value > 190)            AS any_hi
+    FROM events GROUP BY event_type
+)
+SELECT agg.event_type, md.mode_uid, agg.med_v, agg.band, agg.bor, agg.bxor,
+       agg.all_pos, agg.any_hi
+FROM agg JOIN md USING (event_type)
+""",
+)
+def mode_bitwise_stats(spark, sf_dir):
+    """Holistic + bitwise + boolean aggregate surface: deterministic
+    ``mode`` (ties → lowest value, so the result is stable under any
+    partitioning — the oracle spells the same tie-break out as
+    min-over-max-count), interpolated ``median``, ``bit_and/or/xor``, and
+    ``every``/``any``. Median and mode are holistic (not pre-aggregable);
+    at 100 TB both hash-shuffle on the group key and each group's values
+    stream through one reducer — fine for low-cardinality group keys like
+    event_type, and the skew-safe two-phase rewrite for hot keys lives in
+    operators/skew.py."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("mode(user_id, true)").alias("mode_uid"),
+        rnd(F.expr("median(value)"), 4).alias("med_v"),
+        F.expr("bit_and(user_id)").alias("band"),
+        F.expr("bit_or(user_id)").alias("bor"),
+        F.expr("bit_xor(user_id)").alias("bxor"),
+        F.expr("every(value > 0)").alias("all_pos"),
+        F.expr("any(value > 190)").alias("any_hi"),
+    )
+
+
 _RECURSIVE_SQL = """
 WITH RECURSIVE tree AS (
     SELECT p_partkey AS node, 0 AS depth

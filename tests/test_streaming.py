@@ -145,6 +145,42 @@ def test_file_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     assert df.count() == df.dropDuplicates(["w_start", "w_end", "event_type"]).count()
 
 
+def test_state_store_reader_offline_introspection(spark, sf_dir, tmp_path):
+    """The State Data Source (Spark 4): a stopped query's checkpoint is
+    itself a queryable table. ``state-metadata`` enumerates the stateful
+    operators and their store layout; ``statestore`` reads the committed
+    per-key state. At 100 TB this is the ops surface for streaming jobs —
+    inspect skewed keys, audit state size, and debug watermark stalls
+    without replaying the stream or instrumenting the running query."""
+    ckpt = str(tmp_path / "ckpt")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ss_introspect")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    live = {(r.event_type, r.n) for r in spark.table("ss_introspect").collect()}
+
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert [m.operatorName for m in meta] == ["stateStoreSave"]
+    assert meta[0].numPartitions > 0
+
+    state = spark.read.format("statestore").load(ckpt)
+    offline = {
+        (r.key.event_type, r.value["count"]) for r in state.collect()
+    }
+    assert offline == live and len(offline) > 0
+
+
 def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     """Late-data contract end to end: batch 1 advances the watermark; rows
     in batch 2 whose windows closed below it are DROPPED from an append

@@ -1258,6 +1258,50 @@ def recursive_hierarchy(spark, sf_dir):
     return spark.sql(_RECURSIVE_SQL)
 
 
+_PARAM_SQL = """
+SELECT o_orderpriority,
+       l_returnflag AS returnflag,
+       count(*) AS n_items,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS DOUBLE)
+           AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= CAST(:start_ts AS TIMESTAMP)
+  AND o_orderdate <  CAST(:end_ts AS TIMESTAMP)
+  AND l_quantity >= :min_qty
+GROUP BY ALL
+"""
+
+_PARAM_ARGS: dict[str, object] = {
+    "start_ts": "1995-01-01",
+    "end_ts": "1996-01-01",
+    "min_qty": 10,
+}
+
+
+def _inline_params(sql: str, args: dict[str, object]) -> str:
+    """Substitute ``:name`` markers with SQL literals (oracle side only —
+    the Spark side binds them as real parameters)."""
+    for k, v in args.items():
+        lit = f"'{v}'" if isinstance(v, str) else str(v)
+        sql = sql.replace(f":{k}", lit)
+    return sql
+
+
+@query("param_sql_groupby_all", oracle=_inline_params(_PARAM_SQL, _PARAM_ARGS))
+def param_sql_groupby_all(spark, sf_dir):
+    """Named-parameter SQL (Spark 4 parameter markers) + GROUP BY ALL:
+    the templated-query surface a production pipeline uses instead of
+    string interpolation — parameters bind as typed literals, so the plan
+    is cacheable across parameter values and injection-proof. GROUP BY ALL
+    infers the grouping keys from the non-aggregate select list (identical
+    semantics in DuckDB, whose oracle gets the same text with the
+    parameters inlined as literals). The plan is the Q3-class join-agg:
+    filter pushdown to both parquet scans, hash join, partial+final agg."""
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PARAM_SQL, args=_PARAM_ARGS)
+
+
 _LATERAL_SQL = """
 SELECT n_name, t.c_custkey, t.c_acctbal
 FROM nation, LATERAL (

@@ -72,3 +72,63 @@ def test_write_observed_metrics_match_data(spark, sf_dir, tmp_path):
     assert m["nulls_maybe_null"] == n_null
     assert m["nulls_o_orderstatus"] == 0
     assert spark.read.parquet(out).count() == n
+
+
+def _file_ranges(path: str, cols: list[str]) -> list[dict[str, tuple]]:
+    """Per parquet file: (min, max) of each col from footer stats only."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        mins: dict[str, float] = {}
+        maxs: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    st = col.statistics
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def test_zorder_write_skips_on_every_clustered_column(spark, sf_dir, tmp_path):
+    """Z-order clustering must make parquet footer stats selective on BOTH
+    clustered columns at once: the mean per-file fraction of each column's
+    global range stays well under 1, while a round-robin write covers ~the
+    full range in every file (no skipping possible)."""
+    from mapreduce_model_spark.sinks import zorder_write
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    cols = ["user_id", "value"]
+    glo = ev.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+
+    z_path, rr_path = str(tmp_path / "z"), str(tmp_path / "rr")
+    zorder_write(ev, z_path, cols, n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(rr_path)
+
+    def mean_frac(path: str, col: str) -> float:
+        fracs = []
+        span = glo[f"mx_{col}"] - glo[f"mn_{col}"]
+        for fr in _file_ranges(path, cols):
+            lo, hi = fr[col]
+            fracs.append((hi - lo) / span)
+        return sum(fracs) / len(fracs)
+
+    for c in cols:
+        rr, zz = mean_frac(rr_path, c), mean_frac(z_path, c)
+        # 16 files, 2 dims -> ideal per-file extent ~1/4 of each dim; outliers
+        # widen both layouts equally, so assert the relative win too
+        assert rr > 0.5, f"round-robin should span {c} (got {rr})"
+        assert zz < 0.5, f"z-order should cluster {c} (got {zz})"
+        assert zz < 0.7 * rr, f"z-order should beat round-robin on {c}"
+
+    # value-identical round trip
+    assert spark.read.parquet(z_path).exceptAll(ev).count() == 0
+    assert ev.exceptAll(spark.read.parquet(z_path)).count() == 0

@@ -22,7 +22,12 @@ retries, and downstream shuffle exactly as for built-in sources.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 FORMAT_NAME = "manifest_corpus"
 
@@ -56,6 +61,49 @@ class ManifestCorpusReader(DataSourceReader):
         yield (partition.doc_id, text)
 
 
+class ManifestStreamReader(DataSourceStreamReader):
+    """Streaming face of the same format: the manifest is a feed, each
+    microbatch admits the next ``filesPerBatch`` documents. The offset is
+    the count of manifest entries consumed — exactly-once by construction
+    (replaying [start, end) re-reads the same positional slice, the way
+    Kafka offsets or file-stream indices work). Planning and offset
+    tracking stay on the driver; document bytes are only ever read on
+    executors, one file per partition task, so ingest bandwidth scales
+    with the cluster, not the driver."""
+
+    def __init__(self, options):
+        self.manifest_path = options.get("path")
+        if not self.manifest_path:
+            raise ValueError("manifest_corpus requires .option('path', <manifest>)")
+        self.files_per_batch = int(options.get("filesPerBatch", "16"))
+        from mapreduce_model_spark.sources.manifest import read_manifest
+
+        self._paths = read_manifest(self.manifest_path)
+        self._served = 0
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        # admission control: advance at most files_per_batch per trigger so
+        # a huge backlog becomes bounded microbatches, not one giant batch
+        self._served = min(len(self._paths), self._served + self.files_per_batch)
+        return {"index": self._served}
+
+    def partitions(self, start, end):
+        return [
+            _FilePartition(i + 1, self._paths[i])
+            for i in range(start["index"], end["index"])
+        ]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+            yield (partition.doc_id, fh.read())
+
+    def commit(self, end):
+        pass
+
+
 class ManifestDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -66,6 +114,9 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema):
         return ManifestCorpusReader(self.options)
+
+    def streamReader(self, schema):
+        return ManifestStreamReader(self.options)
 
 
 def register(spark) -> None:

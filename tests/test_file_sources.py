@@ -151,3 +151,50 @@ def test_orc_roundtrip_and_pushdown(spark, sample, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_manifest_datasource_streams_incrementally(spark, tmp_path):
+    """The streaming face of manifest_corpus: with filesPerBatch=1 the
+    3-file small corpus must arrive over ≥3 microbatches (offset-based
+    admission control), and the streamed rows must equal the batch read."""
+    import time
+
+    from mapreduce_model_spark.sources.pyds import register
+
+    manifest = "/root/reference/checker/test_small.txt"
+    register(spark)
+
+    stream = (
+        spark.readStream.format("manifest_corpus")
+        .option("path", manifest)
+        .option("filesPerBatch", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("manifest_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("manifest_stream").count() >= 3:
+                break
+            time.sleep(0.5)
+        got = {
+            (r.doc_id, r.text)
+            for r in spark.table("manifest_stream").collect()
+        }
+        batch = {
+            (r.doc_id, r.text)
+            for r in spark.read.format("manifest_corpus")
+            .option("path", manifest)
+            .load()
+            .collect()
+        }
+        assert got == batch and len(got) == 3
+        n_batches = 1 + (q.lastProgress or {}).get("batchId", 0)
+        assert n_batches >= 3, f"expected ≥3 microbatches, saw {n_batches}"
+    finally:
+        q.stop()

@@ -656,6 +656,49 @@ def group_zscore(spark, sf_dir):
 
 
 @query(
+    "arrow_group_stats",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                              AS n,
+       round(1e-9 + min(value), 2)                           AS v_lo,
+       round(1e-9 + max(value), 2)                           AS v_hi,
+       round(1e-9 + max(value) - min(value), 4)              AS spread
+FROM events GROUP BY event_type
+""",
+)
+def arrow_group_stats(spark, sf_dir):
+    """Per-type extrema through ``applyInArrow`` — the zero-copy Arrow
+    twin of ``group_zscore``'s pandas grouped map (A20): one shuffle on
+    the group key, each group arrives as a ``pyarrow.Table``, compute runs
+    in Arrow kernels with no pandas materialization. For wide binary /
+    nested columns (the multimodal path) this skips pandas' object-boxing
+    entirely; like group_zscore it is deliberately SQL-expressible so the
+    Arrow escape hatch itself is oracle-verified."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+
+    def _stats(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        lo, hi = pc.min(v).as_py(), pc.max(v).as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([tbl.column("event_type")[0].as_py()]),
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "v_lo": pa.array([round(lo + 1e-9, 2)], pa.float64()),
+                "v_hi": pa.array([round(hi + 1e-9, 2)], pa.float64()),
+                "spread": pa.array([round(hi - lo + 1e-9, 4)], pa.float64()),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        _stats,
+        "event_type string, n bigint, v_lo double, v_hi double, spread double",
+    )
+
+
+@query(
     "regression_stats",
     oracle="""
 SELECT event_type,

@@ -91,3 +91,29 @@ def read_orc(
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     """Land a frame as ORC (zstd, matching the parquet sink posture)."""
     df.write.mode(mode).options(compression="zstd", **options).orc(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str | list[str], schema: str, row_tag: str = "row", **options
+) -> DataFrame:
+    """XML scan (Spark 4 built-in ``xml`` source) — the
+    document-interchange format enterprise feeds still arrive in. Schema
+    is mandatory here for the same reason as CSV/JSONL: inference is a
+    second full pass over 100 TB and silently widens types; an explicit
+    DDL makes the scan single-pass and the contract checkable."""
+    return (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .options(**options)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite", **options
+) -> None:
+    """Land a frame as XML, one element per row under ``rowTag``."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).options(**options).save(
+        path
+    )

@@ -198,3 +198,13 @@ def test_manifest_datasource_streams_incrementally(spark, tmp_path):
         assert n_batches >= 3, f"expected ≥3 microbatches, saw {n_batches}"
     finally:
         q.stop()
+
+
+def test_xml_roundtrip(spark, sample, tmp_path):
+    from mapreduce_model_spark.sources.files import read_xml, write_xml
+
+    p = str(tmp_path / "xml")
+    write_xml(sample, p, row_tag="item")
+    back = read_xml(spark, p, DDL, row_tag="item")
+    assert back.schema == sample.schema
+    assert _rows(back) == _rows(sample)

@@ -656,6 +656,50 @@ def group_zscore(spark, sf_dir):
 
 
 @query(
+    "rollup_incremental",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT)              AS n,
+       round(1e-9 + sum(value), 2)           AS sum_v,
+       round(1e-9 + sum(value) / count(*), 4) AS avg_v
+FROM events GROUP BY event_type
+""",
+)
+def rollup_incremental(spark, sf_dir):
+    """Materialized-rollup maintenance: a stored pre-aggregate over the
+    historical partition (ts < cutoff) is MERGED with a fresh aggregate of
+    the new partition — never re-scanning history — by summing the
+    algebraic partial states (count, sum; avg derived at the end). The
+    oracle is the full re-aggregation over all rows, which is the whole
+    point: merge(partials) ≡ recompute. At 100 TB this turns a daily
+    full-table rollup into a delta-sized job; only algebraic/distributive
+    aggregates (sum/count/min/max, sketches) support it — holistic ones
+    (median, exact distinct) need the skew.py two-phase forms or
+    mergeable sketches (sketch_mergeable_distinct)."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = "2024-01-15"
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+
+    stored = partial(ev.filter(F.col("ts") < cutoff))  # "yesterday's rollup"
+    delta = partial(ev.filter(F.col("ts") >= cutoff))  # today's new rows
+    return (
+        stored.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("nn"), F.sum("s").alias("ss"))
+        .select(
+            "event_type",
+            F.col("nn").alias("n"),
+            rnd(F.col("ss"), 2).alias("sum_v"),
+            rnd(F.col("ss") / F.col("nn"), 4).alias("avg_v"),
+        )
+    )
+
+
+@query(
     "arrow_group_stats",
     oracle="""
 SELECT event_type,

@@ -655,6 +655,46 @@ def group_zscore(spark, sf_dir):
     )
 
 
+_N_SHARDS = 8
+
+
+@query(
+    "shuffle_shards",
+    oracle=f"""
+SELECT doc_id,
+       {sql_md5_int32("'shard:' || CAST(doc_id AS VARCHAR)")} % {_N_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY {sql_md5_int32("'shard:' || CAST(doc_id AS VARCHAR)")} % {_N_SHARDS}
+           ORDER BY {sql_md5_int32("'pos:' || CAST(doc_id AS VARCHAR)")}, doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+""",
+)
+def shuffle_shards(spark, sf_dir):
+    """The global training-data shuffle: every document gets a
+    deterministic (shard, position-in-shard) from salted md5 hashes — the
+    exact order a trainer will read, reproducible on any cluster size with
+    no RNG state. A naive global ORDER BY rand() is a single total-order
+    sort whose ties are nondeterministic; here the shard assignment is a
+    hash (embarrassingly parallel) and the in-shard order is a per-shard
+    window — one exchange on shard, sort within shard, which is also
+    precisely how the shards land on disk (one sorted file each). The
+    'pos:' salt decorrelates read order from shard assignment; doc_id
+    tie-breaks make the order total."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        md5_int32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+        % _N_SHARDS
+    )
+    order = md5_int32(F.concat(F.lit("pos:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), order.alias("ord"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("ord")
+    )
+
+
 @query(
     "rollup_incremental",
     oracle="""

@@ -390,3 +390,26 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_rocksdb_state_store_parity(spark, sf_dir):
+    """The documented cluster config — RocksDB state store — must actually
+    run and produce the same windows as the default (HDFS-backed) provider:
+    state-store choice is an operational knob, never a semantics change.
+    (On a 100 TB stream RocksDB is mandatory: state spills off-heap to
+    local SSD instead of living on the JVM heap.)"""
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        stream = tumbling_agg(stream_events(spark, sf_dir))
+        run_stream_to_table(stream, "t_rocksdb", output_mode="complete")
+        cols = ["w_start", "w_end", "event_type", "n", "sum_value"]
+        batch = tumbling_agg(table(spark, sf_dir, "events"))
+        assert _rows(spark.table("t_rocksdb"), cols) == _rows(batch, cols)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

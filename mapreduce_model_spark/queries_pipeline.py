@@ -655,6 +655,44 @@ def group_zscore(spark, sf_dir):
     )
 
 
+@query(
+    "scd2_history",
+    oracle="""
+SELECT o_custkey,
+       round(1e-9 + o_totalprice, 2) AS attr_price,
+       o_orderdate                   AS valid_from,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL
+                                     AS is_current
+FROM orders
+""",
+)
+def scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing dimension build from a change feed: each
+    change becomes a version row with [valid_from, valid_to) validity and
+    an is_current flag — valid_to is the NEXT change's timestamp (lead
+    over the business key, tie-broken to a total order). This is the
+    history-tracking complement of merge_upsert_customers' latest-state
+    (SCD1) merge; downstream point-in-time joins become range joins on
+    the validity interval (join_range). One exchange on the business key;
+    at 100 TB the incremental variant windows only keys present in the
+    delta, exactly like rollup_incremental's delta-sized maintenance."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            rnd(F.col("o_totalprice"), 2).alias("attr_price"),
+            F.col("o_orderdate").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
 _N_SHARDS = 8
 
 

@@ -885,6 +885,55 @@ def map_funcs(spark, sf_dir):
 
 
 @query(
+    "map_hof_funcs",
+    oracle="""
+SELECT event_id,
+       array_to_string([event_id % 5 * 2, user_id % 7 * 2], ',')      AS doubled,
+       coalesce(array_to_string(
+           list_transform(
+               list_filter([struct_pack(k := 'a', v := event_id % 5),
+                            struct_pack(k := 'b', v := user_id % 7)],
+                           x -> x.v >= 3),
+               x -> x.k), ','), '')                                   AS big_keys,
+       array_to_string([event_id % 5 + 1, user_id % 7 + 2], ',')      AS zipped,
+       CAST(3 AS BIGINT)                                              AS n_concat
+FROM events
+""",
+)
+def map_hof_funcs(spark, sf_dir):
+    """Map higher-order functions — transform_values, map_filter,
+    map_zip_with, map_concat — the lambda surface for map<k,v> columns
+    (feature dicts, per-language token counts), all JVM codegen like the
+    array HOFs. Spark map semantics are load-bearing here: create_map
+    preserves insertion order, so value lists serialize deterministically;
+    the DuckDB oracle computes the same results on entry lists (its maps
+    have no lambda ops)."""
+    ev = table(spark, sf_dir, "events")
+    m1 = F.create_map(
+        F.lit("a"), (F.col("event_id") % 5).cast("long"),
+        F.lit("b"), (F.col("user_id") % 7).cast("long"),
+    )
+    m2 = F.create_map(F.lit("a"), F.lit(1).cast("long"), F.lit("b"), F.lit(2).cast("long"))
+
+    def j(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
+    return ev.select(
+        "event_id",
+        j(F.map_values(F.transform_values(m1, lambda k, v: v * 2))).alias("doubled"),
+        F.array_join(
+            F.map_keys(F.map_filter(m1, lambda k, v: v >= 3)), ","
+        ).alias("big_keys"),
+        j(
+            F.map_values(F.map_zip_with(m1, m2, lambda k, v1, v2: v1 + v2))
+        ).alias("zipped"),
+        F.size(
+            F.map_concat(m1, F.create_map(F.lit("c"), F.lit(9).cast("long")))
+        ).cast("long").alias("n_concat"),
+    )
+
+
+@query(
     "join_range_keyless",
     oracle="""
 WITH e AS (

@@ -217,3 +217,36 @@ def test_tpch_scalar_subqueries_broadcast(spark):
         p = plan(spark, name)
         assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_param_sql_pushes_both_filters(spark):
+    """Bound parameters must behave exactly like literals for pushdown:
+    the orderdate range and quantity predicates reach their scans."""
+    p = plan(spark, "param_sql_groupby_all")
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "GreaterThanOrEqual(l_quantity" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_shuffle_shards_has_no_global_sort(spark):
+    """The training shuffle must be one hash-partitioned window per shard —
+    never a SinglePartition global window, never a total-order sort."""
+    p = plan(spark, "shuffle_shards")
+    assert "SinglePartition" not in p
+    assert p.count("+- Exchange") == 1
+
+
+def test_scd2_history_is_one_exchange(spark):
+    """SCD2 versioning: one exchange on the business key feeds the lead
+    window; nothing else shuffles."""
+    p = plan(spark, "scd2_history")
+    assert "SinglePartition" not in p
+    assert p.count("+- Exchange") == 1
+
+
+def test_rollup_incremental_preaggregates_both_branches(spark):
+    """Both the history and delta branches must pre-aggregate before their
+    exchanges (the merge shuffles group-key-sized partials, not rows)."""
+    p = plan(spark, "rollup_incremental")
+    assert p.count("HashAggregate") >= 4  # partial+final per branch merge
+    assert "CartesianProduct" not in p

@@ -413,3 +413,46 @@ def test_rocksdb_state_store_parity(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_streaming_query_listener_observability(spark, sf_dir):
+    """Operational observability: a StreamingQueryListener must see the
+    query lifecycle (start → progress → termination) and the progress
+    events must account for every input row — the hook a production
+    pipeline uses to export lag/throughput metrics without touching the
+    query itself."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress_rows": 0, "terminated": 0}
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress_rows"] += e.progress.numInputRows
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            events["terminated"] += 1
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        stream = tumbling_agg(stream_events(spark, sf_dir))
+        run_stream_to_table(stream, "t_listener", output_mode="complete")
+        n_input = table(spark, sf_dir, "events").count()
+        deadline = time.time() + 30  # listener events arrive asynchronously
+        while time.time() < deadline and (
+            events["progress_rows"] < n_input or events["terminated"] < 1
+        ):
+            time.sleep(0.5)
+        assert events["started"] >= 1
+        assert events["terminated"] >= 1
+        assert events["progress_rows"] == n_input
+    finally:
+        spark.streams.removeListener(listener)

@@ -28,6 +28,7 @@ def global_ordered_ids(
     order_cols: list[str],
     id_col: str = "row_id",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Assign contiguous 1-based ids in the total order of ``order_cols``
     (which must be a unique key — equal keys would make the order, and
@@ -35,6 +36,16 @@ def global_ordered_ids(
 
     Two shuffles (range exchange + the window's hash exchange on pid), both
     fully parallel; no partition ever holds more than its share of rows.
+
+    ``materialize=True`` is MANDATORY for correct results: the counts pass
+    and the numbering pass are two separate jobs, and repartitionByRange
+    samples its range boundaries with a per-job seed — without pinning the
+    layout the two jobs can disagree on partition boundaries, and every
+    offset after the first divergent partition is wrong (observed at
+    sf0.1). Same caveat as RDD zipWithIndex. ``materialize=False`` exists
+    only so tests can inspect the full physical plan (localCheckpoint
+    truncates lineage); on a cluster prefer spark.checkpoint.dir-backed
+    ``checkpoint()`` for executor-loss safety.
     """
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = (
@@ -42,6 +53,8 @@ def global_ordered_ids(
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
+    if materialize:
+        ranged = ranged.localCheckpoint(eager=True)
     # one row per partition — small enough for the driver at any scale
     # (700k partitions → 700k longs)
     counts = sorted(

@@ -157,10 +157,25 @@ def test_pii_scrub_is_narrow(spark):
 def test_global_row_ids_never_single_partitions(spark):
     """The distributed row-numbering operator must not contain the global
     window's SinglePartition exchange — that is the exact anti-pattern it
-    exists to replace."""
+    exists to replace. The registered query's plan is lineage-truncated at
+    the mandatory localCheckpoint (see ids.py), so the range exchange is
+    asserted on the un-materialized variant."""
     p = plan(spark, "global_row_ids")
     assert "SinglePartition" not in p
-    assert "rangepartitioning" in p
+
+    from mapreduce_model_spark.operators.ids import global_ordered_ids
+    from mapreduce_model_spark.registry import table as t
+
+    full = global_ordered_ids(
+        t(spark, SF, "documents").select("doc_id", "source"),
+        ["source", "doc_id"],
+        materialize=False,
+    )
+    pf = spark._jvm.PythonSQLUtils.explainString(
+        full._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in pf
+    assert "rangepartitioning" in pf
 
 
 def test_tpch_q10_q14_broadcast_dims(spark):

@@ -885,6 +885,36 @@ def map_funcs(spark, sf_dir):
 
 
 @query(
+    "argminmax_agg",
+    oracle="""
+SELECT event_type,
+       CAST(max_by(event_id, value * 100000000 + event_id) AS BIGINT) AS ev_at_max,
+       CAST(min_by(event_id, value * 100000000 + event_id) AS BIGINT) AS ev_at_min,
+       round(1e-9 + max(value), 2) AS v_max,
+       round(1e-9 + min(value), 2) AS v_min
+FROM events GROUP BY event_type
+""",
+)
+def argminmax_agg(spark, sf_dir):
+    """Arg-aggregates: WHICH row holds the extreme, not just the extreme —
+    ``max_by``/``min_by`` (single-pass, pre-aggregable; replaces the
+    self-join-on-max anti-pattern). Raw ``max_by(id, value)`` is
+    nondeterministic under ties (engine keeps an arbitrary winner), and
+    (event_type, value) ties are real in this data — so the ordering key
+    composes value and id into one exact integer (value has 2 decimals;
+    value*1e8 + id < 2^53), making the winner total-ordered in BOTH
+    engines: highest id at the max, lowest id at the min."""
+    ev = table(spark, sf_dir, "events")
+    key = F.col("value") * 100000000 + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", key).cast("long").alias("ev_at_max"),
+        F.min_by("event_id", key).cast("long").alias("ev_at_min"),
+        rnd(F.max("value"), 2).alias("v_max"),
+        rnd(F.min("value"), 2).alias("v_min"),
+    )
+
+
+@query(
     "map_hof_funcs",
     oracle="""
 SELECT event_id,

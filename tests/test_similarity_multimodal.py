@@ -161,3 +161,17 @@ def test_resize_media_fixed_size(spark, sf_dir):
             assert not got.truncated
             assert bytes(got.payload) == payload + b"\x00" * (128 - len(payload))
         assert got.orig_bytes == len(payload)
+
+
+def test_map_in_arrow_features_match_pandas(spark, sf_dir):
+    """The mapInArrow extractor must be value-identical to the mapInPandas
+    one — zero-copy buffer access is an implementation detail, never a
+    semantics change (including zero-length payloads)."""
+    from mapreduce_model_spark.operators.multimodal import extract_features_arrow
+    from mapreduce_model_spark.registry import table
+
+    media = attach_payload(table(spark, sf_dir, "documents").limit(300))
+    via_pandas = sorted(tuple(r) for r in extract_features(media).collect())
+    via_arrow = sorted(tuple(r) for r in extract_features_arrow(media).collect())
+    assert via_arrow == via_pandas
+    assert len(via_arrow) == 300

@@ -91,3 +91,42 @@ def test_salted_join_rejects_unsupported_how(spark):
     df = spark.range(5).withColumn("v", F.col("id"))
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(df, df, key="id", how="full")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the engine's first line of defense for hot
+    keys at 100 TB — must actually fire: a join where one key holds 80% of
+    the rows gets its oversized partition split at runtime
+    (SortMergeJoin(skew=true) + AQEShuffleRead 'skewed' in the final
+    plan), with correct results. Salting (salted_join) remains the
+    explicit fallback for holistic aggs and cases AQE can't split."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(500_000).select(
+            F.when(F.rand(1) < 0.8, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        dim = spark.range(2000).select(
+            (F.col("id") % 1000).alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k").groupBy().count()
+        assert j.collect()[0][0] == 1_000_000  # every row matches 2 dim rows
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p, p
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

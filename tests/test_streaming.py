@@ -456,3 +456,44 @@ def test_streaming_query_listener_observability(spark, sf_dir):
         assert events["progress_rows"] == n_input
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_inverted_index_matches_batch(spark, tmp_path):
+    """The reference's job as an incremental stream: documents arriving
+    one-per-microbatch through the manifest stream source must build
+    exactly the index the batch pipeline builds — and a checkpointed
+    restart over the same manifest must not duplicate pairs (idempotent
+    merge on the (word, doc_id) key)."""
+    from mapreduce_model_spark.operators.inverted_index import invert
+    from mapreduce_model_spark.sources.manifest import read_corpus
+    from mapreduce_model_spark.sources.pyds import register
+    from mapreduce_model_spark.streaming.index import (
+        current_index,
+        drain_streaming_index,
+        start_streaming_index,
+    )
+
+    manifest = "/root/reference/checker/test_small.txt"
+    register(spark)
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_streaming_index(spark, manifest, pairs, ckpt, files_per_batch=1)
+    drain_streaming_index(q, n_files=3)
+
+    got = [
+        (r.letter, r.word, tuple(r.docs), r.n_docs)
+        for r in current_index(spark, pairs).collect()
+    ]
+    expected = [
+        (r.letter, r.word, tuple(r.docs), r.n_docs)
+        for r in invert(read_corpus(spark, manifest)).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    assert len(got) > 0
+
+    # restart over the same (fully consumed) manifest: no new pairs
+    n_before = spark.read.parquet(pairs).count()
+    q2 = start_streaming_index(spark, manifest, pairs, ckpt, files_per_batch=1)
+    drain_streaming_index(q2, n_files=3)
+    assert spark.read.parquet(pairs).count() == n_before

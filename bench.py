@@ -116,17 +116,24 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Durable sidecar: the driver captures only a tail of stdout, which a
+    # 128-query JSON line can overflow — the full per-query record always
+    # lands on disk for round-over-round comparison.
+    sidecar = os.environ.get("BENCH_FULL_PATH", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"))
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(payload, fh, sort_keys=True, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -136,10 +136,13 @@ def pagerank(
 
     Scale shape per iteration: one join (edges ⋈ ranks, shuffle on src) +
     one groupBy(dst) — the same two-exchange round as connected_components;
-    ranks are (node, double). The only driver-side values are two scalars
-    per iteration (dangling mass; nothing else), never rows. Lineage is cut
-    with localCheckpoint so iteration N's plan doesn't replay iterations
-    1..N-1.
+    ranks are (node, double). The only driver-side value is one scalar per
+    iteration (dangling mass), never rows — and it rides on the SAME job
+    that materializes the iteration's ranks: the checkpoint is lazy
+    (``localCheckpoint(eager=False)``) and the dangling aggregate is the
+    action that triggers it, so each iteration runs exactly one job.
+    Lineage is cut by the checkpoint so iteration N's plan doesn't replay
+    iterations 1..N-1.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -155,21 +158,20 @@ def pagerank(
     outdeg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    # static (node, outdeg) frame; outdeg null ⇔ dangling
+    # static (node, outdeg) frame; outdeg null ⇔ dangling. Node count and
+    # dangling count come from ONE aggregate over the checkpointed frame.
     base = nodes.join(outdeg, "node", "left").localCheckpoint(eager=True)
-    n = base.count()
+    counts = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("outdeg").isNull(), F.lit(1))).alias("n_dangling"),
+    ).first()
+    n, n_dangling = counts["n"], counts["n_dangling"]
     if n == 0:
         return base.select("node", F.lit(0.0).alias("rank"))
     ranks = base.withColumn("rank", F.lit(1.0 / n))
-    # A graph with no dangling nodes (e.g. any symmetrized undirected graph)
-    # never needs the per-iteration dangling-mass scalar — checking once
-    # here saves one Spark job per iteration.
-    has_dangling = base.filter(F.col("outdeg").isNull()).limit(1).count() > 0
+    # dangling mass of the uniform init — no job needed
+    dangling = n_dangling / n
     for i in range(n_iter):
-        dangling = (
-            ranks.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).first()[0]
-            or 0.0
-        ) if has_dangling else 0.0
         contrib = (
             e.join(ranks, e["u"] == ranks["node"])
             .select("v", (F.col("rank") / F.col("outdeg")).alias("c"))
@@ -184,11 +186,20 @@ def pagerank(
                 + damping * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n)
             ).alias("rank"),
         )
-        # With dangling mass, every iteration must materialize anyway (the
-        # scalar above executes the plan); without it, checkpoint every few
+        if n_dangling:
+            # lazy checkpoint: the dangling aggregate below is the action
+            # that materializes it, so the next iteration's scalar and this
+            # iteration's lineage cut share a single job
+            ranks = ranks.localCheckpoint(eager=False)
+            dangling = (
+                ranks.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).first()[0]
+                or 0.0
+            )
+        # Without dangling nodes (e.g. any symmetrized undirected graph) no
+        # per-iteration scalar is needed at all; checkpoint every few
         # iterations — enough to cap lineage depth and failure-replay span,
         # without paying a full materialization per round.
-        if has_dangling or (i + 1) % 3 == 0 or i == n_iter - 1:
+        elif (i + 1) % 3 == 0 or i == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 

@@ -247,8 +247,22 @@ def tpch_q2(spark, sf_dir):
     """Q2 shape: cheapest supplier per part — the correlated scalar MIN
     subquery decorrelates to a per-part aggregate joined back on the key
     (lineitem stands in for partsupp). Both sides of the self-join prune
-    to the same grouped frame, computed once."""
-    li = table(spark, sf_dir, "lineitem")
+    to the same grouped frame, computed once.
+
+    Scale: the ``p_size <= 3`` part filter is pushed BELOW the
+    (partkey, suppkey) aggregate as a broadcast left-semi join — the
+    correlated MIN is per-partkey, so dropping non-qualifying partkeys
+    before the groupBy cannot change any surviving row, and it shrinks the
+    aggregate's shuffle by the part-filter selectivity (~30× at standard
+    p_size skew) instead of aggregating all of lineitem."""
+    p_keys = table(spark, sf_dir, "part").filter(F.col("p_size") <= 3).select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )

@@ -30,25 +30,33 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one synthetic table (columnar, pushdown-capable).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    (µs) refuses outright (PARQUET_TYPE_ILLEGAL). We read nanos as raw int64
-    (legacy conf) and rebuild a µs TimestampType column with integral
-    division — ``div`` not ``/`` (double division loses precision above
-    2^53, i.e. on every ns-epoch value).
+    ``events.ts`` has drifted across testdata generations: TIMESTAMP(NANOS)
+    (Spark's µs TimestampType refuses it — PARQUET_TYPE_ILLEGAL — so read
+    nanos as raw int64 via the legacy conf and rebuild with integral ``div``,
+    not ``/``: double division loses precision above 2^53, i.e. on every
+    ns-epoch value), TIMESTAMP(MICROS) with a timezone (TimestampType,
+    pass-through), and TIMESTAMP(MICROS) without one (TimestampNTZType).
+    All three are normalized to TZ-aware TimestampType under a UTC-pinned
+    session so ``unix_micros``/``window``/``year`` behave identically to the
+    DuckDB oracle regardless of layout.
     """
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the rebuilt ts is TZ-aware (unlike the NTZ ms timestamps of the
+        # the normalized ts is TZ-aware (unlike the NTZ ms timestamps of the
         # other tables): pin the session to UTC so year()/hour()/window()
         # match the DuckDB oracle regardless of the caller's session TZ
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(raw.schema["ts"].dataType, T.LongType):
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        # datagen.py layout: ts already a µs timestamp — no rebuild needed
+        if isinstance(ts_type, T.TimestampNTZType):
+            # wall-clock µs with no zone: under the UTC session this cast is
+            # a pure type relabel (no instant shift), matching the oracle
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

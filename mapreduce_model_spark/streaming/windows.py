@@ -28,32 +28,35 @@ from pyspark.sql import types as T
 
 from mapreduce_model_spark.functions.rounding import rnd
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as an unbounded stream (file source). The ns → µs
-    rebuild mirrors ``registry.table`` so batch and stream see identical
-    timestamps."""
+    """events.parquet as an unbounded stream (file source).
+
+    readStream needs an explicit schema, and the testdata's ``ts`` physical
+    type has drifted across generations (ns-as-int64 / µs NTZ / µs TZ), so
+    the stream schema is derived from a batch footer probe — the exact
+    layout ``registry.table`` normalizes — and the same ts normalization is
+    applied, guaranteeing batch/stream timestamp parity by construction.
+    The probe reads only the parquet footer (no data pages) — negligible
+    even against a 100 TB directory.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_type = raw_schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(raw_schema)
         # single-file source: FileStreamSource pins basePath to the literal
         # path unless it is a glob; glob + explicit directory basePath makes
         # it accept a lone file
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events*.parquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # keep in lockstep with registry.table's events normalization
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_agg(events: DataFrame, width: str = "5 minutes", watermark: str | None = None) -> DataFrame:

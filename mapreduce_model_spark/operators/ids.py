@@ -42,7 +42,9 @@ def global_ordered_ids(
     samples its range boundaries with a per-job seed — without pinning the
     layout the two jobs can disagree on partition boundaries, and every
     offset after the first divergent partition is wrong (observed at
-    sf0.1). Same caveat as RDD zipWithIndex. ``materialize=False`` exists
+    sf0.1). Same caveat as RDD zipWithIndex. The checkpoint is LAZY: the
+    counts collect below is the action that materializes it, so pinning
+    the layout costs no extra job. ``materialize=False`` exists
     only so tests can inspect the full physical plan (localCheckpoint
     truncates lineage); on a cluster prefer spark.checkpoint.dir-backed
     ``checkpoint()`` for executor-loss safety.
@@ -54,7 +56,7 @@ def global_ordered_ids(
         .withColumn("_pid", F.spark_partition_id())
     )
     if materialize:
-        ranged = ranged.localCheckpoint(eager=True)
+        ranged = ranged.localCheckpoint(eager=False)
     # one row per partition — small enough for the driver at any scale
     # (700k partitions → 700k longs)
     counts = sorted(

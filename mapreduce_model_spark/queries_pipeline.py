@@ -1179,3 +1179,105 @@ def geo_mean_udaf(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         rnd(geo_mean("value"), 4).alias("geo_mean")
     )
+
+
+# --- deterministic weighted sampling / storage layout ----------------------
+
+
+@query(
+    "weighted_sample",
+    oracle=f"""
+SELECT doc_id, source, n_chars, priority
+FROM (
+    SELECT doc_id, source, n_chars,
+           ({sql_md5_int32("'wsample:' || CAST(doc_id AS VARCHAR)")} * 1000000)
+               // greatest(n_chars, 1) AS priority
+    FROM documents
+)
+ORDER BY priority, doc_id
+LIMIT 100
+""",
+)
+def weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (token-budget style: longer docs
+    proportionally likelier): priority = hash(doc) * SCALE div weight, keep
+    the k smallest. The integer-division priority is the portable cousin of
+    A-Res reservoir keys (u^(1/w)) — same monotone favor-the-heavy behavior
+    with NO floating point, so Spark and DuckDB agree bit-for-bit and reruns
+    on any cluster size pick the SAME docs (idempotent pipelines).
+
+    Scale: one narrow projection + TakeOrderedAndProject — per-partition
+    top-k on executors, only k rows reach the driver-side merge; no global
+    sort, no RNG state."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "source",
+            "n_chars",
+            "cast(conv(substring(md5(concat('wsample:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+            " * 1000000 div greatest(n_chars, 1) AS priority",
+        )
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+
+
+def _morton16_sql(x: str, y: str, intdiv: str) -> str:
+    """Portable 16+16-bit Morton (Z-order) interleave as pure integer
+    arithmetic — ``intdiv`` is the engine's integer-division operator
+    spelling ('div' for Spark, '//' for DuckDB); everything else is common
+    SQL, so both engines compute identical keys."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x}) {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZX = "o_custkey % 65536"
+_ZY_SPARK = "datediff(cast(o_orderdate as date), date'1970-01-01') % 65536"
+_ZY_DUCK = "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536"
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+WITH keyed AS (
+    SELECT CAST({_morton16_sql(_ZX, _ZY_DUCK, "//")} AS BIGINT) AS zkey
+    FROM orders
+), lim AS (SELECT max(zkey) AS zmax FROM keyed)
+SELECT CAST(zkey * 64 // (zmax + 1) AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       min(zkey) AS zmin,
+       max(zkey) AS zmax_b
+FROM keyed CROSS JOIN lim
+GROUP BY 1
+""",
+)
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key over (customer, order-day) + the
+    equi-width bucket histogram a range-partitioned rewrite would produce.
+
+    Why at 100 TB: sorting files by a single column gives min/max skipping
+    on that column only; interleaving the bits of two dimensions gives BOTH
+    predicates row-group skipping from one layout (the Delta/Iceberg OPTIMIZE
+    ZORDER trick). The production write is
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` — here the
+    bucket stats themselves are the (oracle-checkable) output, with the max
+    key as a 1-row broadcast, never a global sort."""
+    o = table(spark, sf_dir, "orders")
+    keyed = o.selectExpr(
+        f"cast({_morton16_sql(_ZX, _ZY_SPARK, 'div')} as bigint) AS zkey"
+    )
+    lim = keyed.agg(F.max("zkey").alias("zmax"))
+    return (
+        keyed.join(F.broadcast(lim))
+        .selectExpr("zkey * 64 div (zmax + 1) AS bucket", "zkey")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax_b"),
+        )
+    )

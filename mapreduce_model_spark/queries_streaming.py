@@ -107,3 +107,37 @@ def stream_attribution(spark, sf_dir):
 
     out = click_purchase_attribution(table(spark, sf_dir, "events"), lookback="30 minutes")
     return out.select("purchase_id", "click_id", "user_id", "gap_us")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, round(1e-9 + value, 2) AS value
+FROM events
+""",
+)
+def stream_dedup(spark, sf_dir):
+    """Batch face of streaming exact dedup for at-least-once sources: the
+    input is the events feed redelivered twice (union with itself — the
+    at-least-once failure mode), the output is each event exactly once.
+    Duplicate rows are bit-identical, so ``dropDuplicates`` on the key is
+    deterministic and the oracle is simply the original feed.
+
+    The REAL streaming path — ``withWatermark + dropDuplicatesWithinWatermark``
+    so dedup state is bounded by the watermark horizon instead of growing
+    with the whole stream — runs in tests/test_streaming.py
+    (test_stream_dedup_parity / test_streaming_dedup_within_watermark) and
+    must emit exactly these rows. Scale: one shuffle on event_id; state
+    per key is just the key + expiry timestamp."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    redelivered = ev.unionByName(ev)
+    return redelivered.dropDuplicates(["event_id"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") + 1e-9, 2).alias("value"),
+    )

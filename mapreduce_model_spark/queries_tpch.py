@@ -868,3 +868,41 @@ def tpch_q22(spark, sf_dir):
             rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+       round(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(1e-9 + avg(l_quantity), 4) AS avg_qty,
+       round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
+       round(1e-9 + avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark, sf_dir):
+    """Q1: the TPC-H headline pricing summary — pure scan + one hash
+    aggregate on a 2-value grouping key. All eight aggregates come out of a
+    single pass with map-side partial aggregation; the date predicate pushes
+    to the parquet scan (row-group min/max skipping does the pruning at
+    100 TB). The lowest-cardinality groupBy in the suite: partial aggs
+    reduce each input partition to ≤6 rows before the one tiny shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        rnd(F.sum(disc), 2).alias("sum_disc_price"),
+        rnd(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+        rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )

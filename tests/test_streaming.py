@@ -497,3 +497,27 @@ def test_streaming_inverted_index_matches_batch(spark, tmp_path):
     q2 = start_streaming_index(spark, manifest, pairs, ckpt, files_per_batch=1)
     drain_streaming_index(q2, n_files=3)
     assert spark.read.parquet(pairs).count() == n_before
+
+
+def test_stream_dedup_parity(spark, sf_dir):
+    """Two readStream sources over the same events file unioned (simulated
+    at-least-once redelivery) then watermarked dropDuplicatesWithinWatermark:
+    each event emits exactly once, matching the batch face (stream_dedup)."""
+    from mapreduce_model_spark.queries_streaming import stream_dedup
+
+    s1 = stream_events(spark, sf_dir)
+    s2 = stream_events(spark, sf_dir)
+    dedup = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    assert dedup.isStreaming
+    run_stream_to_table(dedup, "t_stream_dedup", output_mode="append")
+    got = spark.table("t_stream_dedup")
+    batch = stream_dedup(spark, sf_dir)
+    assert got.count() == batch.count()
+    assert _rows(got.select("event_id"), ["event_id"]) == _rows(
+        batch.select("event_id"), ["event_id"]
+    )

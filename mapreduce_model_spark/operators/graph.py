@@ -51,7 +51,10 @@ def _compress(parent: DataFrame, max_rounds: int = 40) -> DataFrame:
             F.coalesce(F.col("g_par"), F.col("par")).alias("par"),
             (F.coalesce(F.col("g_par"), F.col("par")) < F.col("par")).alias("_chg"),
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        # lazy checkpoint: the changed-count below is the materializing
+        # action (it scans every partition), so lineage cut + loop condition
+        # share one job per round
+        jumped = jumped.localCheckpoint(eager=False)
         n = jumped.filter(F.col("_chg")).count()
         parent = jumped.drop("_chg")
         if n == 0:

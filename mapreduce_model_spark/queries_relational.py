@@ -1402,3 +1402,76 @@ def lateral_topn(spark, sf_dir):
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# --- skyline (Pareto frontier) ---------------------------------------------
+
+@query(
+    "skyline_pareto",
+    oracle="""
+WITH pts AS (
+    SELECT DISTINCT o_totalprice AS price,
+           datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+    FROM orders
+), ranked AS (
+    SELECT price, day_num,
+           max(day_num) OVER (ORDER BY price DESC, day_num DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM pts
+)
+SELECT price, day_num
+FROM ranked
+WHERE prev_max IS NULL OR day_num > prev_max
+""",
+)
+def skyline_pareto(spark, sf_dir):
+    """Skyline / Pareto frontier (maximize price AND recency): the distinct
+    points no other point dominates in both dimensions. Ordering points by
+    (price DESC, day DESC), a point survives iff its day exceeds every
+    earlier point's — one running-max window, no O(n²) dominance self-join
+    (the naive NOT EXISTS formulation is a cartesian product).
+
+    Scale: a global running max is a single-partition sort, so the frontier
+    is computed in two phases — phase 1 runs the SAME running-max filter
+    per price-range bucket (a parallel window keyed on the bucket id;
+    within one bucket every earlier row also precedes globally, so local
+    survivors are a superset of the frontier — identical to the
+    per-partition pruning in distributed skyline algorithms); phase 2
+    re-applies the filter globally over the few bucket-survivors, the same
+    small-tail merge as TakeOrderedAndProject. Buckets come from fixed
+    price quantile spans via a 1-row broadcast of min/max."""
+    o = table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_totalprice").alias("price"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("day_num"),
+    ).distinct()
+    lim = pts.agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+    # 32 equi-width price spans; bucket order == price order, so pruning
+    # within a bucket is sound for the global order too
+    bucketed = pts.join(F.broadcast(lim)).withColumn(
+        "b",
+        F.least(
+            F.lit(31),
+            F.floor((F.col("price") - F.col("lo")) * 32 / (F.col("hi") - F.col("lo") + 1e-9)),
+        ),
+    )
+    w_local = (
+        Window.partitionBy("b")
+        .orderBy(F.desc("price"), F.desc("day_num"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("pm", F.max("day_num").over(w_local)).filter(
+        F.col("pm").isNull() | (F.col("day_num") > F.col("pm"))
+    )
+    w_global = (
+        Window.orderBy(F.desc("price"), F.desc("day_num"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        local.select("price", "day_num")
+        .withColumn("pm", F.max("day_num").over(w_global))
+        .filter(F.col("pm").isNull() | (F.col("day_num") > F.col("pm")))
+        .select("price", "day_num")
+    )

@@ -529,3 +529,58 @@ def sequence_packing(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor((cum - F.col("n_tokens")) / 512).cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "token_entropy",
+    oracle=r"""
+WITH wbase AS (
+    SELECT source,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), exploded AS (
+    SELECT source, unnest(words) AS word FROM wbase
+), wc AS (
+    SELECT source, word, count(*) AS c FROM exploded GROUP BY source, word
+), agg AS (
+    SELECT source, CAST(sum(c) AS DOUBLE) AS t, sum(c * ln(c)) AS clnc,
+           count(*) AS n_unique
+    FROM wc GROUP BY source
+)
+SELECT source, CAST(t AS BIGINT) AS n_words, n_unique,
+       round(1e-9 + ln(t) - clnc / t, 4) AS entropy_nats
+FROM agg
+""",
+)
+def token_entropy(spark, sf_dir):
+    """Shannon entropy of each source's word distribution — the corpus-
+    diversity signal a data-mixing curriculum reads (low entropy ⇒
+    repetitive/templated source, high ⇒ diverse). Computed as
+    H = ln(T) - Σ c·ln(c) / T over per-word counts, so the plan is two
+    cascaded aggregations (word counts, then per-source moments) — no
+    per-row probabilities, no join back to totals, and the second agg's
+    input is exactly one row per distinct (source, word). Partial
+    aggregation absorbs the explode fan-out map-side."""
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    wc = (
+        docs.select("source", F.explode(words_array("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").cast("double").alias("t"),
+            F.sum(F.col("c") * F.log("c")).alias("clnc"),
+            F.count(F.lit(1)).alias("n_unique"),
+        )
+        .select(
+            "source",
+            F.col("t").cast("long").alias("n_words"),
+            "n_unique",
+            rnd(F.log("t") - F.col("clnc") / F.col("t"), 4).alias("entropy_nats"),
+        )
+    )

@@ -789,7 +789,13 @@ def tpch_q21(spark, sf_dir):
     """Q21 shape: suppliers who alone held up multi-supplier orders
     ("late" ≡ shipped >90 days after ordering — the schema has no
     commit/receipt dates). EXISTS → left-semi on (order, other-supplier),
-    NOT EXISTS → left-anti on the same shape over the late frame."""
+    NOT EXISTS → left-anti on the same shape over the late frame.
+
+    Scale: the nation predicate prunes the LEFT side of both self-joins
+    up front (a broadcast semi-join on the filtered supplier set) — the
+    EXISTS/NOT EXISTS right sides must still see all suppliers' lines,
+    but the probe side shrinks by the nation selectivity (~1/25), which
+    is what the self-joins shuffle."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -807,6 +813,20 @@ def tpch_q21(spark, sf_dir):
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    s9_keys = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select(F.col("s_suppkey").alias("s9_suppkey"))
+    )
+    late = late.join(
+        F.broadcast(s9_keys), late.l_suppkey == F.col("s9_suppkey"), "left_semi"
+    )
     l1 = (
         late.join(
             l2,

@@ -584,3 +584,105 @@ def token_entropy(spark, sf_dir):
             rnd(F.log("t") - F.col("clnc") / F.col("t"), 4).alias("entropy_nats"),
         )
     )
+
+
+@query(
+    "bigram_pmi",
+    oracle=r"""
+WITH wbase AS (
+    SELECT list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), bi AS (
+    SELECT unnest(list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i + 1])) AS bg
+    FROM wbase WHERE len(words) >= 2
+), uni AS (
+    SELECT unnest(words) AS w FROM wbase
+), ucnt AS (
+    SELECT w, count(*) AS c FROM uni GROUP BY w
+), bcnt AS (
+    SELECT bg, count(*) AS c_xy FROM bi GROUP BY bg
+), tot AS (
+    SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM ucnt) AS tu,
+           (SELECT CAST(sum(c_xy) AS DOUBLE) FROM bcnt) AS tb
+)
+SELECT bg, c_xy,
+       round(1e-9 + ln(c_xy) - ln(tb) - ln(cx.c) - ln(cy.c) + 2 * ln(tu), 4)
+           AS pmi
+FROM bcnt
+JOIN ucnt cx ON cx.w = split_part(bg, ' ', 1)
+JOIN ucnt cy ON cy.w = split_part(bg, ' ', 2)
+CROSS JOIN tot
+WHERE c_xy >= 5
+ORDER BY pmi DESC, bg
+LIMIT 100
+""",
+)
+def bigram_pmi(spark, sf_dir):
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs — PMI = ln P(xy) - ln P(x) - ln P(y), high for phrases that
+    co-occur far above chance (the classic phrase-vocabulary signal for
+    tokenizer construction).
+
+    Scale: bigram and unigram counts are two explode→agg passes with
+    map-side partials; the two probability joins are word-keyed shuffle
+    joins (the unigram vocabulary of a 100 TB corpus is NOT broadcastable
+    — Zipf or not, it's tens of GB), and both reuse the same hashed
+    distribution on the word key. The min-support filter (c_xy >= 5) cuts
+    the PMI ranking to phrases with evidence before the top-k, which is a
+    per-partition TakeOrderedAndProject, never a global sort."""
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    words = words_array("text")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bcnt = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    ucnt = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # full (unfiltered) totals, 1-row broadcasts
+    tu = docs.select(F.explode(words).alias("w")).agg(
+        F.count(F.lit(1)).cast("double").alias("tu")
+    )
+    tb = docs.select(F.explode(bigrams).alias("bg")).agg(
+        F.count(F.lit(1)).cast("double").alias("tb")
+    )
+    cx = ucnt.select(F.col("w").alias("x_w"), F.col("c").alias("cx"))
+    cy = ucnt.select(F.col("w").alias("y_w"), F.col("c").alias("cy"))
+    return (
+        bcnt.withColumn("x", F.split_part("bg", F.lit(" "), F.lit(1)))
+        .withColumn("y", F.split_part("bg", F.lit(" "), F.lit(2)))
+        .join(cx, F.col("x") == F.col("x_w"))
+        .join(cy, F.col("y") == F.col("y_w"))
+        .join(F.broadcast(tu))
+        .join(F.broadcast(tb))
+        .select(
+            "bg",
+            "c_xy",
+            rnd(
+                F.log("c_xy")
+                - F.log("tb")
+                - F.log("cx")
+                - F.log("cy")
+                + 2 * F.log("tu"),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bg")
+        .limit(100)
+    )

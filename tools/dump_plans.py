@@ -78,6 +78,37 @@ COMMENTARY: dict[str, str] = {
         "shuffles group-key-sized data; at 100 TB the 'stored' branch is a "
         "table read of yesterday's rollup, not a recompute."
     ),
+    "tpch_q2_min_cost_supplier": (
+        "Correlated scalar MIN decorrelated to agg+self-join — with the "
+        "`p_size` part filter pushed BELOW the (partkey, suppkey) aggregate "
+        "as a broadcast left-semi join on lineitem. The aggregate's shuffle "
+        "shrinks by the part-filter selectivity (~30x) instead of grouping "
+        "all of lineitem; the filter is visible as a BroadcastHashJoin "
+        "LeftSemi under the first HashAggregate."
+    ),
+    "tpch_q21_waiting_supplier": (
+        "EXISTS + NOT EXISTS self-join chain. The nation predicate commutes "
+        "with both existence checks, so the probe side is semi-joined "
+        "against the broadcast filtered supplier set FIRST (~1/25 "
+        "selectivity); the right sides still see all suppliers' lines. "
+        "What the self-joins shuffle is the pruned frame, not all late "
+        "lines."
+    ),
+    "skyline_pareto": (
+        "Pareto frontier without the O(n^2) dominance self-join: a "
+        "bucket-parallel running-max window prunes to per-bucket skyline "
+        "candidates (Window partitioned by bucket id — a real parallel "
+        "window), then the exact filter re-runs over the tiny survivor set "
+        "in the single-partition tail — same merge shape as "
+        "TakeOrderedAndProject."
+    ),
+    "bigram_pmi": (
+        "Collocation mining: two explode→agg passes with map-side "
+        "partials, then word-keyed SHUFFLE joins for the unigram "
+        "probabilities — deliberately not broadcast: a web-scale unigram "
+        "vocabulary is tens of GB. Min-support filters the ranking input "
+        "before the per-partition top-k."
+    ),
 }
 
 

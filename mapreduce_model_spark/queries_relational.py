@@ -1433,45 +1433,20 @@ def skyline_pareto(spark, sf_dir):
     (the naive NOT EXISTS formulation is a cartesian product).
 
     Scale: a global running max is a single-partition sort, so the frontier
-    is computed in two phases — phase 1 runs the SAME running-max filter
-    per price-range bucket (a parallel window keyed on the bucket id;
-    within one bucket every earlier row also precedes globally, so local
-    survivors are a superset of the frontier — identical to the
-    per-partition pruning in distributed skyline algorithms); phase 2
-    re-applies the filter globally over the few bucket-survivors, the same
-    small-tail merge as TakeOrderedAndProject. Buckets come from fixed
-    price quantile spans via a 1-row broadcast of min/max."""
+    is computed in two phases (operators/skyline.py) — phase 1 runs the
+    SAME running-max filter per price-range bucket (a parallel window keyed
+    on the bucket id; within one bucket every earlier row also precedes
+    globally, so local survivors are a superset of the frontier — the
+    standard distributed-skyline pruning); phase 2 re-applies the filter
+    globally over the few bucket-survivors, the same small-tail merge as
+    TakeOrderedAndProject. Property-tested against a brute-force dominance
+    oracle in tests/test_round3_ops.py."""
+    from mapreduce_model_spark.operators.skyline import pareto_frontier
+
     o = table(spark, sf_dir, "orders")
     pts = o.select(
         F.col("o_totalprice").alias("price"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
         .alias("day_num"),
-    ).distinct()
-    lim = pts.agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
-    # 32 equi-width price spans; bucket order == price order, so pruning
-    # within a bucket is sound for the global order too
-    bucketed = pts.join(F.broadcast(lim)).withColumn(
-        "b",
-        F.least(
-            F.lit(31),
-            F.floor((F.col("price") - F.col("lo")) * 32 / (F.col("hi") - F.col("lo") + 1e-9)),
-        ),
     )
-    w_local = (
-        Window.partitionBy("b")
-        .orderBy(F.desc("price"), F.desc("day_num"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = bucketed.withColumn("pm", F.max("day_num").over(w_local)).filter(
-        F.col("pm").isNull() | (F.col("day_num") > F.col("pm"))
-    )
-    w_global = (
-        Window.orderBy(F.desc("price"), F.desc("day_num"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        local.select("price", "day_num")
-        .withColumn("pm", F.max("day_num").over(w_global))
-        .filter(F.col("pm").isNull() | (F.col("day_num") > F.col("pm")))
-        .select("price", "day_num")
-    )
+    return pareto_frontier(pts, x="price", y="day_num")

@@ -1,0 +1,161 @@
+"""Independent oracles for the round-3 operators: brute-force / pure-Python
+reimplementations that share NO construction logic with the SQL oracles
+(the oracle-parity suite proves Spark==DuckDB; these prove the algorithm)."""
+
+import hashlib
+import math
+import re
+
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.operators.skyline import pareto_frontier
+from mapreduce_model_spark.registry import QUERIES
+
+points = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 50)), min_size=1, max_size=60
+)
+
+
+def _brute_skyline(pts):
+    s = set(pts)
+    out = set()
+    for p in s:
+        dominated = any(
+            q != p and q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in s
+        )
+        if not dominated:
+            out.add(p)
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pts=points, buckets=st.sampled_from([1, 2, 7, 32]))
+def test_skyline_matches_bruteforce(spark, pts, buckets):
+    """Two-phase bucketed skyline == O(n²) dominance check, any bucket
+    count (buckets=1 degenerates to the single-window form)."""
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y) for r in pareto_frontier(df, buckets=buckets).collect()}
+    assert got == _brute_skyline(pts)
+
+
+def _md5_int32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_weighted_sample_matches_python_recompute(spark, sf_dir):
+    """The selected doc set equals a from-scratch Python recomputation of
+    the integer priorities (hashlib md5, floor division) — proves the
+    portable-hash contract end-to-end, independent of both engines."""
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    rows = list(zip(tbl["doc_id"].to_pylist(), tbl["n_chars"].to_pylist()))
+    pri = sorted(
+        (_md5_int32(f"wsample:{d}") * 1000000 // max(n, 1), d) for d, n in rows
+    )[:100]
+    expected = {(d, p) for p, d in pri}
+    got = {
+        (r.doc_id, r.priority)
+        for r in QUERIES["weighted_sample"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def _morton16(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xy=st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)), min_size=1, max_size=20))
+def test_morton_sql_matches_bit_interleave(spark, xy):
+    """The arithmetic Morton expression (zorder_layout) == classic bitwise
+    interleave for arbitrary 16-bit inputs."""
+    from mapreduce_model_spark.queries_pipeline import _morton16_sql
+
+    df = spark.createDataFrame(xy, "x long, y long")
+    got = df.selectExpr(
+        "x", "y", f"cast({_morton16_sql('x', 'y', 'div')} as bigint) as z"
+    ).collect()
+    for r in got:
+        assert r.z == _morton16(r.x, r.y), (r.x, r.y)
+
+
+def _words(text: str):
+    return [w for w in (re.sub("[^a-z]", "", t.lower()) for t in text.strip().split()) if w]
+
+
+def test_bigram_pmi_matches_python_recompute(spark, sf_dir):
+    """PMI ranking equals a pure-Python recount over the same corpus
+    (collections.Counter, math.log) — tokenization, min-support, and the
+    probability algebra all independently reimplemented."""
+    from collections import Counter
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    uni, bi = Counter(), Counter()
+    for text in tbl["text"].to_pylist():
+        ws = _words(text)
+        uni.update(ws)
+        bi.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    tu, tb = float(sum(uni.values())), float(sum(bi.values()))
+    exp = {}
+    for bg, c in bi.items():
+        if c >= 5:
+            x, y = bg.split(" ")
+            exp[bg] = (
+                c,
+                math.log(c) - math.log(tb) - math.log(uni[x]) - math.log(uni[y]) + 2 * math.log(tu),
+            )
+    # replicate the (rounded pmi DESC, bigram ASC) top-100 selection
+    ranked = sorted(
+        ((round(p + 1e-9, 4), bg) for bg, (c, p) in exp.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:100]
+    expected_bgs = {bg for _, bg in ranked}
+    got = QUERIES["bigram_pmi"](spark, sf_dir).collect()
+    assert {r.bg for r in got} == expected_bgs
+    for r in got:
+        c, pmi = exp[r.bg]
+        assert r.c_xy == c
+        assert r.pmi == pytest.approx(pmi, abs=1e-3)
+
+
+def test_token_entropy_matches_python_recompute(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    per = defaultdict(Counter)
+    for src, text in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        per[src].update(_words(text))
+    got = {r.source: r for r in QUERIES["token_entropy"](spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for src, cnt in per.items():
+        t = sum(cnt.values())
+        h = math.log(t) - sum(c * math.log(c) for c in cnt.values()) / t
+        r = got[src]
+        assert r.n_words == t
+        assert r.n_unique == len(cnt)
+        assert r.entropy_nats == pytest.approx(h, abs=1e-3)
+
+
+def test_stream_dedup_is_exact_inverse_of_redelivery(spark, sf_dir):
+    """dropDuplicates over the doubled feed returns exactly the original
+    events (every event once, values intact)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = QUERIES["stream_dedup"](spark, sf_dir)
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()

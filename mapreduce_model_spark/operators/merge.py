@@ -39,3 +39,29 @@ def merge_upsert(
     right = F.broadcast(upd.select(*keys)) if broadcast_updates else upd.select(*keys)
     kept = target.join(right, on=keys, how="left_anti")
     return kept.unionByName(upd)
+
+
+def merge_apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key: list[str] | str,
+    op_col: str = "op",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Apply a full insert/update/delete change feed: rows whose ``op_col``
+    is ``'D'`` remove the target key, everything else upserts — the MERGE
+    INTO ... WHEN MATCHED [AND op='D'] THEN DELETE shape on plain parquet.
+
+    Same algebra as :func:`merge_upsert` with one twist: the anti join
+    removes ALL changed keys (deleted AND replaced), and only the non-delete
+    change rows union back in. One pass, one anti join — deletes cost
+    nothing extra. Change keys must be unique (resolve last-writer-wins
+    upstream with a version column + window, as streaming/upsert.py does).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    upserts = changes.filter(F.col(op_col) != "D").select(*target.columns)
+    change_keys = changes.select(*keys)
+    if broadcast_changes:
+        change_keys = F.broadcast(change_keys)
+    kept = target.join(change_keys, on=keys, how="left_anti")
+    return kept.unionByName(upserts)

@@ -1378,3 +1378,49 @@ def cogroup_reconcile(spark, sf_dir):
             "line_revenue double, price_gap double",
         )
     )
+
+
+@query(
+    "merge_apply_cdc",
+    oracle=f"""
+WITH b AS (
+    SELECT c_custkey, c_acctbal,
+           {sql_md5_int32("'cdc:' || CAST(c_custkey AS VARCHAR)")} % 10 AS bk
+    FROM customer
+), final AS (
+    SELECT c_custkey, c_acctbal FROM b WHERE bk NOT IN (0, 1)
+    UNION ALL
+    SELECT c_custkey, c_acctbal + 100.0 FROM b WHERE bk = 1
+    UNION ALL
+    SELECT c_custkey + 1000000, 0.0 FROM b WHERE bk = 2
+)
+SELECT c_custkey, round(1e-9 + c_acctbal, 2) AS acctbal FROM final
+""",
+)
+def merge_apply_cdc_customers(spark, sf_dir):
+    """Full CDC apply (inserts + updates + DELETES) through
+    ``operators.merge.merge_apply_cdc`` — completes the batch CDC story
+    next to merge_upsert_customers (upsert-only) and scd2_history
+    (versioned). The change feed is derived deterministically from the
+    target by md5 bucket: bucket 0 deletes, bucket 1 updates (+100
+    balance), bucket 2 inserts a fresh key. One broadcast anti join
+    removes deleted AND replaced keys, then the non-delete changes union
+    back — deletes add zero extra passes."""
+    from mapreduce_model_spark.operators.merge import merge_apply_cdc
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bk = md5_int32(F.concat(F.lit("cdc:"), F.col("c_custkey").cast("string"))) % 10
+    b = c.withColumn("bk", bk)
+    dels = b.filter(F.col("bk") == 0).select("c_custkey", "c_acctbal").withColumn(
+        "op", F.lit("D")
+    )
+    upds = b.filter(F.col("bk") == 1).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    ).withColumn("op", F.lit("U"))
+    ins = b.filter(F.col("bk") == 2).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+    ).withColumn("op", F.lit("I"))
+    changes = dels.unionByName(upds).unionByName(ins)
+    final = merge_apply_cdc(c, changes, "c_custkey")
+    return final.select("c_custkey", rnd(F.col("c_acctbal"), 2).alias("acctbal"))

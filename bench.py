@@ -14,6 +14,7 @@ Env:
   SPARK_GRAFT_CPUS    local core count (default 32)
   BENCH_QUERIES       comma-separated subset (default: all registered)
   BENCH_REPEAT        best-of-N per query (default 1)
+  BENCH_FULL_PATH     durable sidecar path (default <repo>/BENCH_FULL.json)
 """
 
 from __future__ import annotations

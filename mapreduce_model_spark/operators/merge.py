@@ -57,10 +57,19 @@ def merge_apply_cdc(
     change rows union back in. One pass, one anti join — deletes cost
     nothing extra. Change keys must be unique (resolve last-writer-wins
     upstream with a version column + window, as streaming/upsert.py does).
+
+    A NULL ``op_col`` is a malformed feed row: it is IGNORED (neither
+    deletes nor upserts) rather than silently deleting — the anti-join key
+    set is built from the delete and upsert rows only, never from raw
+    ``changes`` (where a NULL-op key would vanish from the target without
+    a replacement row).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    upserts = changes.filter(F.col(op_col) != "D").select(*target.columns)
-    change_keys = changes.select(*keys)
+    upserts = changes.filter(
+        F.col(op_col).isNotNull() & (F.col(op_col) != "D")
+    ).select(*target.columns)
+    del_keys = changes.filter(F.col(op_col) == "D").select(*keys)
+    change_keys = del_keys.unionByName(upserts.select(*keys))
     if broadcast_changes:
         change_keys = F.broadcast(change_keys)
     kept = target.join(change_keys, on=keys, how="left_anti")

@@ -929,7 +929,13 @@ def dq_audit(spark, sf_dir):
 
 
 _INT_RE = r"^\s*[+-]?[0-9]+\s*$"
-_NUM_RE = r"^\s*[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\s*$"
+# standard numerics plus the special float literals try_cast itself accepts
+# (Infinity/NaN) — the prefilter must ADMIT everything try_cast can parse,
+# else Spark would NULL a value the DuckDB oracle's TRY_CAST converts
+_NUM_RE = (
+    r"^\s*[+-]?(([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
+    r"|[Ii][Nn][Ff][Ii][Nn][Ii][Tt][Yy]|[Nn][Aa][Nn])\s*$"
+)
 
 
 def _guarded_try_cast(c, dtype, valid_re):
@@ -1228,13 +1234,16 @@ def weighted_sample(spark, sf_dir):
     top-k on executors, only k rows reach the driver-side merge; no global
     sort, no RNG state."""
     docs = table(spark, sf_dir, "documents")
+    h = md5_int32(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string")))
     return (
-        docs.selectExpr(
+        docs.withColumn("_h", h)
+        # `div` (true integer division) has no Column-API spelling; floor()
+        # of a double quotient is NOT equivalent above 2^53
+        .selectExpr(
             "doc_id",
             "source",
             "n_chars",
-            "cast(conv(substring(md5(concat('wsample:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
-            " * 1000000 div greatest(n_chars, 1) AS priority",
+            "_h * 1000000 div greatest(n_chars, 1) AS priority",
         )
         .orderBy("priority", "doc_id")
         .limit(100)

@@ -655,12 +655,14 @@ def bigram_pmi(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # full (unfiltered) totals, 1-row broadcasts
-    tu = docs.select(F.explode(words).alias("w")).agg(
-        F.count(F.lit(1)).cast("double").alias("tu")
+    # full (unfiltered) totals, 1-row broadcasts — computed from array
+    # SIZES (one narrow scan, no row-per-token explode): total unigrams =
+    # Σ|words|, total bigrams = Σ max(|words|-1, 0)
+    tu = docs.select(F.size(words).alias("nw")).agg(
+        F.sum("nw").cast("double").alias("tu")
     )
-    tb = docs.select(F.explode(bigrams).alias("bg")).agg(
-        F.count(F.lit(1)).cast("double").alias("tb")
+    tb = docs.select(F.greatest(F.size(words) - 1, F.lit(0)).alias("nb")).agg(
+        F.sum("nb").cast("double").alias("tb")
     )
     cx = ucnt.select(F.col("w").alias("x_w"), F.col("c").alias("cx"))
     cy = ucnt.select(F.col("w").alias("y_w"), F.col("c").alias("cy"))

@@ -255,12 +255,16 @@ def tpch_q2(spark, sf_dir):
     before the groupBy cannot change any surviving row, and it shrinks the
     aggregate's shuffle by the part-filter selectivity (~30× at standard
     p_size skew) instead of aggregating all of lineitem."""
-    p_keys = table(spark, sf_dir, "part").filter(F.col("p_size") <= 3).select(
-        "p_partkey"
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 3).select(
+        "p_partkey", "p_brand"
     )
+    # the key projection feeding the semi join is DERIVED from p — the size
+    # predicate lives in exactly one place, so the "cannot change any
+    # surviving row" invariant can't silently drift
+    p_keys = p.select(F.col("p_partkey").alias("pk_partkey"))
     li = table(spark, sf_dir, "lineitem").join(
         F.broadcast(p_keys),
-        F.col("l_partkey") == F.col("p_partkey"),
+        F.col("l_partkey") == F.col("pk_partkey"),
         "left_semi",
     )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -268,9 +272,6 @@ def tpch_q2(spark, sf_dir):
     )
     best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cost").alias("best_cost")
-    )
-    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 3).select(
-        "p_partkey", "p_brand"
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -811,13 +812,18 @@ def tpch_q21(spark, sf_dir):
     l3 = late.select(
         F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
     )
+    nation_name = "NATION_9"
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == nation_name)
+    # fresh scans on purpose: deriving s9_keys from the s/n frames used in
+    # the final joins trips Spark's ambiguous-self-join analyzer
+    # (s_nationkey appears on both branches); the re-scan is free — same
+    # file, deduped by the optimizer — and the nation literal is shared
     s9_keys = (
         table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
-                table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+                table(spark, sf_dir, "nation").filter(F.col("n_name") == nation_name)
             ),
             F.col("s_nationkey") == F.col("n_nationkey"),
             "left_semi",

@@ -41,24 +41,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB oracle regardless of layout.
     """
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # the normalized ts is TZ-aware (unlike the NTZ ms timestamps of the
         # other tables): pin the session to UTC so year()/hour()/window()
         # match the DuckDB oracle regardless of the caller's session TZ
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = raw.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if isinstance(ts_type, T.TimestampNTZType):
-            # wall-clock µs with no zone: under the UTC session this cast is
-            # a pure type relabel (no instant shift), matching the oracle
-            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-        return raw
+        return normalize_events_ts(raw)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TZ-aware TimestampType whatever the
+    parquet layout (see :func:`table`). The SINGLE place both the batch
+    scan and the streaming source (streaming/windows.stream_events) route
+    through, so the next layout drift is a one-line fix and batch/stream
+    timestamp parity holds by construction. Requires the session pinned to
+    UTC (the NTZ cast is then a pure type relabel, no instant shift)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def query(name: str, oracle: str | None = None):

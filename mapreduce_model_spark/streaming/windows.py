@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from mapreduce_model_spark.functions.rounding import rnd
 
@@ -33,16 +32,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     readStream needs an explicit schema, and the testdata's ``ts`` physical
     type has drifted across generations (ns-as-int64 / µs NTZ / µs TZ), so
-    the stream schema is derived from a batch footer probe — the exact
-    layout ``registry.table`` normalizes — and the same ts normalization is
-    applied, guaranteeing batch/stream timestamp parity by construction.
-    The probe reads only the parquet footer (no data pages) — negligible
-    even against a 100 TB directory.
+    the stream schema is derived from a batch footer probe and the SAME
+    normalization as the batch scan (``registry.normalize_events_ts``) is
+    applied — batch/stream timestamp parity by construction. The probe
+    reads only the parquet footer (no data pages) — negligible even
+    against a 100 TB directory.
     """
+    from mapreduce_model_spark.registry import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    ts_type = raw_schema["ts"].dataType
     raw = (
         spark.readStream.schema(raw_schema)
         # single-file source: FileStreamSource pins basePath to the literal
@@ -51,12 +51,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events*.parquet")
     )
-    # keep in lockstep with registry.table's events normalization
-    if isinstance(ts_type, T.LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if isinstance(ts_type, T.TimestampNTZType):
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_events_ts(raw)
 
 
 def tumbling_agg(events: DataFrame, width: str = "5 minutes", watermark: str | None = None) -> DataFrame:

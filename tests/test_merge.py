@@ -52,3 +52,29 @@ def test_global_ordered_ids_match_sort_order(spark, sf_dir):
     assert [(r.source, r.doc_id) for r in by_id] == sorted(
         (r.source, r.doc_id) for r in out
     )
+
+
+def test_merge_apply_cdc_full_feed(spark):
+    """Insert + update + delete in one feed: delete removes, update
+    replaces, insert appends."""
+    from mapreduce_model_spark.operators.merge import merge_apply_cdc
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double")
+    changes = spark.createDataFrame(
+        [(1, None, "D"), (2, 25.0, "U"), (9, 90.0, "I")],
+        "k int, v double, op string",
+    )
+    got = {r.k: r.v for r in merge_apply_cdc(target, changes, "k").collect()}
+    assert got == {2: 25.0, 3: 30.0, 9: 90.0}
+
+
+def test_merge_apply_cdc_null_op_is_ignored_not_deleted(spark):
+    """A malformed feed row (NULL op) must be a no-op — the key stays in
+    the target with its ORIGINAL value (regression: building the anti-join
+    key set from raw changes silently deleted it)."""
+    from mapreduce_model_spark.operators.merge import merge_apply_cdc
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    changes = spark.createDataFrame([(1, 99.0, None)], "k int, v double, op string")
+    got = {r.k: r.v for r in merge_apply_cdc(target, changes, "k").collect()}
+    assert got == {1: 10.0, 2: 20.0}

@@ -1433,3 +1433,58 @@ def merge_apply_cdc_customers(spark, sf_dir):
     changes = dels.unionByName(upds).unionByName(ins)
     final = merge_apply_cdc(c, changes, "c_custkey")
     return final.select("c_custkey", rnd(F.col("c_acctbal"), 2).alias("acctbal"))
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+), tot AS (
+    SELECT prev_type, sum(n) AS t FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type, p.n,
+       round(1e-9 + CAST(p.n AS DOUBLE) / t, 6) AS prob
+FROM pairs p JOIN tot USING (prev_type)
+""",
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (the session-modeling / next-event-prediction feature table). One
+    exchange on user_id for the lag window (ties broken by event_id — a
+    total order, or the transition pairs themselves would be
+    nondeterministic), then a tiny (|event types|²) aggregate; row
+    probabilities join the per-prev totals back as a broadcast — the
+    transition matrix is always broadcastable even when the event log is
+    100 TB."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy(F.col("prev_type").alias("t_prev")).agg(
+        F.sum("n").alias("t")
+    )
+    return (
+        pairs.join(F.broadcast(tot), pairs.prev_type == tot.t_prev)
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            rnd(F.col("n").cast("double") / F.col("t"), 6).alias("prob"),
+        )
+    )

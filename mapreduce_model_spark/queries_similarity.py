@@ -207,3 +207,45 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "vec_id")
         .limit(50)
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+WITH p AS (
+    SELECT label, unnest(range(0, len(embedding))) AS pos, embedding AS e
+    FROM embeddings
+), pv AS (
+    SELECT label, pos, CAST(e[pos + 1] AS DOUBLE) AS v FROM p
+), cent AS (
+    SELECT label, pos, avg(v) AS c FROM pv GROUP BY label, pos
+)
+SELECT label, list(round(1e-9 + c, 6) ORDER BY pos) AS centroid,
+       CAST(count(*) AS BIGINT) AS dim
+FROM cent GROUP BY label
+""",
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding — one k-means/IVF training step (the
+    learned counterpart of similarity_ann_ivf's deterministic quantizer)
+    and the class-prototype vector for centroid classifiers.
+
+    Scale: collect_list of whole vectors per label would hold every vector
+    of a label in one aggregation buffer (OOM at corpus scale) — instead
+    posexplode to (label, dimension, value) and run a TWO-LEVEL aggregate:
+    partial sums absorb the dim-fold fan-out map-side, the shuffle carries
+    (label x dim) keys, and the centroid reassembles from the tiny
+    per-dimension means via a sorted collect. Same pattern scales to any
+    dim and any label cardinality."""
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = p.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: rnd(s["c"], 6),
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("dim"),
+    )

@@ -226,3 +226,44 @@ def q_ngram_jaccard(spark, sf_dir):
         threshold=JACCARD_THRESHOLD,
         max_shingle_df=MAX_SHINGLE_DF,
     )
+
+
+from mapreduce_model_spark.registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+
+@query(
+    "dedup_cross_source",
+    oracle=f"""
+SELECT da.source AS source_a, db.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM ({_ORACLE_SQL["dedup_near_minhash"]}) m
+JOIN documents da ON da.doc_id = m.id_a
+JOIN documents db ON db.doc_id = m.id_b
+GROUP BY 1, 2
+""",
+)
+def q_dedup_cross_source(spark, sf_dir):
+    """Cross-source contamination matrix: how many near-duplicate pairs
+    link each (source, source) cell — the corpus-governance view that tells
+    a data curriculum which feeds overlap (same crawl behind two vendors,
+    mirrored sites, benchmark leakage between collections). Reuses the
+    exact LSH pair generation of dedup_near_minhash (oracle included — the
+    pair CTE nests as a derived table), then two doc_id-keyed joins attach
+    source labels (the corpus is NOT broadcastable; the pair list usually
+    is, but stays a key join for the worst case) and a tiny
+    |sources|² aggregate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sig = minhash_signatures(
+        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+    )
+    pairs = lsh_near_dup_pairs(
+        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+    ).select("id_a", "id_b")
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

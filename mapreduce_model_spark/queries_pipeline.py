@@ -1488,3 +1488,69 @@ def event_transitions(spark, sf_dir):
             rnd(F.col("n").cast("double") / F.col("t"), 6).alias("prob"),
         )
     )
+
+
+@query(
+    "session_paths",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), flagged AS (
+    SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+), paths AS (
+    SELECT user_id, sid,
+           string_agg(event_type, '>' ORDER BY us, event_id) AS path
+    FROM sess GROUP BY user_id, sid
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+""",
+)
+def session_paths(spark, sf_dir):
+    """Top session event paths (clickstream path mining): sessionize by
+    30-minute gaps (operators/windows.sessionize — the batch analogue of
+    session_window, tie-broken by event_id for a total order), build each
+    session's ordered event-type path, count identical paths, keep the
+    top 20.
+
+    Scale: the path assembly is a per-(user, session) sorted collect —
+    bounded by session length, never by user history; path counting is an
+    ordinary string-keyed aggregate and the top-20 is
+    TakeOrderedAndProject. The same shape powers funnel discovery when the
+    funnel stages aren't known in advance (compare funnel_conversion,
+    which checks a KNOWN stage order)."""
+    from mapreduce_model_spark.operators.windows import sessionize
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    sess = sessionize(ev, key="user_id", gap_seconds=1800, tie_break="event_id")
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.unix_micros("ts").alias("us"), "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

@@ -688,3 +688,92 @@ def bigram_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "bg")
         .limit(100)
     )
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle=_WBASE.replace(
+        "SELECT doc_id, text, lang,",
+        "SELECT doc_id, text, lang, source, n_chars,",
+    )
+    + f"""
+, kept AS (
+    SELECT doc_id, source, n_chars, text FROM wbase
+    WHERE len(words) >= 50
+      AND (text LIKE '%.' OR text LIKE '%!' OR text LIKE '%?' OR text LIKE '%"')
+      AND NOT (contains(text, '{{') OR contains(text, '}}'))
+      AND CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+          / len(words) BETWEEN 3.0 AND 10.0
+      AND CAST(len(list_filter(words, w -> w IN {_SQL_STOP})) AS DOUBLE)
+          / len(words) >= 0.01
+), survivors AS (
+    SELECT md5(text) AS h, min(doc_id) AS keep_id FROM kept GROUP BY md5(text)
+), final AS (
+    SELECT k.doc_id, k.source, k.n_chars,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                THEN 'val' ELSE 'test' END AS split
+    FROM kept k JOIN survivors s ON k.doc_id = s.keep_id
+)
+SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM final GROUP BY split, source
+""",
+)
+def corpus_build_pipeline(spark, sf_dir):
+    """The corpus build END-TO-END in one declarative plan: C4/Gopher
+    quality gates (c4_filters' keep predicate) → exact dedup keep-first
+    (md5 groupBy + min-id semi join, the dedup_exact shape — no per-group
+    sort) → deterministic md5 train/val/test split (train_val_split's
+    buckets) → the (split, source) manifest a training job consumes.
+
+    The point: each stage exists as a standalone oracle-checked query;
+    composing them stays ONE Catalyst plan — the quality filter fuses into
+    the scan, the only data-sized shuffle is the dedup groupBy on the
+    16-byte text hash, and the split assignment is a narrow projection on
+    the survivors. At 100 TB this whole pipeline is scan → one exchange →
+    tiny report aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    words = words_array("text")
+    nw = F.size(words)
+    mean_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast(
+        "double"
+    ) / nw
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double") / nw
+    )
+    terminal = (
+        F.col("text").endswith(".")
+        | F.col("text").endswith("!")
+        | F.col("text").endswith("?")
+        | F.col("text").endswith('"')
+    )
+    curly = F.col("text").contains("{") | F.col("text").contains("}")
+    kept = docs.filter(
+        (nw >= 50)
+        & terminal
+        & ~curly
+        & mean_len.between(3.0, 10.0)
+        & (stop_ratio >= 0.01)
+    ).select("doc_id", "source", "n_chars", "text")
+    survivors = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    # survivors is one row per DISTINCT text — corpus-sized, so no
+    # broadcast hint: the keep-id semi join shuffles on doc_id (AQE may
+    # still broadcast it when the filtered corpus is actually small)
+    final = kept.join(
+        survivors.select("keep_id"),
+        kept.doc_id == F.col("keep_id"),
+        "left_semi",
+    )
+    bucket = md5_int32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        final.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

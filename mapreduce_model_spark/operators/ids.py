@@ -12,15 +12,26 @@ the canonical scale anti-pattern (fine in the DuckDB oracle, fatal at
    per-partition counts are a tiny driver-side list (one long per
    partition), the only non-distributed data in the operator.
 
-Same shape as RDD ``zipWithIndex`` but staying in DataFrame land (no
-Python-side row serialization), with a deterministic total order from the
-caller's keys rather than arbitrary partition order.
+Same shape as RDD ``zipWithIndex`` but staying in DataFrame/Arrow land (no
+row-at-a-time Python serialization), with a deterministic total order from
+the caller's keys rather than arbitrary partition order.
+
+Phase 2 is a NARROW Arrow pass (``mapInArrow``): rows are already sorted
+within their range partition, so local numbering needs no window — and
+therefore no second exchange. The previous formulation
+(``row_number() OVER (PARTITION BY _pid)`` + broadcast-joined offsets)
+re-shuffled the entire dataset on ``_pid`` and re-sorted rows that were
+already in order; at 100 TB that is a full extra network pass for zero
+information. The Arrow pass is executor-local (zero-copy batches, one
+int64 append per batch) and the offsets ride along in the closure — no
+join, no map-literal codegen, no exchange.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def global_ordered_ids(
@@ -34,20 +45,20 @@ def global_ordered_ids(
     (which must be a unique key — equal keys would make the order, and
     therefore the ids, nondeterministic).
 
-    Two shuffles (range exchange + the window's hash exchange on pid), both
-    fully parallel; no partition ever holds more than its share of rows.
+    ONE shuffle (the range exchange); phase 2 is narrow. No partition ever
+    holds more than its share of rows.
 
     ``materialize=True`` is MANDATORY for correct results: the counts pass
     and the numbering pass are two separate jobs, and repartitionByRange
     samples its range boundaries with a per-job seed — without pinning the
     layout the two jobs can disagree on partition boundaries, and every
     offset after the first divergent partition is wrong (observed at
-    sf0.1). Same caveat as RDD zipWithIndex. The checkpoint is LAZY: the
-    counts collect below is the action that materializes it, so pinning
-    the layout costs no extra job. ``materialize=False`` exists
-    only so tests can inspect the full physical plan (localCheckpoint
-    truncates lineage); on a cluster prefer spark.checkpoint.dir-backed
-    ``checkpoint()`` for executor-loss safety.
+    sf0.1; repro pinned in PLANS.md §global_row_ids). Same caveat as RDD
+    zipWithIndex. The checkpoint is LAZY: the counts collect below is the
+    action that materializes it, so pinning the layout costs no extra
+    job. ``materialize=False`` exists only so tests can inspect the full
+    physical plan (localCheckpoint truncates lineage); on a cluster prefer
+    spark.checkpoint.dir-backed ``checkpoint()`` for executor-loss safety.
     """
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = (
@@ -63,20 +74,34 @@ def global_ordered_ids(
         (r["_pid"], r["n"])
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    offsets = {}
+    offsets: dict[int, int] = {}
     acc = 0
     for pid, n in counts:
         offsets[pid] = acc
         acc += n
-    offset_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
-        )
+
+    out_names = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(id_col, LongType(), False)]
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        ranged.withColumn("_local", F.row_number().over(w))
-        .join(offset_df, "_pid")
-        .withColumn(id_col, (F.col("_offset") + F.col("_local")).cast("long"))
-        .drop("_pid", "_local", "_offset")
-    )
+
+    def _number(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        base = None
+        seen = 0
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            if base is None:
+                # one partition per task ⇒ _pid is constant across batches
+                base = offsets.get(b.column("_pid")[0].as_py(), 0)
+            ids = pa.array(
+                np.arange(base + seen + 1, base + seen + n + 1, dtype=np.int64)
+            )
+            yield b.select(out_names).append_column(id_col, ids)
+            seen += n
+
+    return ranged.mapInArrow(_number, out_schema)

@@ -13,8 +13,13 @@ Env:
   SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local core count (default 32)
   BENCH_QUERIES       comma-separated subset (default: all registered)
-  BENCH_REPEAT        best-of-N per query (default 1)
-  BENCH_FULL_PATH     durable sidecar path (default <repo>/BENCH_FULL.json)
+  BENCH_REPEAT        median-of-N per query (default 3 — the recorded
+                      environment drifts ~1.3x between rounds and first
+                      runs pay whole-stage-codegen JIT; a median of 3
+                      in-process runs is stable against both)
+  BENCH_FULL_PATH     durable sidecar path (default <repo>/BENCH_FULL.json;
+                      NOT written on BENCH_QUERIES subset runs, so smoke
+                      probes never clobber the last full-suite record)
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -29,7 +35,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -88,18 +94,22 @@ def main() -> None:
         .alias("rn"),
     ).write.format("noop").mode("overwrite").save()
 
-    # Adaptive best-of: a query whose first run exceeds the threshold is run
-    # once more and the minimum kept — the first execution of a heavy plan
-    # pays its whole-stage-codegen JIT (measured ~4x steady state), which a
-    # long-running cluster amortizes and a benchmark should not charge.
+    # Adaptive retry for single-shot mode (BENCH_REPEAT=1): a query whose
+    # only run exceeds the threshold is run once more and the minimum kept —
+    # the first execution of a heavy plan pays its whole-stage-codegen JIT
+    # (measured ~4x steady state), which a long-running cluster amortizes
+    # and a benchmark should not charge. Moot at the default repeat=3, where
+    # the median already discounts a slow first run.
     retry_threshold = float(os.environ.get("BENCH_RETRY_THRESHOLD", "3.0"))
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         fn = registry.QUERIES[name]
-        best = None
+        samples: list[float] = []
         runs = repeat
         r = 0
+        failed = False
         while r < runs:
             r += 1
             t0 = time.perf_counter()
@@ -108,32 +118,51 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 — record, keep benching
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                best = -1.0
+                failed = True
                 break
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(dt)
             if runs == 1 and dt > retry_threshold:
                 runs = 2
-        timings[name] = round(best, 4)
+        all_runs[name] = [round(s, 4) for s in samples]
+        if failed:
+            timings[name] = -1.0
+        elif repeat == 1:
+            timings[name] = round(min(samples), 4)
+        else:
+            timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
+    # Most-expensive-first: the driver captures only a tail of stdout, so if
+    # the one-line JSON is ever truncated it loses the cheap queries, not
+    # the ones that matter.
+    ordered = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     payload = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": ordered,
         "sf": sf,
+        "repeat": repeat,
+        "stat": "min" if repeat == 1 else "median",
     }
-    # Durable sidecar: the driver captures only a tail of stdout, which a
-    # 128-query JSON line can overflow — the full per-query record always
-    # lands on disk for round-over-round comparison.
-    sidecar = os.environ.get("BENCH_FULL_PATH", os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"))
-    try:
-        with open(sidecar, "w") as fh:
-            json.dump(payload, fh, sort_keys=True, indent=1)
-            fh.write("\n")
-    except OSError as exc:
-        print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
+    # Durable sidecar: the full per-query record (incl. raw per-run samples)
+    # lands on disk for round-over-round comparison. Skipped for subset
+    # runs — a BENCH_QUERIES smoke probe must not clobber the last
+    # full-suite record the sidecar exists to preserve.
+    if subset:
+        print("bench: subset run — sidecar not written", file=sys.stderr)
+    else:
+        sidecar = os.environ.get(
+            "BENCH_FULL_PATH",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        )
+        try:
+            with open(sidecar, "w") as fh:
+                json.dump({**payload, "runs": all_runs}, fh, sort_keys=True, indent=1)
+                fh.write("\n")
+        except OSError as exc:
+            print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
     print(json.dumps(payload))
 
 

@@ -64,13 +64,16 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     "first" by min id needs no order at all).
     """
     h = F.md5(normalize_text(F.col(text_col))).alias("text_hash")
-    # spread BEFORE hashing is deliberate: it ships raw text, but only when
-    # the scan is under-partitioned — where the alternative is computing
-    # every md5+normalize on the scan's few cores (measured 3x slower).
-    # On a well-split production table spread_for_fanout is a no-op and
-    # nothing extra is shuffled.
+    # Hash in the scan stage; the ONLY exchange is the groupBy's, carrying
+    # (16-byte hash, id) partials. No spread_for_fanout here: spreading raw
+    # text before hashing ships the expensive direction (measured 2.2x
+    # slower at sf0.1 than hashing in place), and spreading the narrow
+    # (id, hash) after is redundant — the groupBy exchange already
+    # redistributes. If a scan is ever under-split for the normalize+md5
+    # CPU, the scale-correct lever is the scan split count
+    # (spark.sql.files.maxPartitionBytes), not a raw-text shuffle.
     return (
-        spread_for_fanout(df, id_col).select(F.col(id_col), h)
+        df.select(F.col(id_col), h)
         .groupBy("text_hash")
         .agg(
             F.min(id_col).alias(id_col),

@@ -265,3 +265,43 @@ def test_rollup_incremental_preaggregates_both_branches(spark):
     p = plan(spark, "rollup_incremental")
     assert p.count("HashAggregate") >= 4  # partial+final per branch merge
     assert "CartesianProduct" not in p
+
+
+def test_dedup_exact_is_one_hash_exchange(spark):
+    """Exact dedup must hash in the scan stage and shuffle ONLY the groupBy
+    partials (16-byte hash + id) — exactly one exchange, partial agg below
+    it, and no repartition of raw text anywhere."""
+    p = plan(spark, "dedup_exact")
+    assert p.count("+- Exchange") == 1
+    assert p.count("HashAggregate") >= 2  # partial before + final after
+    assert "SinglePartition" not in p
+
+
+def test_corpus_build_pipeline_shuffles_hashes_only(spark):
+    """End-to-end corpus build: quality gates fuse into the scan, the exact
+    dedup is the only data-sized exchange (the second exchange carries the
+    manifest agg's group-key partials), and the survivor semi-join
+    broadcasts rather than shuffling the corpus."""
+    p = plan(spark, "corpus_build_pipeline")
+    assert p.count("+- Exchange") == 2
+    assert "BroadcastHashJoin LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_event_transitions_broadcasts_totals(spark):
+    """The transition-matrix normalization join is event-types² — it must
+    broadcast; a shuffle join on the totals would exchange the full
+    transition stream twice."""
+    p = plan(spark, "event_transitions")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_session_paths_top_k_never_global_sorts(spark):
+    """Top-k paths must be TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows), never a global Sort."""
+    p = plan(spark, "session_paths")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -189,7 +189,7 @@ def pagerank(
                 + damping * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling / n)
             ).alias("rank"),
         )
-        if n_dangling:
+        if n_dangling and i < n_iter - 1:
             # lazy checkpoint: the dangling aggregate below is the action
             # that materializes it, so the next iteration's scalar and this
             # iteration's lineage cut share a single job
@@ -198,6 +198,11 @@ def pagerank(
                 ranks.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).first()[0]
                 or 0.0
             )
+        elif n_dangling:
+            # final iteration: the dangling scalar would never be used, so
+            # a plain eager checkpoint caps lineage without the extra
+            # filter+sum pass over ranks
+            ranks = ranks.localCheckpoint(eager=True)
         # Without dangling nodes (e.g. any symmetrized undirected graph) no
         # per-iteration scalar is needed at all; checkpoint every few
         # iterations — enough to cap lineage depth and failure-replay span,

@@ -36,7 +36,12 @@ def pareto_frontier(
         F.least(
             F.lit(buckets - 1),
             F.floor(
-                (F.col(x) - F.col("_lo")) * buckets / (F.col("_hi") - F.col("_lo") + 1e-9)
+                # cast before the multiply: in the input's integer type,
+                # (x - _lo) * buckets can overflow near the int64 extremes,
+                # mis-bucketing points and defeating the phase-1 pruning
+                (F.col(x).cast("double") - F.col("_lo"))
+                * buckets
+                / (F.col("_hi") - F.col("_lo") + 1e-9)
             ),
         ),
     )

@@ -934,7 +934,7 @@ _INT_RE = r"^\s*[+-]?[0-9]+\s*$"
 # else Spark would NULL a value the DuckDB oracle's TRY_CAST converts
 _NUM_RE = (
     r"^\s*[+-]?(([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"
-    r"|[Ii][Nn][Ff][Ii][Nn][Ii][Tt][Yy]|[Nn][Aa][Nn])\s*$"
+    r"|[Ii][Nn][Ff]([Ii][Nn][Ii][Tt][Yy])?|[Nn][Aa][Nn])\s*$"
 )
 
 

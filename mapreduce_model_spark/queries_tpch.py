@@ -817,8 +817,9 @@ def tpch_q21(spark, sf_dir):
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == nation_name)
     # fresh scans on purpose: deriving s9_keys from the s/n frames used in
     # the final joins trips Spark's ambiguous-self-join analyzer
-    # (s_nationkey appears on both branches); the re-scan is free — same
-    # file, deduped by the optimizer — and the nation literal is shared
+    # (s_nationkey appears on both branches); Catalyst does NOT merge
+    # duplicate scans, but the extra read is a broadcast-sized dimension
+    # (supplier/nation), cheap at any scale, and the nation literal is shared
     s9_keys = (
         table(spark, sf_dir, "supplier")
         .join(

@@ -733,7 +733,13 @@ def corpus_build_pipeline(spark, sf_dir):
     16-byte text hash, and the split assignment is a narrow projection on
     the survivors. At 100 TB this whole pipeline is scan → one exchange →
     tiny report aggregate."""
-    docs = table(spark, sf_dir, "documents")
+    return _split_manifest(_quality_exact_corpus(table(spark, sf_dir, "documents")))
+
+
+def _quality_exact_corpus(docs):
+    """Shared front end of the corpus-build pipelines: C4/Gopher quality
+    gates fused into the scan, then exact keep-first dedup (md5 groupBy +
+    min-id semi join). Returns (doc_id, source, n_chars, text)."""
     words = words_array("text")
     nw = F.size(words)
     mean_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast(
@@ -762,11 +768,15 @@ def corpus_build_pipeline(spark, sf_dir):
     # survivors is one row per DISTINCT text — corpus-sized, so no
     # broadcast hint: the keep-id semi join shuffles on doc_id (AQE may
     # still broadcast it when the filtered corpus is actually small)
-    final = kept.join(
+    return kept.join(
         survivors.select("keep_id"),
         kept.doc_id == F.col("keep_id"),
         "left_semi",
     )
+
+
+def _split_manifest(final):
+    """Deterministic md5 train/val/test split → (split, source) manifest."""
     bucket = md5_int32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
     split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     return (
@@ -777,3 +787,45 @@ def corpus_build_pipeline(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query("corpus_build_pipeline_near")  # iterative CC gate — rows-only check
+def corpus_build_pipeline_near(spark, sf_dir):
+    """corpus_build_pipeline with a SECOND dedup gate: after the exact
+    keep-first pass, MinHash-LSH candidate pairs feed distributed connected
+    components, and only cluster survivors (min doc_id per near-dup
+    component) reach the split/manifest stage — the full production recipe
+    (quality → exact dedup → near dedup → split → manifest) as one
+    composition of the standalone oracle-checked stages.
+
+    Scale shape: the near gate adds the LSH banded self-join (bucketed,
+    hot-bucket-capped — never all-pairs) and an iterative fixpoint over the
+    PAIR GRAPH only (pairs ≪ corpus); the corpus itself is touched by one
+    extra survivor semi-join. Iterative ⇒ no single-statement oracle; the
+    survivor count is pinned against an operator-level recomputation in
+    tests/test_round3_ops.py."""
+    from mapreduce_model_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        minhash_signatures,
+    )
+    from mapreduce_model_spark.operators.graph import dedup_survivors
+    from mapreduce_model_spark.queries_dedup import (
+        BANDS,
+        K,
+        LSH_THRESHOLD,
+        MAX_BUCKET,
+        ROWS,
+        SHINGLE_K,
+    )
+
+    exact = _quality_exact_corpus(table(spark, sf_dir, "documents"))
+    sig = minhash_signatures(exact, k=K, shingle_k=SHINGLE_K)
+    pairs = lsh_near_dup_pairs(
+        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+    ).select("id_a", "id_b")
+    keep = (
+        dedup_survivors(exact.select("doc_id"), pairs)
+        .filter("is_survivor")
+        .select("doc_id")
+    )
+    return _split_manifest(exact.join(keep, "doc_id", "left_semi"))

@@ -159,3 +159,61 @@ def test_stream_dedup_is_exact_inverse_of_redelivery(spark, sf_dir):
     out = QUERIES["stream_dedup"](spark, sf_dir)
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_corpus_build_near_survivors_match_cluster_recompute(spark, sf_dir):
+    """The near-dedup gate inside corpus_build_pipeline_near must keep
+    exactly the min-id survivor of each connected LSH component over the
+    SAME (quality-kept, exact-deduped) corpus — recomputed here from the
+    operator primitives, survivor set compared element-wise."""
+    from mapreduce_model_spark.operators.dedup import (
+        lsh_near_dup_pairs,
+        minhash_signatures,
+    )
+    from mapreduce_model_spark.queries_dedup import (
+        BANDS,
+        K,
+        LSH_THRESHOLD,
+        MAX_BUCKET,
+        ROWS,
+        SHINGLE_K,
+    )
+    from mapreduce_model_spark.queries_text import _quality_exact_corpus
+
+    exact = _quality_exact_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).localCheckpoint()
+
+    pairs = lsh_near_dup_pairs(
+        minhash_signatures(exact, k=K, shingle_k=SHINGLE_K),
+        bands=BANDS,
+        rows=ROWS,
+        threshold=LSH_THRESHOLD,
+        max_bucket=MAX_BUCKET,
+    ).select("id_a", "id_b")
+
+    # driver-side union-find over the pair graph (pairs ≪ corpus)
+    parent: dict = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    ids = [r.doc_id for r in exact.select("doc_id").collect()]
+    for r in pairs.collect():
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for i in ids:
+        comp.setdefault(find(i), set()).add(i)
+    expected_survivors = {min(members) for members in comp.values()}
+
+    manifest = QUERIES["corpus_build_pipeline_near"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in manifest) == len(expected_survivors)
+
+    # the exact pipeline (no near gate) must keep at least as many docs
+    exact_manifest = QUERIES["corpus_build_pipeline"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in exact_manifest) >= len(expected_survivors)

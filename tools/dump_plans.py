@@ -102,6 +102,36 @@ COMMENTARY: dict[str, str] = {
         "in the single-partition tail — same merge shape as "
         "TakeOrderedAndProject."
     ),
+    "global_row_ids": (
+        "Contiguous global ids without a global window: range exchange + "
+        "narrow Arrow numbering pass (offsets ride in the closure — no "
+        "second exchange, no offsets join). DETERMINISM CONTRACT — the "
+        "subtlest correctness trap in the repo: `repartitionByRange` "
+        "SAMPLES its range boundaries with a per-job seed, so the counts "
+        "job and the numbering job can land on different partition "
+        "boundaries; every offset after the first divergent partition is "
+        "then wrong. The lazy `localCheckpoint` in `operators/ids.py` pins "
+        "ONE sampled layout for both passes (the counts collect is the "
+        "materializing action, so the pin costs no extra job). Repro of "
+        "the failure: call `global_ordered_ids(docs, ['source','doc_id'], "
+        "materialize=False)` and compare against `row_number() OVER "
+        "(ORDER BY source, doc_id)` at sf0.1 — ids diverge on a few "
+        "percent of rows once the table is large enough that boundary "
+        "samples differ between jobs (observed at sf0.1; deterministic at "
+        "sf0.001, which is why only the big-SF test catches it). Same "
+        "caveat as RDD `zipWithIndex`. Do NOT 'optimize away' the "
+        "checkpoint without reading this."
+    ),
+    "corpus_build_pipeline": (
+        "The end-to-end training-corpus build as ONE Catalyst plan: "
+        "C4/Gopher quality gates fuse into the parquet scan, the exact "
+        "keep-first dedup groups on the 16-byte md5 (the only data-sized "
+        "exchange), the survivor semi-join broadcasts under AQE, and the "
+        "manifest aggregate shuffles group-key partials. At 100 TB: "
+        "scan -> one hash exchange -> tiny report. The `_near` variant "
+        "adds the LSH band join + pair-graph fixpoint without touching "
+        "this skeleton (one extra survivor semi-join)."
+    ),
     "bigram_pmi": (
         "Collocation mining: two explode→agg passes with map-side "
         "partials, then word-keyed SHUFFLE joins for the unigram "

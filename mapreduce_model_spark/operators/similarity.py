@@ -229,3 +229,68 @@ def embedding_near_dup_pairs(
             F.round(F.col("cosine") + 1e-9, 6).alias("cosine"),
         )
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) — the one-training-pass upgrade to
+    ``ivf_cosine_topk``'s deterministic slice quantizer.
+
+    Deterministic init: the k lowest-id vectors seed the centroids (no
+    RNG — reproducible across runs and engines). Each iteration is
+
+    1. assign: every vector scores against the BROADCAST k×dim centroid
+       set and keeps its best cell (``_rank_centroids`` — a narrow pass
+       over the corpus, no corpus shuffle), then
+    2. update: per-(cell, dimension) mean via posexplode + two-level
+       aggregate (the embedding_centroids shape — partial sums absorb the
+       dim fan-out map-side; the shuffle carries k×dim keys only).
+
+    The new centroids are eagerly localCheckpoint-ed: k×dim rows, so the
+    materialization is trivially small, the growing lineage is cut every
+    iteration, and the next broadcast reads a stable tiny frame. Cosine
+    assignment makes centroid normalization unnecessary (the norm divides
+    out). At 100 TB each iteration = one broadcast + one tiny-key shuffle
+    — the canonical distributed Lloyd's.
+
+    Returns (cid, centroid array<double>, n_members) for the final
+    assignment.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    seeds = v.orderBy("vid").limit(k)
+    w = Window.orderBy("vid")  # k rows — single-partition window is fine
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).alias("cid"),
+        F.col("v").alias("ce"),
+        F.col("n").alias("cn"),
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        assign = _rank_centroids(v, cents, 1)
+        cents = (
+            assign.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("ce")
+            )
+            .withColumn("cn", l2_norm(F.col("ce")))
+            .localCheckpoint(eager=True)
+        )
+    final = _rank_centroids(v, cents, 1)
+    return (
+        final.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(cents.select("cid", F.col("ce").alias("centroid")), "cid")
+        .select("cid", "centroid", "n_members")
+    )

@@ -249,3 +249,107 @@ def embedding_centroids(spark, sf_dir):
         ).alias("centroid"),
         F.count(F.lit(1)).alias("dim"),
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+WITH p AS (
+    SELECT vec_id, unnest(range(0, len(embedding))) AS pos, embedding AS e
+    FROM embeddings
+), pv AS (
+    SELECT vec_id, pos, CAST(e[pos + 1] AS DOUBLE) AS v FROM p
+), dims AS (
+    SELECT pos, min(v) AS lo, max(v) AS hi, (max(v) - min(v)) / 255 AS sc
+    FROM pv GROUP BY pos
+), coded AS (
+    SELECT vec_id, pos, v, lo, sc,
+           CASE WHEN sc = 0 THEN 0
+                ELSE CAST(floor((v - lo) / sc + 0.5) AS INTEGER) - 128 END AS code
+    FROM pv JOIN dims USING (pos)
+), recon AS (
+    SELECT vec_id, pos, v, code,
+           CASE WHEN sc = 0 THEN lo
+                ELSE lo + (code + 128) * sc END AS r
+    FROM coded
+)
+SELECT vec_id, list(code ORDER BY pos) AS codes,
+       round(1e-9 + sum((v - r) * (v - r)) / count(*), 9) AS mse
+FROM recon GROUP BY vec_id
+""",
+)
+def embedding_quantize(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column — the 4x memory /
+    bandwidth lever for ANN at scale (float32[64] → int8[64] + per-dim
+    scales). Per-dimension min/max come from ONE tiny two-level aggregate
+    (the shuffle carries dim × partition partials); the dim-sized stats
+    land on the driver (bounded: 64 doubles here, ≤ a few thousand for any
+    real embedding) and re-enter the plan as LITERAL arrays, so the
+    quantization itself is a fully NARROW ``transform`` over the corpus —
+    no explode, no join, no shuffle of vector data. Per-vector MSE is the
+    quality metric, computed in the same narrow pass.
+
+    floor(x + 0.5) instead of round() so both engines use identical IEEE
+    ops (round's half-even/half-away conventions differ)."""
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+    stats = sorted(
+        (r["pos"], r["lo"], r["hi"])
+        for r in p.groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    lo_arr = F.lit([lo for _, lo, _ in stats])
+    sc_arr = F.lit([(hi - lo) / 255 for _, lo, hi in stats])
+    ve = F.col("embedding").cast("array<double>")
+    codes = F.transform(
+        ve,
+        lambda x, i: F.when(F.element_at(sc_arr, i + 1) == 0, F.lit(0)).otherwise(
+            F.floor(
+                (x - F.element_at(lo_arr, i + 1)) / F.element_at(sc_arr, i + 1) + 0.5
+            ).cast("int")
+            - 128
+        ),
+    )
+    recon = F.transform(
+        ve,
+        lambda x, i: F.when(
+            F.element_at(sc_arr, i + 1) == 0, F.element_at(lo_arr, i + 1)
+        ).otherwise(
+            F.element_at(lo_arr, i + 1)
+            + (
+                F.floor(
+                    (x - F.element_at(lo_arr, i + 1)) / F.element_at(sc_arr, i + 1)
+                    + 0.5
+                )
+                .cast("int")
+            )
+            * F.element_at(sc_arr, i + 1)
+        ),
+    )
+    sq = F.zip_with(ve, recon, lambda a, b: (a - b) * (a - b))
+    mse = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size(ve)
+    return emb.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.round(mse + F.lit(1e-9), 9).alias("mse"),
+    )
+
+
+@query("kmeans_embeddings")  # iterative Lloyd's — rows-only check
+def kmeans_embeddings(spark, sf_dir):
+    """Spherical k-means over the embedding corpus (operators/similarity.py
+    kmeans_fit): deterministic lowest-id seeding, 5 iterations of
+    broadcast-assign + two-level per-dimension mean. Iterative fixpoint ⇒
+    no single-statement oracle; the algorithm is pinned against a numpy
+    recompute in tests/test_round3_ops.py. Centroids rounded for stable
+    cross-run comparison."""
+    from mapreduce_model_spark.operators.similarity import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = kmeans_fit(emb, k=8, n_iter=5)
+    return out.select(
+        "cid",
+        F.transform("centroid", lambda c: rnd(c, 6)).alias("centroid"),
+        "n_members",
+    )

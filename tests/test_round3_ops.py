@@ -217,3 +217,36 @@ def test_corpus_build_near_survivors_match_cluster_recompute(spark, sf_dir):
     # the exact pipeline (no near gate) must keep at least as many docs
     exact_manifest = QUERIES["corpus_build_pipeline"](spark, sf_dir).collect()
     assert sum(r.n_docs for r in exact_manifest) >= len(expected_survivors)
+
+
+def test_kmeans_matches_numpy_recompute(spark, sf_dir):
+    """kmeans_embeddings against an independent numpy Lloyd's with the same
+    deterministic seeding (k lowest ids), cosine assignment, and 5 mean
+    updates — member counts exact, centroids to 1e-5."""
+    import numpy as np
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl["vec_id"].to_pylist())
+    X = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    k = 8
+    cents = X[:k].copy()
+
+    def assign(C):
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        )
+        # ties broken by lowest cid, matching the operator's (score desc, cid)
+        return np.argmax(sims, axis=1)
+
+    for _ in range(5):
+        a = assign(cents)
+        cents = np.stack([X[a == c].mean(axis=0) for c in range(k)])
+    a = assign(cents)
+
+    got = {r.cid: r for r in QUERIES["kmeans_embeddings"](spark, sf_dir).collect()}
+    assert set(got) == set(range(k))
+    for c in range(k):
+        assert got[c].n_members == int((a == c).sum())
+        assert np.allclose(np.array(got[c].centroid), cents[c], atol=1e-5)

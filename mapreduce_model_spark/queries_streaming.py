@@ -141,3 +141,30 @@ def stream_dedup(spark, sf_dir):
         "event_type",
         F.round(F.col("value") + 1e-9, 2).alias("value"),
     )
+
+
+@query(
+    "stream_attribution_unmatched",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      AND epoch_us(c.ts) <= epoch_us(p.ts)
+      AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+  )
+""",
+)
+def stream_attribution_unmatched(spark, sf_dir):
+    """Batch face of the left-outer stream-stream join's null-preserved
+    side (streaming/joins.py unattributed_purchases): purchases with no
+    same-user click in the prior 30 minutes. The streaming path — where
+    outer rows are emitted only after the watermark proves no match can
+    arrive, keeping join state finite — runs in test_streaming.py and
+    must emit exactly these rows (modulo the still-open watermark tail)."""
+    from mapreduce_model_spark.streaming.joins import unattributed_purchases
+
+    out = unattributed_purchases(table(spark, sf_dir, "events"), lookback="30 minutes")
+    return out.select("purchase_id", "user_id")

@@ -22,20 +22,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["click_purchase_attribution"]
+__all__ = ["click_purchase_attribution", "unattributed_purchases"]
 
 
 def click_purchase_attribution(
     events: DataFrame,
     lookback: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Purchases joined to the same user's clicks within ``lookback`` before
     the purchase. ``events`` may be batch or streaming; watermarks are
     attached only on the streaming path.
 
+    ``how='left_outer'`` keeps purchases with NO qualifying click
+    (null click columns). On a stream, outer rows are emitted only once
+    the watermark proves no matching click can still arrive — the state
+    store holds a purchase exactly until watermark > purchase_ts (later
+    clicks are outside the range condition), which is what keeps outer
+    join state finite.
+
     Returns (purchase_id, click_id, user_id, purchase_ts, click_ts,
-    gap_us ≥ 0).
+    gap_us ≥ 0; click_id/click_ts/gap_us null for outer-preserved rows).
     """
     purchases = events.filter(F.col("event_type") == "purchase")
     clicks = events.filter(F.col("event_type") == "click")
@@ -57,6 +65,7 @@ def click_purchase_attribution(
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        how,
     )
     return joined.select(
         "purchase_id",
@@ -65,4 +74,20 @@ def click_purchase_attribution(
         "purchase_ts",
         "click_ts",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+def unattributed_purchases(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Purchases with NO same-user click in the preceding ``lookback`` —
+    the remarketing/organic-conversion signal, as the null-preserved side
+    of the watermarked left-outer stream-stream join (anti-join semantics
+    that work on an unbounded stream; a true anti join is not available
+    stream-stream)."""
+    out = click_purchase_attribution(events, lookback, watermark, how="left_outer")
+    return out.filter(F.col("click_id").isNull()).select(
+        "purchase_id", "user_id", "purchase_ts"
     )

@@ -521,3 +521,31 @@ def test_stream_dedup_parity(spark, sf_dir):
     assert _rows(got.select("event_id"), ["event_id"]) == _rows(
         batch.select("event_id"), ["event_id"]
     )
+
+
+def test_stream_outer_join_emits_unmatched_after_watermark(spark, sf_dir):
+    """Left-outer stream-stream join: the null-preserved side must emit
+    exactly the batch anti-join rows once the watermark passes them — no
+    false unmatched rows ever, and every purchase old enough that the
+    final watermark proves no click can arrive is emitted."""
+    from mapreduce_model_spark.streaming.joins import unattributed_purchases
+
+    batch = unattributed_purchases(table(spark, sf_dir, "events"))
+    stream = unattributed_purchases(stream_events(spark, sf_dir))
+    assert stream.isStreaming
+    run_stream_to_table(stream, "t_outer_join", output_mode="append")
+    got = {(r.purchase_id, r.user_id) for r in spark.table("t_outer_join").collect()}
+    want_all = {(r.purchase_id, r.user_id) for r in batch.collect()}
+    # never a false unmatched row
+    assert got <= want_all
+    # and everything safely past the final watermark horizon was emitted:
+    # watermark 1h + 30min lookback + state-cleanup slack of one horizon
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts.timestamp() - 2 * 3600 - 1800
+    want_min = {
+        (r.purchase_id, r.user_id)
+        for r in batch.collect()
+        if r.purchase_ts.timestamp() <= cutoff
+    }
+    assert want_min <= got
+    assert len(got) > 0

@@ -1450,3 +1450,71 @@ def skyline_pareto(spark, sf_dir):
         .alias("day_num"),
     )
     return pareto_frontier(pts, x="price", y="day_num")
+
+
+@query(
+    "quantile_mergeable_histogram",
+    oracle="""
+WITH lvl1 AS (
+    SELECT l_returnflag, CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+), merged AS (
+    SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM lvl1 GROUP BY bin
+), cum AS (
+    SELECT bin, n, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM merged
+), tot AS (
+    SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM merged
+), ps AS (
+    SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]::DOUBLE[]) AS p
+)
+SELECT p, round(1e-9 + bin * 5000 + (p * n_total - (cum - n)) / n * 5000, 4) AS est
+FROM ps, tot, cum
+WHERE cum >= p * n_total AND cum - n < p * n_total
+""",
+)
+def quantile_mergeable_histogram(spark, sf_dir):
+    """Approximate quantiles from MERGEABLE fixed-width histograms — the
+    oracle-checkable counterpart of sketch_mergeable_distinct's HLL
+    pattern. Level 1 pre-aggregates (group, bin) counts (here per
+    l_returnflag — per-day/per-partition in production); level 2 merges
+    bins by SUM alone — the algebraic property that lets 100 TB of daily
+    histograms be re-combined per week/source/anything without rescanning
+    data; quantiles then interpolate linearly inside the covering bin.
+    Max error = one bin width (asserted vs the exact percentile in
+    test_sketch_accuracy.py). Every frame after level 1 is bins-sized —
+    the windows and joins below run on a few dozen rows, never the fact
+    table."""
+    li = table(spark, sf_dir, "lineitem")
+    lvl1 = (
+        li.withColumn("bin", F.floor(F.col("l_extendedprice") / 5000).cast("long"))
+        .groupBy("l_returnflag", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = lvl1.groupBy("bin").agg(F.sum("n").alias("n"))
+    cum = merged.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = merged.agg(F.sum("n").cast("double").alias("n_total"))
+    ps = spark.createDataFrame(
+        [(0.25,), (0.5,), (0.75,), (0.95,), (0.99,)], "p double"
+    )
+    target = F.col("p") * F.col("n_total")
+    return (
+        ps.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cum),
+            (F.col("cum") >= target) & (F.col("cum") - F.col("n") < target),
+        )
+        .select(
+            "p",
+            rnd(
+                F.col("bin") * 5000
+                + (target - (F.col("cum") - F.col("n"))) / F.col("n") * 5000,
+                4,
+            ).alias("est"),
+        )
+    )

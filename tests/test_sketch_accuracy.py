@@ -21,3 +21,19 @@ def test_approx_distinct_error_bounds(spark, sf_dir):
     assert abs(row.approx_orders - exact.orders) / exact.orders <= 0.05
     assert abs(row.approx_parts - exact.parts) / exact.parts <= 0.05
     assert exact.q1 <= row.median_price <= exact.q3
+
+
+def test_histogram_quantiles_within_one_bin(spark, sf_dir):
+    """Merged-histogram quantile estimates must land within one bin width
+    (5000) of the exact percentile at every level — the estimator's error
+    contract."""
+    got = {r.p: r.est for r in QUERIES["quantile_mergeable_histogram"](spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D, 0.99D))"
+        ).alias("q")
+    ).collect()[0].q
+    assert set(got) == {0.25, 0.5, 0.75, 0.95, 0.99}
+    for p, ex in zip([0.25, 0.5, 0.75, 0.95, 0.99], exact):
+        assert abs(got[p] - ex) <= 5000, (p, got[p], ex)

@@ -261,9 +261,14 @@ def kmeans_fit(
     Returns (cid, centroid array<double>, n_members) for the final
     assignment.
     """
-    v = vectors.select(
-        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
-    ).withColumn("n", l2_norm(F.col("v")))
+    # the corpus (with norms) feeds every iteration's assign pass — persist
+    # once so 1+n_iter+1 passes read cached columns, not parquet + re-normed
+    # arrays (ContextCleaner unpersists when the plan goes unreferenced)
+    v = (
+        vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))
+        .persist()
+    )
     seeds = v.orderBy("vid").limit(k)
     w = Window.orderBy("vid")  # k rows — single-partition window is fine
     cents = seeds.select(

@@ -353,3 +353,59 @@ def kmeans_embeddings(spark, sf_dir):
         F.transform("centroid", lambda c: rnd(c, 6)).alias("centroid"),
         "n_members",
     )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), pairs AS (
+    SELECT a.p AS u, b.p AS v, count(*) AS sup
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+), edges AS (
+    SELECT u, v FROM pairs WHERE sup >= 2
+)
+SELECT e1.u AS a, e1.v AS b, e2.v AS c
+FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle enumeration on the co-purchase graph (parts sharing an
+    order, support ≥ 2) — the non-iterative graph primitive (clustering
+    coefficients, community seeds) next to the iterative
+    connected_components/pagerank.
+
+    Scale design: the pair generation is blocked BY ORDER (an order has a
+    handful of parts — the quadratic is per-order-bounded, never
+    all-parts); the support filter is the hub guard, collapsing the edge
+    list ~300x before any edge-edge join (same move as LSH's max_bucket
+    and ngram's max_shingle_df); and the triangle join itself uses the
+    u<v<w orientation so each wedge is probed once and each triangle
+    counted exactly once. Every join is an equi-join on node keys —
+    shuffle-partitioned, AQE-managed, no cartesian anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = items.alias("ia"), items.alias("ib")
+    edges = (
+        a.join(b, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
+        .groupBy(F.col("ia.p").alias("u"), F.col("ib.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+        # three consumers below — persist the (tiny, post-support) edge
+        # list so the order-blocked pair generation runs once, not thrice
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )

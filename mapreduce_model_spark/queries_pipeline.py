@@ -1554,3 +1554,51 @@ def session_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "ewma_user_daily",
+    oracle="""
+WITH g AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           list(value ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, CAST(len(vals) AS BIGINT) AS n_events,
+       round(1e-9 + list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+FROM g
+""",
+)
+def ewma_user_daily(spark, sf_dir):
+    """Exponentially weighted moving average of each user's event values
+    per calendar day (α=0.3) — the time-decayed smoothing primitive
+    (trend/anomaly features) that windows can't express: EWMA is a
+    RECURSIVE fold, not an algebraic aggregate, so it runs as a
+    left-to-right ``aggregate`` over the day's time-ordered value list.
+
+    Scale contract: the collected list is bounded by events/user/DAY (the
+    calendar key is the bound — same contract as session_paths' per-session
+    collect), never a whole-history collect. The fold is identical
+    left-to-right double arithmetic in both engines (Spark ``aggregate``
+    vs DuckDB ``list_reduce``), so values match bit-for-bit before the
+    display rounding. Ties on ts are broken by event_id in BOTH collects —
+    without that the fold order, and therefore the EWMA, is
+    nondeterministic."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("xs")
+    )
+    vals = F.transform("xs", lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return g.select(
+        "user_id",
+        "day",
+        F.size("xs").cast("long").alias("n_events"),
+        rnd(ewma, 4).alias("ewma"),
+    )

@@ -78,3 +78,20 @@ def test_merge_apply_cdc_null_op_is_ignored_not_deleted(spark):
     changes = spark.createDataFrame([(1, 99.0, None)], "k int, v double, op string")
     got = {r.k: r.v for r in merge_apply_cdc(target, changes, "k").collect()}
     assert got == {1: 10.0, 2: 20.0}
+
+
+def test_global_ordered_ids_edge_shapes(spark):
+    """The narrow Arrow numbering pass must survive empty inputs and more
+    partitions than rows (empty partitions yield no batches)."""
+    from mapreduce_model_spark.operators.ids import global_ordered_ids
+
+    empty = spark.createDataFrame([], "k long, s string")
+    assert global_ordered_ids(empty, ["k"]).collect() == []
+
+    tiny = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "k long, s string")
+    out = sorted(global_ordered_ids(tiny, ["k"], num_partitions=8).collect())
+    assert [(r.k, r.s, r.row_id) for r in out] == [
+        (1, "a", 1),
+        (2, "b", 2),
+        (3, "c", 3),
+    ]

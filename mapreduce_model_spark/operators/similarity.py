@@ -137,10 +137,28 @@ def _rank_centroids(
     vectors: DataFrame, centroids: DataFrame, max_rank: int
 ) -> DataFrame:
     """Score every vector against every (broadcast) centroid, keep the
-    ``max_rank`` nearest cells. Output adds ``cid`` and ``crank``."""
+    ``max_rank`` nearest cells. Output adds ``cid`` (and ``crank`` when
+    ``max_rank`` > 1). Tie-break is (score desc, cid asc) in both paths.
+
+    Only the multi-probe (query-side, small) path pays a window; rank-1 —
+    the CORPUS-side assignment in IVF and every k-means iteration — is a
+    ``min_by`` aggregate whose map-side partial collapses the ×centroids
+    fan-out before the exchange. The window formulation would shuffle
+    corpus × n_centroids rows (1B vectors × 1000 cells = 1T rows); the
+    aggregate shuffles one combined row per vector, and AQE coalesces
+    from there."""
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "_cscore", dot(F.col("v"), F.col("ce")) / (F.col("n") * F.col("cn"))
     )
+    if max_rank == 1:
+        passthrough = [c for c in vectors.columns if c != "vid"]
+        best = scored.groupBy("vid").agg(
+            F.min_by(
+                F.struct(*passthrough, "cid"),
+                F.struct((-F.col("_cscore")).alias("neg"), F.col("cid")),
+            ).alias("_best")
+        )
+        return best.select("vid", *[f"_best.{c}" for c in passthrough], "_best.cid")
     w = Window.partitionBy("vid").orderBy(F.col("_cscore").desc(), F.col("cid"))
     return (
         scored.withColumn("crank", F.row_number().over(w))

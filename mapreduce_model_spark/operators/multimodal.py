@@ -41,6 +41,31 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def sniff_format(content) -> F.Column:
+    """Magic-byte format sniffer over a ``binary`` column as a pure JVM
+    expression (``substring`` works on BinaryType — no UDF, stays inside
+    whole-stage codegen): png/jpeg/gif/wav/mp4/unknown. The ingest-side
+    classifier for a mixed binaryFile asset tree
+    (sources/files.py:read_binary_files) — route each modality to its
+    decoder without a Python round trip."""
+    head4 = F.substring(content, 1, 4)
+    return (
+        F.when(
+            F.substring(content, 1, 8) == F.lit(bytes.fromhex("89504e470d0a1a0a")),
+            "png",
+        )
+        .when(F.substring(content, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
+        .when(head4 == F.lit(b"GIF8"), "gif")
+        .when(
+            (head4 == F.lit(b"RIFF"))
+            & (F.substring(content, 9, 4) == F.lit(b"WAVE")),
+            "wav",
+        )
+        .when(F.substring(content, 5, 4) == F.lit(b"ftyp"), "mp4")
+        .otherwise("unknown")
+    )
+
+
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a media table: utf-8 payload bytes + typed metadata struct.
     (In production this column comes from the source parquet/tar shards.)"""

@@ -117,3 +117,22 @@ def write_xml(
     df.write.mode(mode).format("xml").option("rowTag", row_tag).options(**options).save(
         path
     )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str | list[str], glob: str | None = None, **options
+) -> DataFrame:
+    """``binaryFile`` scan — the raw-asset ingest path for multimodal
+    corpora (images/audio/video land as opaque ``content: binary`` plus
+    path/mtime/length metadata; operators/multimodal.py takes it from
+    there). ``glob`` maps to ``pathGlobFilter`` so a mixed asset tree can
+    be ingested per-modality without listing twice; recursive lookup is on
+    by default (asset trees nest). Whole files are read — Spark caps each
+    file at ``spark.sql.sources.binaryFile.maxLength`` (int32 max) and one
+    file never splits, so at 100 TB parallelism comes from file COUNT;
+    pack small assets into archives upstream or this scan becomes a
+    small-files listing problem (same economics as sinks.py compaction)."""
+    r = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.options(**options).load(path)

@@ -208,3 +208,38 @@ def test_xml_roundtrip(spark, sample, tmp_path):
     back = read_xml(spark, p, DDL, row_tag="item")
     assert back.schema == sample.schema
     assert _rows(back) == _rows(sample)
+
+
+def test_binary_files_ingest_to_multimodal(spark, tmp_path):
+    """binaryFile source: whole-file bytes + metadata, per-modality glob
+    filtering, and the bytes feed the multimodal magic-byte sniffer
+    unchanged (ingest → typed asset row in one plan)."""
+    from mapreduce_model_spark.sources.files import read_binary_files
+
+    tree = tmp_path / "assets" / "nested"
+    tree.mkdir(parents=True)
+    png = bytes.fromhex("89504e470d0a1a0a") + b"fakepixels"
+    (tree / "a.png").write_bytes(png)
+    (tree / "b.wav").write_bytes(b"RIFF1234WAVEfmt fake")
+    (tmp_path / "assets" / "notes.txt").write_text("not an asset")
+
+    all_files = read_binary_files(spark, str(tmp_path / "assets"))
+    assert {r.path.rsplit("/", 1)[-1] for r in all_files.collect()} == {
+        "a.png",
+        "b.wav",
+        "notes.txt",
+    }
+
+    pngs = read_binary_files(spark, str(tmp_path / "assets"), glob="*.png").collect()
+    assert len(pngs) == 1
+    assert bytes(pngs[0].content) == png
+    assert pngs[0].length == len(png)
+
+    from mapreduce_model_spark.operators.multimodal import sniff_format
+
+    typed = read_binary_files(spark, str(tmp_path / "assets"), glob="*.{png,wav}")
+    out = {
+        r.path.rsplit("/", 1)[-1]: r.fmt
+        for r in typed.select("path", sniff_format(F.col("content")).alias("fmt")).collect()
+    }
+    assert out == {"a.png": "png", "b.wav": "wav"}

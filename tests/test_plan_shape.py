@@ -305,3 +305,28 @@ def test_session_paths_top_k_never_global_sorts(spark):
     p = plan(spark, "session_paths")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_embedding_quantize_is_fully_narrow(spark):
+    """Quantization must be a single narrow pass: the dim-sized stats come
+    from a separate tiny job and re-enter as literals, so the returned
+    plan has NO exchange at all — scan → project."""
+    p = plan(spark, "embedding_quantize")
+    assert "+- Exchange" not in p
+
+
+def test_ewma_is_one_exchange(spark):
+    """The EWMA fold runs inside the (user, day) aggregate — exactly one
+    exchange, never a global sort or single-partition window."""
+    p = plan(spark, "ewma_user_daily")
+    assert p.count("+- Exchange") == 1
+    assert "SinglePartition" not in p
+
+
+def test_graph_triangles_no_cartesian(spark):
+    """Triangle enumeration must stay equi-join end to end — a missing
+    join key on any of the three edge roles degenerates to a cross
+    product."""
+    p = plan(spark, "graph_triangles")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -97,3 +97,27 @@ def test_lsh_rejects_mismatched_band_geometry(spark, sf_dir):
     sig = minhash_signatures(table(spark, sf_dir, "documents").limit(20), k=32)
     with pytest.raises(Exception, match="signature length"):
         lsh_near_dup_pairs(sig, bands=4, rows=4).collect()
+
+
+def test_lsh_recall_and_estimate_vs_exact_jaccard(spark, sf_dir):
+    """End-to-end retrieval quality on the real corpus: every pair the
+    exact (blocked) n-gram Jaccard finds at >= 0.5 must be surfaced by the
+    MinHash-LSH pipeline (100% recall on this corpus — the planted
+    near-dups are well above the band threshold), with no spurious pairs,
+    and the k=32 signature estimate within 0.25 of the exact Jaccard."""
+    from mapreduce_model_spark.registry import QUERIES
+
+    lsh = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in QUERIES["dedup_near_minhash"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    hi = {k for k, j in exact.items() if j >= 0.5}
+    assert hi, "corpus must contain planted near-dups"
+    assert hi <= set(lsh), f"LSH missed {hi - set(lsh)}"
+    assert set(lsh) <= hi, f"LSH false candidates {set(lsh) - hi}"
+    for k in hi:
+        assert abs(lsh[k] - exact[k]) <= 0.25, (k, lsh[k], exact[k])

@@ -250,3 +250,32 @@ def test_kmeans_matches_numpy_recompute(spark, sf_dir):
     for c in range(k):
         assert got[c].n_members == int((a == c).sum())
         assert np.allclose(np.array(got[c].centroid), cents[c], atol=1e-5)
+
+
+def test_observation_metrics_ride_the_corpus_build(spark, sf_dir):
+    """The Observation API attaches accumulator-backed metrics to a job —
+    gate counts and payload sums land with the action, no second pass over
+    the corpus (the 100 TB way to monitor a pipeline run). Values must
+    match an independent recompute."""
+    from pyspark.sql import Observation
+
+    from mapreduce_model_spark.queries_text import _quality_exact_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    obs = Observation("gates")
+    kept = _quality_exact_corpus(docs).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        # DISTINCT aggregates are rejected in observed metrics
+        # (INVALID_OBSERVED_METRICS) — the sketch version is the scale answer
+        F.approx_count_distinct("source").alias("n_sources"),
+    )
+    n_rows = kept.count()  # the action that populates the observation
+    got = obs.get
+    assert got["n_kept"] == n_rows
+    ref = _quality_exact_corpus(docs).agg(
+        F.sum("n_chars").alias("c"), F.countDistinct("source").alias("s")
+    ).collect()[0]
+    assert got["chars_kept"] == ref.c
+    assert got["n_sources"] == ref.s

@@ -132,3 +132,33 @@ def test_zorder_write_skips_on_every_clustered_column(spark, sf_dir, tmp_path):
     # value-identical round trip
     assert spark.read.parquet(z_path).exceptAll(ev).count() == 0
     assert ev.exceptAll(spark.read.parquet(z_path)).count() == 0
+
+
+def test_catalog_stats_feed_cbo(spark, sf_dir):
+    """ANALYZE TABLE writes row/column statistics into the catalog, and
+    with CBO enabled the optimizer's cost view carries them (rowCount +
+    column distinct counts) — the statistics lever that drives join
+    reordering and broadcast decisions on a real warehouse, where file
+    size alone misleads (compressed parquet vs in-memory row width)."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode("overwrite").saveAsTable(
+        "nation_stats_t"
+    )
+    try:
+        spark.sql("ANALYZE TABLE nation_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESCRIBE EXTENDED nation_stats_t n_nationkey").collect()
+        }
+        assert desc["distinct_count"] == "25"
+        assert desc["num_nulls"] == "0"
+        old = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            cost = spark._jvm.PythonSQLUtils.explainString(
+                spark.table("nation_stats_t")._jdf.queryExecution(), "cost"
+            )
+            assert "rowCount=25" in cost
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats_t")

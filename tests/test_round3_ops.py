@@ -279,3 +279,40 @@ def test_observation_metrics_ride_the_corpus_build(spark, sf_dir):
     ).collect()[0]
     assert got["chars_kept"] == ref.c
     assert got["n_sources"] == ref.s
+
+
+def test_sql_session_variables_and_scripting(spark, sf_dir):
+    """Spark 4 SQL surface: session variables parameterize plain SQL (the
+    ops-friendly templating that needs no Python round trip), and SQL
+    scripting (BEGIN/DECLARE/SET/IF) runs a data-dependent multi-statement
+    block — both checked against direct DataFrame recomputes."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "li_vars"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_cut DOUBLE DEFAULT 10.0")
+    spark.sql("SET VAR qty_cut = 25.0")
+    got = spark.sql(
+        "SELECT count(*) AS n FROM li_vars WHERE l_quantity < qty_cut"
+    ).collect()[0].n
+    want = (
+        spark.table("li_vars").filter(F.col("l_quantity") < 25.0).count()
+    )
+    assert got == want
+
+    old = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        rows = spark.sql(
+            """
+BEGIN
+  DECLARE avg_qty DOUBLE;
+  SET avg_qty = (SELECT avg(l_quantity) FROM li_vars);
+  SELECT count(*) AS n_above FROM li_vars WHERE l_quantity > avg_qty;
+END
+"""
+        ).collect()
+        avg = spark.table("li_vars").agg(F.avg("l_quantity")).collect()[0][0]
+        exp = spark.table("li_vars").filter(F.col("l_quantity") > avg).count()
+        assert rows[0].n_above == exp
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", old)

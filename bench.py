@@ -35,7 +35,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 

@@ -152,10 +152,20 @@ def _rank_centroids(
     )
     if max_rank == 1:
         passthrough = [c for c in vectors.columns if c != "vid"]
+        # ordering key replicates the window's `desc` semantics exactly for
+        # degenerate scores too: NaN sorts ABOVE every real (wins), null
+        # sorts below (loses). A bare -_cscore struct would invert both
+        # (struct asc puts null first, NaN last). Cosines live in [-1, 1],
+        # so the ±inf sentinels cannot collide with real scores.
+        order_key = (
+            F.when(F.isnan("_cscore"), F.lit(float("-inf")))
+            .when(F.col("_cscore").isNull(), F.lit(float("inf")))
+            .otherwise(-F.col("_cscore"))
+        )
         best = scored.groupBy("vid").agg(
             F.min_by(
                 F.struct(*passthrough, "cid"),
-                F.struct((-F.col("_cscore")).alias("neg"), F.col("cid")),
+                F.struct(order_key.alias("neg"), F.col("cid")),
             ).alias("_best")
         )
         return best.select("vid", *[f"_best.{c}" for c in passthrough], "_best.cid")
@@ -296,7 +306,7 @@ def kmeans_fit(
     ).localCheckpoint(eager=True)
     for _ in range(n_iter):
         assign = _rank_centroids(v, cents, 1)
-        cents = (
+        upd = (
             assign.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("c"))
@@ -307,13 +317,23 @@ def kmeans_fit(
                     lambda s: s["c"],
                 ).alias("ce")
             )
+        )
+        # a cell that lost every member emits no mean row — carry its
+        # previous centroid forward (standard Lloyd's degeneracy handling)
+        # instead of silently shrinking k for the rest of the run
+        cents = (
+            cents.select("cid", F.col("ce").alias("prev_ce"))
+            .join(upd, "cid", "left")
+            .select("cid", F.coalesce("ce", "prev_ce").alias("ce"))
             .withColumn("cn", l2_norm(F.col("ce")))
             .localCheckpoint(eager=True)
         )
     final = _rank_centroids(v, cents, 1)
+    counts = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (
-        final.groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .join(cents.select("cid", F.col("ce").alias("centroid")), "cid")
-        .select("cid", "centroid", "n_members")
+        cents.select("cid", F.col("ce").alias("centroid"))
+        .join(counts, "cid", "left")
+        .select(
+            "cid", "centroid", F.coalesce("n_members", F.lit(0)).alias("n_members")
+        )
     )

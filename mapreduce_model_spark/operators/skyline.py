@@ -30,15 +30,18 @@ def pareto_frontier(
     """Skyline of the DISTINCT (x, y) points in ``pts`` (maximize both).
     Returns the surviving distinct points with the same column names."""
     pts = pts.select(x, y).distinct()
-    lim = pts.agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+    # bucketing runs ENTIRELY in double: long-typed extremes would overflow
+    # both (x - _lo) * buckets and the _hi - _lo span under ANSI (the
+    # double's precision loss only mis-buckets, which phase 2's exact
+    # re-filter absorbs; an ANSI ARITHMETIC_OVERFLOW kills the job)
+    lim = pts.agg(
+        F.min(x).cast("double").alias("_lo"), F.max(x).cast("double").alias("_hi")
+    )
     bucketed = pts.join(F.broadcast(lim)).withColumn(
         "_b",
         F.least(
             F.lit(buckets - 1),
             F.floor(
-                # cast before the multiply: in the input's integer type,
-                # (x - _lo) * buckets can overflow near the int64 extremes,
-                # mis-bucketing points and defeating the phase-1 pruning
                 (F.col(x).cast("double") - F.col("_lo"))
                 * buckets
                 / (F.col("_hi") - F.col("_lo") + 1e-9)

@@ -311,20 +311,14 @@ def embedding_quantize(spark, sf_dir):
             - 128
         ),
     )
+    # reconstruct FROM the emitted codes (mirrors the oracle's recon CTE) —
+    # one rounding expression in the plan, no risk of code/recon drift
     recon = F.transform(
-        ve,
-        lambda x, i: F.when(
+        codes,
+        lambda c, i: F.when(
             F.element_at(sc_arr, i + 1) == 0, F.element_at(lo_arr, i + 1)
         ).otherwise(
-            F.element_at(lo_arr, i + 1)
-            + (
-                F.floor(
-                    (x - F.element_at(lo_arr, i + 1)) / F.element_at(sc_arr, i + 1)
-                    + 0.5
-                )
-                .cast("int")
-            )
-            * F.element_at(sc_arr, i + 1)
+            F.element_at(lo_arr, i + 1) + (c + 128) * F.element_at(sc_arr, i + 1)
         ),
     )
     sq = F.zip_with(ve, recon, lambda a, b: (a - b) * (a - b))

@@ -318,16 +318,23 @@ def kmeans_fit(
                 ).alias("ce")
             )
         )
+        new_cents = upd.withColumn("cn", l2_norm(F.col("ce"))).localCheckpoint(
+            eager=True
+        )
         # a cell that lost every member emits no mean row — carry its
         # previous centroid forward (standard Lloyd's degeneracy handling)
-        # instead of silently shrinking k for the rest of the run
-        cents = (
-            cents.select("cid", F.col("ce").alias("prev_ce"))
-            .join(upd, "cid", "left")
-            .select("cid", F.coalesce("ce", "prev_ce").alias("ce"))
-            .withColumn("cn", l2_norm(F.col("ce")))
-            .localCheckpoint(eager=True)
-        )
+        # instead of silently shrinking k for the rest of the run. The
+        # count() is on the k-row checkpointed frame (free); the join runs
+        # only on the degenerate path.
+        if new_cents.count() < k:
+            new_cents = (
+                cents.select("cid", F.col("ce").alias("prev_ce"))
+                .join(new_cents.drop("cn"), "cid", "left")
+                .select("cid", F.coalesce("ce", "prev_ce").alias("ce"))
+                .withColumn("cn", l2_norm(F.col("ce")))
+                .localCheckpoint(eager=True)
+            )
+        cents = new_cents
     final = _rank_centroids(v, cents, 1)
     counts = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (

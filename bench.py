@@ -133,10 +133,11 @@ def main() -> None:
             timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
-    # Most-expensive-first: the driver captures only a tail of stdout, so if
-    # the one-line JSON is ever truncated it loses the cheap queries, not
-    # the ones that matter.
-    ordered = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    # Cheapest-FIRST: the driver records the LAST ~2000 bytes of stdout
+    # (verified against BENCH_r{1,2,3}.json tails), so the end of this line
+    # must carry the queries that matter — ascending order sacrifices the
+    # cheap ones to truncation, never the expensive ones.
+    ordered = dict(sorted(timings.items(), key=lambda kv: kv[1]))
     payload = {
         "metric": "suite_seconds",
         "value": total,

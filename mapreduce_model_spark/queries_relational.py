@@ -1518,3 +1518,91 @@ def quantile_mergeable_histogram(spark, sf_dir):
             ).alias("est"),
         )
     )
+
+
+@query(
+    "robust_outliers",
+    oracle="""
+WITH med AS (
+    SELECT l_returnflag, median(l_extendedprice) AS med
+    FROM lineitem GROUP BY l_returnflag
+), madt AS (
+    SELECT l.l_returnflag, median(abs(l.l_extendedprice - m.med)) AS mad
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+)
+SELECT l.l_returnflag,
+       round(1e-9 + m.med, 4) AS med,
+       round(1e-9 + d.mad, 4) AS mad,
+       CAST(sum(CASE WHEN abs(l.l_extendedprice - m.med) > 3 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n
+FROM lineitem l JOIN med m USING (l_returnflag) JOIN madt d USING (l_returnflag)
+GROUP BY l.l_returnflag, m.med, d.mad
+""",
+)
+def robust_outliers(spark, sf_dir):
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation), flagging rows beyond 3 scaled-MADs — the quantile-based
+    screen that survives the heavy tails that wreck mean/stddev z-scores
+    (group_zscore's classical counterpart).
+
+    Two holistic passes (median, then median-of-deviations), each a
+    group-keyed aggregate; the tiny per-group stats broadcast back onto
+    the fact scan for the final count. Exact percentiles sort within
+    groups — at 100 TB swap ``percentile`` for ``approx_percentile``
+    (same plan shape, sketch-mergeable) as approx_distinct documents."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    madt = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(abs(l_extendedprice - med), 0.5D)").alias("mad")
+    )
+    full = li.join(F.broadcast(med), "l_returnflag").join(
+        F.broadcast(madt), "l_returnflag"
+    )
+    return full.groupBy("l_returnflag").agg(
+        rnd(F.first("med"), 4).alias("med"),
+        rnd(F.first("mad"), 4).alias("mad"),
+        F.sum(
+            (
+                F.abs(F.col("l_extendedprice") - F.col("med"))
+                > 3 * 1.4826 * F.col("mad")
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT e1.event_id AS event_id, e1.user_id AS user_id,
+       epoch_us(e1.ts) AS ts_us,
+       (SELECT min(epoch_us(e2.ts)) FROM events e2
+         WHERE e2.user_id = e1.user_id
+           AND e2.event_type = 'purchase'
+           AND epoch_us(e2.ts) >= epoch_us(e1.ts)) AS asof_ts_us
+FROM events e1
+WHERE e1.event_type = 'click'
+""",
+)
+def join_asof_forward(spark, sf_dir):
+    """As-of join, FORWARD direction: each click matched to the user's
+    EARLIEST purchase at-or-after it — time-to-conversion, next-event
+    attribution. Same union-tag + per-key range window as the backward
+    twin (operators.joins.asof_join flips the ordering sign); one shuffle
+    on the key, no correlated subquery."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(clicks, purchases, key="user_id", direction="forward")
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "asof_ts_us"
+    )

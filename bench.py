@@ -133,19 +133,35 @@ def main() -> None:
             timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
-    # Cheapest-FIRST: the driver records the LAST ~2000 bytes of stdout
-    # (verified against BENCH_r{1,2,3}.json tails), so the end of this line
-    # must carry the queries that matter — ascending order sacrifices the
-    # cheap ones to truncation, never the expensive ones.
-    ordered = dict(sorted(timings.items(), key=lambda kv: kv[1]))
+    failed_names = sorted(n for n, t in timings.items() if t < 0)
+    # Cheapest-FIRST, failures LAST: the driver records the LAST ~2000 bytes
+    # of stdout (verified against BENCH_r{1,2,3,4}.json tails), so the end of
+    # this line must carry what matters — ascending order sacrifices cheap
+    # queries to truncation, never expensive ones, and failed (-1.0) entries
+    # go at the very end so a failure is never hidden by truncation.
+    ordered = dict(sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1])))
+    by_cost = sorted(
+        ((n, t) for n, t in timings.items() if t > 0), key=lambda kv: -kv[1]
+    )
+    # "summary" is the LAST key on the line: any tail truncation that keeps
+    # the final ~300 bytes keeps the headline numbers (suite total, count,
+    # failures, 5 most expensive queries) even when the per-query dict is
+    # cut. tools/compare_bench.py parses it from truncated driver records.
     payload = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": ordered,
         "sf": sf,
         "repeat": repeat,
         "stat": "min" if repeat == 1 else "median",
+        "queries": ordered,
+        "summary": {
+            "total_s": total,
+            "n_ok": len(timings) - len(failed_names),
+            "n_failed": len(failed_names),
+            "failed": failed_names,
+            "top5": dict(by_cost[:5]),
+        },
     }
     # Durable sidecar: the full per-query record (incl. raw per-run samples)
     # lands on disk for round-over-round comparison. Skipped for subset

@@ -97,7 +97,19 @@ def global_ordered_ids(
                 continue
             if base is None:
                 # one partition per task ⇒ _pid is constant across batches
-                base = offsets.get(b.column("_pid")[0].as_py(), 0)
+                pid = b.column("_pid")[0].as_py()
+                if pid not in offsets:
+                    # A pid absent from the counts pass means the two jobs
+                    # disagreed on the range layout (the materialize=True
+                    # contract above was broken) — fail loudly rather than
+                    # default to offset 0 and emit silently duplicate ids.
+                    raise RuntimeError(
+                        f"global_ordered_ids: partition {pid} not in counts "
+                        f"({len(offsets)} partitions) — range layout diverged "
+                        "between the counts job and the numbering job; run "
+                        "with materialize=True (see docstring contract)"
+                    )
+                base = offsets[pid]
             ids = pa.array(
                 np.arange(base + seen + 1, base + seen + n + 1, dtype=np.int64)
             )

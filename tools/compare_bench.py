@@ -24,6 +24,13 @@ import re
 import sys
 
 
+# Payload/summary keys that the tail regex would otherwise mistake for
+# query timings (the bench line carries them alongside the queries dict).
+_NON_QUERY_KEYS = frozenset(
+    {"sf", "value", "repeat", "total_s", "n_ok", "n_failed", "n", "rc", "cpus"}
+)
+
+
 def load(path: str) -> dict[str, float]:
     d = json.load(open(path))
     if "queries" in d and isinstance(d["queries"], dict):
@@ -31,11 +38,24 @@ def load(path: str) -> dict[str, float]:
     tail = d.get("tail", "")
     out = dict(
         (m.group(1), float(m.group(2)))
-        for m in re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
+        for m in re.finditer(r'"([a-z0-9_]+)": (-?[0-9.]+)', tail)
     )
-    out.pop("sf", None)
-    out.pop("value", None)
-    return out
+    return {k: v for k, v in out.items() if k not in _NON_QUERY_KEYS and v > 0}
+
+
+def load_summary(path: str) -> dict | None:
+    """Pull the trailing "summary" object (bench.py emits it LAST so it
+    survives the driver's ~2000-byte tail truncation)."""
+    d = json.load(open(path))
+    if isinstance(d.get("summary"), dict):
+        return d["summary"]
+    m = re.search(r'"summary": (\{.*\})\}\s*$', d.get("tail", ""))
+    if m:
+        try:
+            return json.loads(m.group(1))
+        except json.JSONDecodeError:
+            return None
+    return None
 
 
 def main(argv: list[str]) -> int:
@@ -44,6 +64,14 @@ def main(argv: list[str]) -> int:
         return 2
     old, new = load(argv[0]), load(argv[1])
     thresh = float(argv[2]) if len(argv) > 2 else 1.3
+    for label, path in (("old", argv[0]), ("new", argv[1])):
+        s = load_summary(path)
+        if s:
+            print(
+                f"{label} summary: total={s.get('total_s')}s "
+                f"n_ok={s.get('n_ok')} n_failed={s.get('n_failed')} "
+                f"failed={s.get('failed')}"
+            )
     common = sorted(n for n in new if n in old and old[n] > 0 and new[n] > 0)
     if not common:
         print("no common queries")

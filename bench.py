@@ -13,10 +13,17 @@ Env:
   SPARK_GRAFT_SF_DIR  data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local core count (default 32)
   BENCH_QUERIES       comma-separated subset (default: all registered)
-  BENCH_REPEAT        median-of-N per query (default 3 — the recorded
-                      environment drifts ~1.3x between rounds and first
-                      runs pay whole-stage-codegen JIT; a median of 3
-                      in-process runs is stable against both)
+  BENCH_REPEAT        N timed runs per query (default 3). For N>1 the query
+                      actually runs N+1 times: the FIRST run is discarded as
+                      warmup (it pays whole-stage-codegen JIT, measured
+                      3-5x steady state on cheap queries) and the recorded
+                      value is the median of the remaining N. Rationale: the
+                      r1-r3 records were min-of-runs; r4's plain median-of-3
+                      sat systematically above those mins purely because the
+                      un-discarded first run dragged the median (diagnosed
+                      round 5 — lateral_topn samples [1.87, .58, .55, .55,
+                      .65, .54, .48, .46]). Median-after-warmup measures the
+                      steady state a long-running cluster sees, robustly.
   BENCH_FULL_PATH     durable sidecar path (default <repo>/BENCH_FULL.json;
                       NOT written on BENCH_QUERIES subset runs, so smoke
                       probes never clobber the last full-suite record)
@@ -107,7 +114,8 @@ def main() -> None:
     for name in names:
         fn = registry.QUERIES[name]
         samples: list[float] = []
-        runs = repeat
+        # repeat>1: one extra run up front, discarded below as warmup
+        runs = repeat + 1 if repeat > 1 else 1
         r = 0
         failed = False
         while r < runs:
@@ -130,7 +138,8 @@ def main() -> None:
         elif repeat == 1:
             timings[name] = round(min(samples), 4)
         else:
-            timings[name] = round(statistics.median(samples), 4)
+            # discard samples[0] (JIT warmup), median of the steady-state runs
+            timings[name] = round(statistics.median(samples[1:]), 4)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     failed_names = sorted(n for n, t in timings.items() if t < 0)
@@ -153,7 +162,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "repeat": repeat,
-        "stat": "min" if repeat == 1 else "median",
+        "stat": "min" if repeat == 1 else "median_after_warmup",
         "queries": ordered,
         "summary": {
             "total_s": total,

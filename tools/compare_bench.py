@@ -9,11 +9,12 @@ queries). Prints the common-query geomean ratio (new/old) and every query
 past the threshold (default 1.3x) in either direction, with the raw
 per-run samples when the sidecar carries them.
 
-Interpreting ratios in THIS sandbox (see PLANS.md + round notes): the
-environment itself drifts ~1.3x between driver rounds with bit-identical
-code, and iterative queries (pagerank, dedup_clusters, kmeans) swing 2-3x
-across fresh processes — re-measure before believing a single-run
-regression.
+Interpreting ratios in THIS sandbox — read "PLANS.md § Benchmark
+measurement protocol" FIRST: the recorded stat changed across rounds
+(r1-r3 min-of-runs, r4 median-with-warmup, r5+ median-after-warmup), the
+environment drifts ~1.3x between driver rounds with bit-identical code,
+and iterative queries (pagerank, dedup_clusters, kmeans) swing 2-3x across
+fresh processes. Only an in-process A/B re-run past 1.3x is a regression.
 """
 
 from __future__ import annotations

@@ -142,6 +142,33 @@ COMMENTARY: dict[str, str] = {
 }
 
 
+_PROTOCOL = """\
+## Benchmark measurement protocol
+
+The per-round BENCH records are NOT directly comparable across rounds
+without this context:
+
+- **Stat history**: r1-r3 recorded min-of-runs (BENCH_REPEAT=1 plus an
+  adaptive retry for slow first runs); r4 recorded a plain median-of-3 that
+  INCLUDED the JIT-warmup first run; r5+ records median-after-warmup (first
+  run discarded, median of BENCH_REPEAT steady-state runs). A r3->r4
+  per-query ratio is therefore a min-vs-median comparison, not a regression
+  signal. Diagnosed in round 5: `lateral_topn` raw samples in one process
+  were [1.87, 0.58, 0.55, 0.55, 0.65, 0.54, 0.48, 0.46] - the r4-policy
+  median reads ~0.58 while the r3-policy min reads ~0.46 on IDENTICAL code;
+  `param_sql_groupby_all` and `tpch_q4` show the same decay shape, and
+  `skyline_pareto` re-measured at 0.854 s = its r3 record exactly (its r4
+  1.37 was the warmup run dragging the median).
+- **Environment drift**: the sandbox itself drifts ~1.3x between driver
+  rounds with bit-identical code, and iterative queries (pagerank,
+  dedup_clusters, kmeans) swing 2-3x across fresh processes.
+- **Protocol before believing any cross-round ratio**: re-run BOTH sides in
+  ONE process (`BENCH_QUERIES=a,b,... python bench.py`, default repeat),
+  then `python tools/compare_bench.py OLD NEW`; only a ratio that
+  reproduces in-process and exceeds 1.3x is a real regression. Medians
+  after warmup only - never compare a single run to anything."""
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -158,6 +185,8 @@ def main() -> None:
     print("Explained AFTER one execution so AQE's final plan (coalesced "
           "partitions, runtime join strategy) is shown, not the initial "
           "guess.", file=out)
+    print(file=out)
+    print(_PROTOCOL, file=out)
     for name, why in COMMENTARY.items():
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # let AQE finalize

@@ -75,19 +75,22 @@ def connected_components(
     table to pick keep-first survivors.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # symmetrize; materialize once so the iteration never re-executes the
-    # upstream pipeline (e.g. MinHash-LSH) that produced the pairs
+    # symmetrize; materialize once (the count below is the action) so the
+    # iteration never re-executes the upstream pipeline (e.g. MinHash-LSH)
+    # that produced the pairs. The count doubles as the frontier size, so
+    # checkpoint + emptiness check is ONE job — the per-phase pattern too.
     g = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    frontier = g.count()
     labels = (
         g.select(F.col("u").alias("node")).distinct().withColumn("component", F.col("node"))
     )
     for _ in range(max_phases):
-        if g.isEmpty():
+        if frontier == 0:
             return labels
         # hook: parent = min(neighbors ∪ {self}); strictly decreasing ⇒ forest
         parent = (
@@ -96,14 +99,17 @@ def connected_components(
             .select(F.col("u").alias("node"), F.least("u", "mv").alias("par"))
         )
         roots = _compress(parent)
-        # fold this phase's roots into the global labels
+        # fold this phase's roots into the global labels. LAZY checkpoint:
+        # no action here — the fold rides on whatever materializes labels
+        # next (the following phase's fold, or the caller's job), while
+        # still cutting lineage at O(phases) depth.
         labels = (
             labels.join(roots, labels["component"] == roots["node"], "left")
             .select(
                 labels["node"],
                 F.coalesce(F.col("par"), F.col("component")).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # contract: rewrite edges through roots, drop intra-component edges
         ru = roots.select(F.col("node").alias("u"), F.col("par").alias("ru"))
@@ -117,8 +123,10 @@ def connected_components(
         g = (
             g.unionByName(g.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # one job: materializes the contracted graph AND is the loop exit
+        frontier = g.count()
     raise RuntimeError(
         f"connected_components did not converge in {max_phases} phases"
     )

@@ -1547,31 +1547,34 @@ def robust_outliers(spark, sf_dir):
     screen that survives the heavy tails that wreck mean/stddev z-scores
     (group_zscore's classical counterpart).
 
-    Two holistic passes (median, then median-of-deviations), each a
-    group-keyed aggregate; the tiny per-group stats broadcast back onto
-    the fact scan for the final count. Exact percentiles sort within
-    groups — at 100 TB swap ``percentile`` for ``approx_percentile``
-    (same plan shape, sketch-mergeable) as approx_distinct documents."""
+    Two lineitem scans, not three: the median pass scans once; the
+    deviation frame (fact ⋈ broadcast medians, plus the |x−med| column)
+    is persisted while the MAD aggregate materializes it, and the final
+    flag count re-reads that cache instead of re-scanning the fact — a
+    deliberate cache-vs-rescan trade on a 2-column projection (the MAD
+    needs the deviations anyway, so caching them is the marginal cost of
+    one write). Exact percentiles sort within groups — at 100 TB swap
+    ``percentile`` for ``approx_percentile`` (same plan shape,
+    sketch-mergeable) as approx_distinct documents; the plan pin in
+    tests/test_plan_shape.py asserts exactly two lineitem scans and
+    broadcast stats joins."""
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     med = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5D)").alias("med")
     )
-    dev = li.join(F.broadcast(med), "l_returnflag")
+    dev = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .withColumn("adev", F.abs(F.col("l_extendedprice") - F.col("med")))
+        .persist()
+    )
     madt = dev.groupBy("l_returnflag").agg(
-        F.expr("percentile(abs(l_extendedprice - med), 0.5D)").alias("mad")
+        F.expr("percentile(adev, 0.5D)").alias("mad")
     )
-    full = li.join(F.broadcast(med), "l_returnflag").join(
-        F.broadcast(madt), "l_returnflag"
-    )
+    full = dev.join(F.broadcast(madt), "l_returnflag")
     return full.groupBy("l_returnflag").agg(
         rnd(F.first("med"), 4).alias("med"),
         rnd(F.first("mad"), 4).alias("mad"),
-        F.sum(
-            (
-                F.abs(F.col("l_extendedprice") - F.col("med"))
-                > 3 * 1.4826 * F.col("mad")
-            ).cast("int")
-        )
+        F.sum((F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("int"))
         .cast("long")
         .alias("n_outliers"),
         F.count(F.lit(1)).alias("n"),

@@ -323,6 +323,56 @@ def test_ewma_is_one_exchange(spark):
     assert "SinglePartition" not in p
 
 
+def test_robust_outliers_two_scans_and_broadcast_stats(spark):
+    """Median+MAD outlier screen: exactly TWO distinct lineitem scans (the
+    median pass, and the cache-populating deviation pass — the final flag
+    count reads the persisted deviation frame, never a third scan), and
+    both per-group stats frames broadcast back onto the fact."""
+    import re
+
+    p = plan(spark, "robust_outliers")
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    assert len(scan_ids) == 2, scan_ids
+    assert "InMemoryTableScan" in p  # flag pass reads the cached dev frame
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_join_asof_forward_single_exchange_no_join(spark):
+    """Forward as-of join: the union-tag + per-key window formulation is ONE
+    hash exchange on the key — no correlated re-scan, no join operator, and
+    never a single-partition window."""
+    p = plan(spark, "join_asof_forward")
+    assert p.count("+- Exchange") == 1
+    assert "SinglePartition" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Window" in p
+
+
+def test_quantile_histogram_preaggregates_partials(spark):
+    """Mergeable-histogram quantiles: bin counts must pre-aggregate map-side
+    (partial+final HashAggregate pairs) so every exchange carries bin-sized
+    partials, and the tiny totals/CDF frames broadcast into the probe —
+    no cartesian, no sort-merge."""
+    p = plan(spark, "quantile_mergeable_histogram")
+    assert p.count("HashAggregate") >= 4
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_kmeans_assign_pass_is_broadcast(spark):
+    """Lloyd's assign step: the k×dim centroid set broadcasts into a narrow
+    pass over the persisted corpus (BroadcastNestedLoopJoin over the
+    InMemoryTableScan) — the corpus itself is never shuffled to meet the
+    centroids; the only exchanges carry per-vector best-centroid rows and
+    k-sized centroid partials."""
+    p = plan(spark, "kmeans_embeddings")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
 def test_graph_triangles_no_cartesian(spark):
     """Triangle enumeration must stay equi-join end to end — a missing
     join key on any of the three edge roles degenerates to a cross

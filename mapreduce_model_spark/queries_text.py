@@ -829,3 +829,250 @@ def corpus_build_pipeline_near(spark, sf_dir):
         .select("doc_id")
     )
     return _split_manifest(exact.join(keep, "doc_id", "left_semi"))
+
+
+# --- retrieval scoring, frequency sketches, cross-source overlap -----------
+
+_BM25_TERMS = ("hash", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@query(
+    "bm25_topk",
+    oracle=_WBASE
+    + f"""
+, wl AS (SELECT doc_id, len(words) AS dl FROM wbase),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM wl),
+w AS (SELECT doc_id, unnest(words) AS word FROM wbase),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM w WHERE word IN {_BM25_TERMS_SQL} GROUP BY doc_id, word
+), dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+sc AS (
+    SELECT tf.doc_id,
+           sum(ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * wl.dl / stats.avgdl))
+           ) AS score
+    FROM tf JOIN dfq USING (word) JOIN wl USING (doc_id) CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(1e-9 + score, 6) AS bm25
+FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 top-20 retrieval for a fixed query-term set — the ranking
+    function behind corpus search and hard-negative mining.
+
+    Scale shape: the corpus is scanned TWICE and never more — pass 1 is
+    the narrow per-doc length projection (persisted while the 1-row
+    N/avgdl aggregate materializes it, so the score join re-reads the
+    cache, robust_outliers-style); pass 2 explodes words but filters to
+    the query terms BEFORE the (doc, term) aggregate, so the shuffle
+    carries only matching-term partials. Per-term document frequencies
+    (|terms| rows) and the corpus stats (1 row) broadcast back; the final
+    top-k is TakeOrderedAndProject (per-partition heaps, never a global
+    sort)."""
+    docs = table(spark, sf_dir, "documents")
+    wl = docs.select("doc_id", F.size(words_array("text")).alias("dl")).persist()
+    stats = wl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        spread_for_fanout(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(words_array("text")).alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # two consumers (df aggregate + score join) — persist the tiny
+        # (matching docs × |terms|) frame or the corpus explode runs twice
+        .persist()
+    )
+    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    comp = (
+        tf.join(F.broadcast(dfq), "word")
+        .join(wl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    sc = comp.groupBy("doc_id").agg(rnd(F.sum("c"), 6).alias("bm25"))
+    return sc.orderBy(F.col("bm25").desc(), "doc_id").limit(20)
+
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_bucket_sql(word_expr: str, r: int) -> str:
+    return f"(('0x' || substr(md5('{r}:' || {word_expr}), 1, 8))::BIGINT % {_CMS_W})"
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=_WBASE
+    + f"""
+, w AS (SELECT unnest(words) AS word FROM wbase),
+wc AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+rows_ AS (SELECT unnest([{", ".join(str(r) for r in range(_CMS_D))}]) AS r),
+buckets AS (
+    SELECT r, word, n,
+           CASE {" ".join(f"WHEN r = {r} THEN {_cms_bucket_sql('word', r)}" for r in range(_CMS_D))} END AS bkt
+    FROM wc CROSS JOIN rows_
+), sketch AS (
+    SELECT r, bkt, CAST(sum(n) AS BIGINT) AS bn FROM buckets GROUP BY r, bkt
+), cand AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 20)
+SELECT b.word AS word, CAST(min(b.n) AS BIGINT) AS n, min(s.bn) AS cms_est
+FROM buckets b JOIN sketch s USING (r, bkt) JOIN cand USING (word)
+GROUP BY b.word
+""",
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-Min-Sketch frequency estimation for the top-20 heavy-hitter
+    words: build a d×w sketch (d=4 md5-derived hash rows, w=64 buckets —
+    deliberately small so collisions actually occur and the one-sided
+    overestimate property is exercised), then read the 20 heaviest words
+    back out of it. The sketch is FULLY oracle-checkable because the
+    bucket hashes are md5-derived — DuckDB rebuilds the identical sketch.
+
+    Scale shape: word counts are one hash exchange with map-side partials;
+    the sketch is a SUM-mergeable d×w matrix (fixed 4×64 rows no matter
+    the corpus — the mergeable-sketch pattern shared with
+    quantile_mergeable_histogram and HLL), so the second aggregate
+    exchanges at most d×w partials per task; candidate selection is
+    TakeOrderedAndProject and the estimate join broadcasts the 256-row
+    sketch. Property asserted in tests: cms_est >= n for every word."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        spread_for_fanout(docs.select("doc_id", "text"), "doc_id")
+        .select(F.explode(words_array("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # three consumers (sketch build, candidate top-k, estimate probe) —
+        # persist the vocab-sized counts or the corpus explode runs thrice
+        .persist()
+    )
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (
+                        md5_int32(F.concat(F.lit(f"{r}:"), F.col("word")))
+                        % _CMS_W
+                    ).alias("bkt"),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+    )
+    buckets = wc.select("word", "n", rb.alias("rb")).select(
+        "word", "n", F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt")
+    )
+    # d×w-row mergeable sketch; persisted implicitly via broadcast below
+    sketch = buckets.groupBy("r", "bkt").agg(F.sum("n").alias("bn"))
+    cand = wc.orderBy(F.col("n").desc(), "word").limit(20)
+    return (
+        buckets.join(F.broadcast(cand.select("word")), "word")
+        .join(F.broadcast(sketch), ["r", "bkt"])
+        .groupBy("word")
+        .agg(F.min("n").alias("n"), F.min("bn").alias("cms_est"))
+    )
+
+
+@query(
+    "source_overlap",
+    oracle=r"""
+WITH wbase AS (
+    SELECT doc_id, source,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), sh AS (
+    SELECT source, unnest(list_distinct(
+        list_transform(range(1, len(words) - 1),
+                       i -> array_to_string(words[i:i+2], ' ')))) AS s
+    FROM wbase WHERE len(words) >= 3
+), ss AS (
+    SELECT DISTINCT source,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x
+    FROM sh
+), tot AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared,
+       round(1e-9 + CAST(count(*) AS DOUBLE)
+             / (ta.n_sh + tb.n_sh - count(*)), 6) AS jaccard
+FROM ss a JOIN ss b ON a.x = b.x AND a.source < b.source
+JOIN tot ta ON ta.source = a.source
+JOIN tot tb ON tb.source = b.source
+GROUP BY a.source, b.source, ta.n_sh, tb.n_sh
+""",
+)
+def source_overlap(spark, sf_dir):
+    """Cross-source corpus overlap matrix: shingle-level Jaccard between
+    every pair of sources — the dataset-curation signal for "how much of
+    source B already lives in source A" (licensing audits, mixture
+    design, leakage screens at the SOURCE level rather than the doc level
+    of dedup_cross_source).
+
+    Scale shape: the (source, shingle) set is ONE distinct aggregate over
+    the exploded corpus (shuffle on the 8-byte hash); the pair join is
+    keyed on the shingle hash, and each shingle contributes at most
+    |sources|² pairs — bounded by the source count, not the corpus, the
+    same blocking argument as dedup's band join. Per-source totals
+    broadcast back (|sources| rows)."""
+    from mapreduce_model_spark.operators.dedup import MERSENNE_P
+
+    docs = table(spark, sf_dir, "documents")
+    ss = (
+        spread_for_fanout(docs.select("doc_id", "source", "text"), "doc_id")
+        .select(
+            "source",
+            F.explode(F.array_distinct(shingles(words_array("text"), 3))).alias("s"),
+        )
+        .select("source", (md5_int32(F.col("s")) % MERSENNE_P).alias("x"))
+        .distinct()
+        # three consumers (totals + both pair-join sides) — persist the
+        # (source, shingle-hash) set or the corpus explode runs three times
+        .persist()
+    )
+    tot = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ss.alias("a"), ss.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.x") == F.col("b.x")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            rnd(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1076,3 +1076,167 @@ def source_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+_LM_K = 0.5  # add-k smoothing
+
+
+@query(
+    "lm_perplexity",
+    oracle=r"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), bi AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                                         i -> words[i] || ' ' || words[i + 1])) AS bg
+    FROM wbase WHERE len(words) >= 2
+), bcnt AS (
+    SELECT bg, count(*) AS c_xy FROM bi GROUP BY bg
+), cctx AS (
+    SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c_xy) AS DOUBLE) AS cc
+    FROM bcnt GROUP BY 1
+), vocab AS (
+    SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+    FROM (SELECT unnest(words) AS w FROM wbase)
+), term AS (
+    SELECT bi.doc_id,
+           ln((b.c_xy + 0.5) / (c.cc + 0.5 * vocab.v)) AS lp
+    FROM bi
+    JOIN bcnt b USING (bg)
+    JOIN cctx c ON c.w1 = split_part(bi.bg, ' ', 1)
+    CROSS JOIN vocab
+)
+SELECT doc_id, count(*) AS n_bigrams, round(1e-9 + exp(-avg(lp)), 4) AS ppl
+FROM term GROUP BY doc_id
+""",
+)
+def lm_perplexity(spark, sf_dir):
+    """Per-document perplexity under an add-k-smoothed bigram language
+    model trained on the corpus itself — the classic statistical quality
+    score (boilerplate and gibberish sit at the perplexity extremes;
+    Gopher/CCNet-style filters threshold on exactly this signal).
+    p(w2|w1) = (C(w1w2)+k) / (Cctx(w1)+k·V), ppl = exp(−mean ln p).
+
+    Scale shape: the train pass (bigram counts) and the score pass are
+    two separate corpus explodes BY DESIGN — persisting the exploded
+    token stream would cache a corpus-sized frame, while re-scanning
+    parquet is the cheaper side of that trade (contrast robust_outliers,
+    which caches a narrow projection); the vocabulary size V is a third
+    scan but collapses to per-partition longs after the distributed
+    distinct (nothing vocab-sized ever crosses a single partition). The count tables are word-keyed
+    and join back on the SAME word/bigram hash distribution (not
+    broadcast — a 100 TB corpus's bigram vocabulary is tens of GB, the
+    bigram_pmi argument); only V (one row) broadcasts."""
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    words = words_array("text")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    bcnt = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        # two consumers (context sums + the score join) — persist the
+        # bigram-vocab-sized counts, not the corpus-sized token stream
+        .persist()
+    )
+    cctx = (
+        bcnt.select(F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"), "c_xy")
+        .groupBy("w1")
+        .agg(F.sum("c_xy").cast("double").alias("cc"))
+    )
+    vocab = docs.select(F.explode(words).alias("w")).agg(
+        F.count_distinct("w").cast("double").alias("v")
+    )
+    k = _LM_K
+    term = (
+        bi.withColumn("w1", F.split_part("bg", F.lit(" "), F.lit(1)))
+        .join(bcnt, "bg")
+        .join(cctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c_xy") + k) / (F.col("cc") + k * F.col("v"))).alias("lp"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        rnd(F.exp(-F.avg("lp")), 4).alias("ppl"),
+    )
+
+
+@query(
+    "ngram_novelty",
+    oracle=r"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(words) - 1),
+                       i -> array_to_string(words[i:i+2], ' ')))) AS s
+    FROM wbase WHERE len(words) >= 3
+), shx AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x
+    FROM sh
+), flagged AS (
+    SELECT doc_id, x, min(doc_id) OVER (PARTITION BY x) AS first_doc
+    FROM shx
+)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(1e-9 + CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*), 6) AS novelty
+FROM flagged GROUP BY doc_id
+""",
+)
+def ngram_novelty(spark, sf_dir):
+    """Shingle-level novelty score: the fraction of a document's distinct
+    3-gram shingles that appear in NO earlier document (by doc_id order) —
+    the incremental-crawl signal for "how much new content does this doc
+    add", the per-doc dual of source_overlap and a soft version of
+    near-dedup (a doc with novelty 0 is entirely stitched from earlier
+    content).
+
+    Scale shape: ONE corpus explode into (doc, shingle-hash), then a
+    min-over-shingle WINDOW (hash exchange on the shingle key, unbounded
+    frame so no within-partition sort semantics beyond grouping) and a
+    doc-keyed aggregate — no self-join, no second scan, and the hot-key
+    risk (a shingle in every doc) is only ever |occurrences| rows through
+    one min, never a pair blowup."""
+    from mapreduce_model_spark.operators.dedup import doc_shingle_hashes
+
+    docs = table(spark, sf_dir, "documents")
+    shx = doc_shingle_hashes(docs, k=3)
+    w = Window.partitionBy("x")
+    flagged = shx.select(
+        "doc_id", "x", F.min("doc_id").over(w).alias("first_doc")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+        .cast("long")
+        .alias("n_novel"),
+        rnd(
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
+    )

@@ -40,3 +40,24 @@ def test_source_overlap_is_valid_jaccard(spark):
         seen.add((r["source_a"], r["source_b"]))
         assert 0.0 < r["jaccard"] <= 1.0
         assert r["n_shared"] >= 1
+
+
+def test_lm_perplexity_bounds(spark):
+    """ppl = exp(-mean ln p) with p < 1 strictly, so ppl > 1 for every
+    doc; docs with < 2 words produce no row."""
+    rows = QUERIES["lm_perplexity"](spark, SF).collect()
+    assert rows
+    assert all(r["ppl"] > 1.0 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    """The smallest doc_id with shingles sees everything first: its
+    novelty must be exactly 1.0; all ratios live in [0, 1]."""
+    rows = QUERIES["ngram_novelty"](spark, SF).collect()
+    assert rows
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    assert by_id[0]["novelty"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert 0 <= r["n_novel"] <= r["n_shingles"]

@@ -132,6 +132,32 @@ COMMENTARY: dict[str, str] = {
         "adds the LSH band join + pair-graph fixpoint without touching "
         "this skeleton (one extra survivor semi-join)."
     ),
+    "robust_outliers": (
+        "Median+MAD outlier screen in exactly two fact scans: the median "
+        "pass scans once; the deviation frame (fact x broadcast medians) "
+        "is persisted while the MAD aggregate materializes it, and the "
+        "final flag count reads the cache (InMemoryTableScan) instead of "
+        "a third scan. Both per-group stats frames re-enter as broadcast "
+        "hash joins. At 100 TB swap exact `percentile` for "
+        "`approx_percentile` — same plan, sketch-mergeable partials."
+    ),
+    "cms_heavy_hitters": (
+        "Count-Min-Sketch heavy hitters: word counts are one hash "
+        "exchange with map-side partials; the sketch is a SUM-mergeable "
+        "fixed 4x64 matrix (so its aggregate exchanges at most 256 "
+        "partials per task regardless of corpus size); candidates come "
+        "from TakeOrderedAndProject and the estimate probe broadcasts "
+        "the 256-row sketch. md5-derived bucket hashes make the sketch "
+        "itself oracle-checkable in DuckDB."
+    ),
+    "lm_perplexity": (
+        "Bigram-LM quality scoring: train pass (bigram counts) and score "
+        "pass are two separate corpus explodes by design — cheaper than "
+        "caching a corpus-sized token stream; the count tables join back "
+        "word-keyed on the same hash distribution (a 100 TB bigram "
+        "vocabulary is not broadcastable — the bigram_pmi argument); "
+        "only the 1-row vocabulary size broadcasts."
+    ),
     "bigram_pmi": (
         "Collocation mining: two explode→agg passes with map-side "
         "partials, then word-keyed SHUFFLE joins for the unigram "

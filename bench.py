@@ -143,6 +143,31 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     failed_names = sorted(n for n, t in timings.items() if t < 0)
+    # Geomean vs the previous full-suite sidecar (committed per round), over
+    # the common queries — the headline cross-round ratio, computed BEFORE
+    # the sidecar is overwritten below. Interpret per PLANS.md §Benchmark
+    # measurement protocol (environment drift ~1.3x).
+    sidecar = os.environ.get(
+        "BENCH_FULL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
+    geomean_vs_prev = None
+    try:
+        import math
+
+        prev = json.load(open(sidecar)).get("queries", {})
+        common = [
+            n
+            for n, t in timings.items()
+            if t > 0 and isinstance(prev.get(n), (int, float)) and prev[n] > 0
+        ]
+        if common:
+            geomean_vs_prev = round(
+                math.exp(sum(math.log(timings[n] / prev[n]) for n in common) / len(common)),
+                4,
+            )
+    except (OSError, ValueError):
+        pass
     # Cheapest-FIRST, failures LAST: the driver records the LAST ~2000 bytes
     # of stdout (verified against BENCH_r{1,2,3,4}.json tails), so the end of
     # this line must carry what matters — ascending order sacrifices cheap
@@ -169,6 +194,7 @@ def main() -> None:
             "n_ok": len(timings) - len(failed_names),
             "n_failed": len(failed_names),
             "failed": failed_names,
+            "geomean_vs_prev": geomean_vs_prev,
             "top5": dict(by_cost[:5]),
         },
     }
@@ -179,10 +205,6 @@ def main() -> None:
     if subset:
         print("bench: subset run — sidecar not written", file=sys.stderr)
     else:
-        sidecar = os.environ.get(
-            "BENCH_FULL_PATH",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        )
         try:
             with open(sidecar, "w") as fh:
                 json.dump({**payload, "runs": all_runs}, fh, sort_keys=True, indent=1)

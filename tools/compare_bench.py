@@ -28,7 +28,18 @@ import sys
 # Payload/summary keys that the tail regex would otherwise mistake for
 # query timings (the bench line carries them alongside the queries dict).
 _NON_QUERY_KEYS = frozenset(
-    {"sf", "value", "repeat", "total_s", "n_ok", "n_failed", "n", "rc", "cpus"}
+    {
+        "sf",
+        "value",
+        "repeat",
+        "total_s",
+        "n_ok",
+        "n_failed",
+        "n",
+        "rc",
+        "cpus",
+        "geomean_vs_prev",
+    }
 )
 
 

@@ -570,6 +570,130 @@ def decontaminate_ngram(spark, sf_dir):
     )
 
 
+# Bloom-filter geometry: m bits packed 32-per-BIGINT word (sign-safe shifts
+# in both engines), k md5-derived probe positions per key.
+_BLOOM_BITS = 4096
+_BLOOM_WORD = 32
+_BLOOM_K = 4
+
+
+def _bloom_pos(i, th):
+    """Probe position i for key column ``th`` — md5-derived, so DuckDB
+    rebuilds the identical filter bit-for-bit."""
+    return md5_int32(F.concat(F.lit(f"bloom{i}:"), th)) % _BLOOM_BITS
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, source, md5({_NORM_SQL}) AS th FROM documents
+), ev AS (
+    SELECT DISTINCT th FROM h WHERE source = '{_EVAL_SOURCE}'
+), bf AS (
+    SELECT x // {_BLOOM_WORD} AS w_idx,
+           bit_or(1::BIGINT << (x % {_BLOOM_WORD})) AS w
+    FROM (SELECT ('0x' || substr(md5('bloom' || i::VARCHAR || ':' || th), 1, 8))::BIGINT
+                 % {_BLOOM_BITS} AS x
+          FROM ev CROSS JOIN range(0, {_BLOOM_K}) t(i))
+    GROUP BY w_idx
+), tr AS (
+    SELECT doc_id, source, th FROM h WHERE source <> '{_EVAL_SOURCE}'
+), probe AS (
+    SELECT doc_id, source,
+           bool_and((coalesce(w, 0) & (1::BIGINT << (x % {_BLOOM_WORD}))) <> 0) AS bloom_hit
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5('bloom' || i::VARCHAR || ':' || th), 1, 8))::BIGINT
+                 % {_BLOOM_BITS} AS x
+          FROM tr CROSS JOIN range(0, {_BLOOM_K}) t(i)) p
+    LEFT JOIN bf ON bf.w_idx = p.x // {_BLOOM_WORD}
+    GROUP BY doc_id, source
+), flags AS (
+    SELECT p.doc_id, p.source, p.bloom_hit,
+           t.th IN (SELECT th FROM ev) AS exact_hit
+    FROM probe p JOIN tr t ON p.doc_id = t.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos
+FROM flags GROUP BY source
+""",
+)
+def decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination screen: the eval corpus is folded into a
+    {_BLOOM_BITS}-bit / k={_BLOOM_K} Bloom filter and every training doc is
+    probed against it, reported per source alongside the exact answer so the
+    false-positive cost of the filter is measured, not assumed.
+
+    Scale shape — this is the 100 TB lever `decontaminate_exact` lacks: the
+    exact screen broadcasts the eval HASH SET, which stops fitting when the
+    eval/blocklist corpus itself is large; the Bloom filter is a CONSTANT
+    ~16 KB regardless of eval size, built by an OR-mergeable ≤128-row
+    aggregate (map-side combine does almost all of it), re-entering the plan
+    as a broadcast 1-row word map. The probe is pure narrow bit math per
+    training row — no shuffle of the training corpus at all; the only
+    training-sized work is the final per-source count aggregate. In a real
+    pipeline the filter screens cheaply and the few bloom-positive docs are
+    re-checked exactly (n_false_pos here bounds that second pass).
+    """
+    from mapreduce_model_spark.operators.dedup import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", F.md5(normalize_text(F.col("text"))).alias("th")
+    )
+    ev = h.filter(F.col("source") == _EVAL_SOURCE).select("th").distinct()
+
+    # Build: k positions per eval hash -> (word, bit) -> BIT_OR per word.
+    pos = ev.select(
+        F.explode(F.array(*[_bloom_pos(i, F.col("th")) for i in range(_BLOOM_K)])).alias("x")
+    )
+    bf = (
+        pos.select(
+            F.expr(f"x div {_BLOOM_WORD}").alias("w_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(x % {_BLOOM_WORD} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w_idx")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    bf_row = bf.agg(
+        F.map_from_arrays(F.collect_list("w_idx"), F.collect_list("w")).alias("bf")
+    )
+
+    tr = h.filter(F.col("source") != _EVAL_SOURCE)
+    probed = tr.crossJoin(F.broadcast(bf_row))  # 1-row broadcast, no shuffle
+    for i in range(_BLOOM_K):
+        probed = probed.withColumn(f"_p{i}", _bloom_pos(i, F.col("th")))
+    hit = F.lit(True)
+    for i in range(_BLOOM_K):
+        word = F.coalesce(
+            F.element_at(F.col("bf"), F.expr(f"_p{i} div {_BLOOM_WORD}")),
+            F.lit(0).cast("long"),
+        )
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % {_BLOOM_WORD} AS INT))"
+        )
+        hit = hit & (word.bitwiseAND(bit) != 0)
+
+    evm = ev.withColumn("is_ev", F.lit(True))
+    flagged = (
+        probed.withColumn("bloom_hit", hit)
+        .join(F.broadcast(evm), "th", "left")
+        .withColumn("exact_hit", F.coalesce("is_ev", F.lit(False)))
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        one(F.col("bloom_hit")).alias("n_bloom_hits"),
+        one(F.col("exact_hit")).alias("n_exact_hits"),
+        one(F.col("bloom_hit") & ~F.col("exact_hit")).alias("n_false_pos"),
+    )
+
+
 @query(
     "embedding_norms",
     oracle="""

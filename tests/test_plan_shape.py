@@ -380,3 +380,66 @@ def test_graph_triangles_no_cartesian(spark):
     p = plan(spark, "graph_triangles")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontaminate_bloom_training_side_never_shuffles(spark):
+    """The Bloom screen's whole point: the filter re-enters as a broadcast
+    1-row word map and the probe is narrow bit math — the only exchanges
+    are the eval-side filter build (bounded ≤128 rows; its pack to one row
+    is the lone SinglePartition) and the final per-source count partials.
+    A SortMergeJoin anywhere means the training corpus shuffled."""
+    p = plan(spark, "decontaminate_bloom")
+    assert "SortMergeJoin" not in p
+    assert p.count("SinglePartition") == 1  # the ≤128-row filter pack only
+    assert p.count("+- Exchange") <= 5
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_bm25_topk_broadcasts_stats_and_takes_ordered(spark):
+    """BM25: df/avgdl stats are tiny and must broadcast back onto the
+    term-filtered postings; the final top-k must be TakeOrderedAndProject
+    (per-partition heaps), never a global Sort."""
+    p = plan(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_cms_heavy_hitters_sketch_is_preaggregated(spark):
+    """Count-Min build: partial HashAggregates below every exchange (the
+    sketch is SUM-mergeable — map-side combine carries it), and the top-k
+    report is a TakeOrderedAndProject, not a global sort."""
+    p = plan(spark, "cms_heavy_hitters")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_lm_perplexity_probability_joins_never_sort_merge(spark):
+    """Bigram-LM scoring: the unigram/bigram probability joins are keyed on
+    words — at sf scale both sides broadcast; what must NEVER appear is a
+    cartesian or a sort-merge of the scoring corpus."""
+    p = plan(spark, "lm_perplexity")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_source_overlap_pair_join_is_bounded(spark):
+    """Source-overlap matrix: the pair generation joins distinct
+    (source, shingle) sets on the shingle hash — equi-joins only, the
+    |sources|²-bounded output never degenerates into a cartesian."""
+    p = plan(spark, "source_overlap")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ngram_novelty_has_no_self_join(spark):
+    """Novelty is min-over-shingle windows — zero joins by construction;
+    a join appearing here means someone rewrote it as the O(n²)
+    earlier-docs self-join the window formulation exists to avoid."""
+    p = plan(spark, "ngram_novelty")
+    assert "Join" not in p
+    assert p.count("Window") == 2
+    assert p.count("+- Exchange") <= 3

@@ -61,3 +61,33 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark):
     for r in rows:
         assert 0.0 <= r["novelty"] <= 1.0
         assert 0 <= r["n_novel"] <= r["n_shingles"]
+
+
+def test_bloom_decontaminate_is_one_sided(spark, tmp_path):
+    """Bloom screening can only over-flag, never under-flag: every exact
+    duplicate must be a bloom hit, so per source
+    n_bloom_hits == n_exact_hits + n_false_pos holds exactly. Planted
+    data exercises the paths the synthetic corpus doesn't (it has no
+    cross-source exact duplicates)."""
+    rows = []
+    for i in range(30):  # eval corpus (src0)
+        rows.append((i, f"eval doc {i} unique words alpha{i}", "en", "src0", 20))
+    for i in range(10):  # training copies of eval docs -> exact hits
+        rows.append((100 + i, f"Eval  doc {i} unique words ALPHA{i} ", "en", "src1", 20))
+    for i in range(40):  # clean training docs
+        rows.append((200 + i, f"clean doc {i} beta{i}", "en", "src1", 15))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["source"]: r
+        for r in QUERIES["decontaminate_bloom"](spark, str(tmp_path)).collect()
+    }
+    r = out["src1"]
+    assert r["n_docs"] == 50
+    # normalization (lower + whitespace collapse) makes the copies exact
+    assert r["n_exact_hits"] == 10
+    assert r["n_bloom_hits"] == r["n_exact_hits"] + r["n_false_pos"]
+    assert "src0" not in out, "the eval corpus itself is never screened"

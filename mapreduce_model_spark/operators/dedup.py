@@ -230,20 +230,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return agged.select(F.col(id_col), sh.cast("long").alias("simhash"))
 
 
-def ngram_jaccard_pairs(
+def _blocked_pair_intersections(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_k: int = 3,
-    threshold: float = 0.5,
-    max_shingle_df: int = 50,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    max_shingle_df: int,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs blocked by shared rare shingles.
-
-    Shingles with document frequency > ``max_shingle_df`` are used for
-    *blocking only* (all shingles still count in the Jaccard), bounding the
-    pair join. Output: (id_a, id_b, jaccard) for pairs ≥ threshold **that
-    share at least one rare shingle** — the documented recall contract.
+    """Candidate pairs blocked by shared rare shingles, with exact shingle
+    set sizes: (id_a, id_b, n_inter, n_a, n_b). The shared engine under
+    Jaccard (symmetric) and containment (asymmetric) verification.
 
     Scale shape: the only pairwise work is the rare-shingle self-join, which
     is ≤ max_shingle_df²/2 pairs per shingle by construction. Intersection
@@ -259,7 +255,7 @@ def ngram_jaccard_pairs(
         doc_shingle_hashes(df, text_col, id_col, shingle_k)
         .groupBy(id_col)
         .agg(F.collect_set("x").alias("xs"))
-        # five consumers (df counts, both blocking sides, both Jaccard
+        # five consumers (df counts, both blocking sides, both measure
         # sides) — persist or the corpus is re-hashed for each
         .persist()
     )
@@ -283,12 +279,73 @@ def ngram_jaccard_pairs(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("xs_a", "xs_b")))
-        .withColumn(
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("xs_a", "xs_b")).alias("n_inter"),
+            F.size("xs_a").alias("n_a"),
+            F.size("xs_b").alias("n_b"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs blocked by shared rare shingles.
+
+    Shingles with document frequency > ``max_shingle_df`` are used for
+    *blocking only* (all shingles still count in the Jaccard), bounding the
+    pair join. Output: (id_a, id_b, jaccard) for pairs ≥ threshold **that
+    share at least one rare shingle** — the documented recall contract.
+    Pair engine: :func:`_blocked_pair_intersections`.
+    """
+    pairs = _blocked_pair_intersections(df, text_col, id_col, shingle_k, max_shingle_df)
+    return (
+        pairs.withColumn(
             "jaccard",
-            F.col("n_inter")
-            / (F.size("xs_a") + F.size("xs_b") - F.col("n_inter")),
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 4).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Asymmetric shingle containment C(a→b) = |A∩B| / |A| over the same
+    rare-shingle-blocked candidates as :func:`ngram_jaccard_pairs`.
+
+    Containment is the doc-IN-doc signal Jaccard misses: a paragraph quoted
+    inside a much longer article has high C(quote→article) but tiny Jaccard
+    (the union is dominated by the article). That's the quote / boilerplate-
+    wrapping / partial-scrape case a dedup pass built only on Jaccard keeps
+    shipping twice. Pairs kept when either direction ≥ threshold; both
+    directions reported so the CONTAINED side (the smaller doc) is
+    identifiable downstream.
+    """
+    pairs = _blocked_pair_intersections(df, text_col, id_col, shingle_k, max_shingle_df)
+    c_ab = F.col("n_inter") / F.col("n_a")
+    c_ba = F.col("n_inter") / F.col("n_b")
+    return (
+        pairs.withColumn("c_ab", c_ab)
+        .withColumn("c_ba", c_ba)
+        .filter(F.greatest("c_ab", "c_ba") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("c_ab") + 1e-9, 4).alias("cont_a_in_b"),
+            F.round(F.col("c_ba") + 1e-9, 4).alias("cont_b_in_a"),
+        )
     )

@@ -228,6 +228,51 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@query(
+    "dedup_containment",
+    oracle=_SHX + f"""
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+dfq AS (SELECT x, count(*) AS dfx FROM shx GROUP BY x),
+rare AS (SELECT shx.doc_id, shx.x FROM shx JOIN dfq USING (x) WHERE dfx <= {MAX_SHINGLE_DF}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM rare a JOIN rare b USING (x) WHERE a.doc_id < b.doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM shx a JOIN shx b USING (x) WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), c AS (
+    SELECT cand.id_a, cand.id_b,
+           CAST(n_inter AS DOUBLE) / sa.n_sh AS c_ab,
+           CAST(n_inter AS DOUBLE) / sb.n_sh AS c_ba
+    FROM cand
+    JOIN inter USING (id_a, id_b)
+    JOIN sizes sa ON sa.doc_id = cand.id_a
+    JOIN sizes sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b,
+       round(1e-9 + c_ab, 4) AS cont_a_in_b,
+       round(1e-9 + c_ba, 4) AS cont_b_in_a
+FROM c WHERE greatest(c_ab, c_ba) >= {CONTAINMENT_THRESHOLD}
+""",
+)
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment ≥ 0.6 in either direction — the
+    doc-inside-doc (quote / partial-scrape) detector symmetric Jaccard
+    misses; same rare-shingle blocking as dedup_ngram_jaccard."""
+    from mapreduce_model_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        table(spark, sf_dir, "documents"),
+        shingle_k=SHINGLE_K,
+        threshold=CONTAINMENT_THRESHOLD,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+
+
 from mapreduce_model_spark.registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
 

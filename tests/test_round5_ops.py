@@ -91,3 +91,32 @@ def test_bloom_decontaminate_is_one_sided(spark, tmp_path):
     assert r["n_exact_hits"] == 10
     assert r["n_bloom_hits"] == r["n_exact_hits"] + r["n_false_pos"]
     assert "src0" not in out, "the eval corpus itself is never screened"
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc quoted verbatim inside a long one: containment of the
+    quote is ~1.0 while Jaccard stays below the 0.5 near-dup bar — the
+    exact case the asymmetric measure exists for."""
+    from mapreduce_model_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog every single morning"
+    # letters only: normalization strips digits, which would collapse
+    # numbered filler words into one repeated shingle
+    filler = " ".join(f"q{a}{b}" for a in "abcdefgh" for b in "abcdefgh")
+    df = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["cont_a_in_b"] == 1.0  # every quote shingle is in the article
+    assert r["cont_b_in_a"] < 0.5   # the article is NOT inside the quote
+    assert not ngram_jaccard_pairs(df, threshold=0.5).collect(), (
+        "symmetric Jaccard must miss this pair — that's the point"
+    )

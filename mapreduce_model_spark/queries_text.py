@@ -1240,3 +1240,68 @@ def ngram_novelty(spark, sf_dir):
             6,
         ).alias("novelty"),
     )
+
+
+_BP_MIN_FRAC = 0.08
+_BP_MIN_DOCS = 2
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=rf"""
+WITH wbase AS (
+    SELECT doc_id, source,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, source, unnest(list_distinct(
+        list_transform(range(1, len(words) - 1),
+                       i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+    FROM wbase WHERE len(words) >= 3
+), src AS (SELECT source, count(*) AS src_docs FROM documents GROUP BY source),
+agg AS (
+    SELECT source, shingle, count(*) AS n_with FROM sh GROUP BY source, shingle
+)
+SELECT agg.source, shingle, n_with,
+       round(1e-9 + CAST(n_with AS DOUBLE) / src_docs, 6) AS df_frac
+FROM agg JOIN src USING (source)
+WHERE n_with >= {_BP_MIN_DOCS}
+  AND CAST(n_with AS DOUBLE) / src_docs >= {_BP_MIN_FRAC}
+""",
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Per-source boilerplate shingles: 3-grams present in ≥ 8% of a
+    source's documents (and ≥ 2 docs) — the nav-bar / footer / disclaimer
+    detector that runs BEFORE near-dedup in a corpus build, since
+    boilerplate inflates every pairwise similarity downstream. Emits the
+    shingle text (not a hash): the output is a reviewable blocklist.
+
+    Scale shape: one corpus explode into per-doc DISTINCT (source, shingle)
+    rows, one algebraic count aggregate keyed on (source, shingle) — the
+    only data-sized shuffle, partial-agged map-side — then a broadcast join
+    of per-source doc totals (|sources| rows). Hot shingles are safe: they
+    flow through a count, never a pair join. The 100 TB variant drops the
+    shingle STRING from the shuffle key in favor of its hash and joins the
+    text back for the tiny surviving set; kept inline here because the
+    output is the human-readable artifact."""
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(shingles(words_array("text"), 3))).alias(
+                "shingle"
+            ),
+        )
+    )
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("src_docs"))
+    agg = sh.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("n_with"))
+    frac = F.col("n_with").cast("double") / F.col("src_docs")
+    return (
+        agg.join(F.broadcast(src), "source")
+        .filter((F.col("n_with") >= _BP_MIN_DOCS) & (frac >= _BP_MIN_FRAC))
+        .select("source", "shingle", "n_with", rnd(frac, 6).alias("df_frac"))
+    )

@@ -443,3 +443,28 @@ def test_ngram_novelty_has_no_self_join(spark):
     assert "Join" not in p
     assert p.count("Window") == 2
     assert p.count("+- Exchange") <= 3
+
+
+def test_containment_reuses_persisted_shingle_sets(spark):
+    """Containment shares the blocked-pair engine with Jaccard: the per-doc
+    shingle-set build must be a persisted artifact re-read by its five
+    consumers (InMemoryTableScan), not five re-scans of raw text, and the
+    pair work is equi-joins only."""
+    p = plan(spark, "dedup_containment")
+    # every consumer reads the cache (formatted explain reprints the cached
+    # relation's build lineage per reference, so "Scan parquet" overcounts —
+    # the InMemoryTableScans are what executes)
+    assert p.count("InMemoryTableScan") >= 5
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_boilerplate_ngrams_is_two_exchanges(spark):
+    """Boilerplate detection: one (source, shingle)-keyed count exchange
+    (the data-sized one, partial-agged below) plus the tiny per-source
+    totals agg; the totals join back by broadcast."""
+    p = plan(spark, "boilerplate_ngrams")
+    assert p.count("+- Exchange") == 2
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 4  # both aggs two-phase
+    assert "SortMergeJoin" not in p

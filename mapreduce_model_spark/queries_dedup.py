@@ -276,6 +276,68 @@ def q_containment(spark, sf_dir):
 from mapreduce_model_spark.registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
 
 
+_SPLIT_SQL = """CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END"""
+
+
+@query(
+    "split_leakage",
+    oracle=f"""
+WITH asg AS (
+    SELECT doc_id, {_SPLIT_SQL} AS split FROM documents
+)
+SELECT least(sa.split, sb.split)    AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leaks,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM ({_ORACLE_SQL["dedup_near_minhash"]}) m
+JOIN asg sa ON sa.doc_id = m.id_a
+JOIN asg sb ON sb.doc_id = m.id_b
+GROUP BY 1, 2, 3
+""",
+)
+def q_split_leakage(spark, sf_dir):
+    """Split-leakage audit: how many NEAR-duplicate pairs straddle the
+    train/val/test assignment (`train_val_split`'s md5 bucketing, same
+    salt) — the QA gate that catches eval leakage exact decontamination
+    misses, because a near-copy of a val doc in train is still leakage.
+    All split-pair cells are reported (leaks = the off-diagonal ones) so
+    the audit shows the full picture, not just violations.
+
+    Scale shape: reuses the bucketed LSH pair generation (never all-pairs),
+    attaches split labels with two doc_id-keyed joins, and aggregates to a
+    ≤6-cell matrix. The split label is derived, not stored — auditing any
+    PROPOSED split costs only this query, no rewrite of the corpus."""
+    from mapreduce_model_spark.functions.text import md5_int32
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = md5_int32(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    asg = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    sig = minhash_signatures(docs, k=K, shingle_k=SHINGLE_K)
+    pairs = lsh_near_dup_pairs(
+        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+    ).select("id_a", "id_b")
+    sa = asg.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = asg.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    lo, hi = F.least("split_a", "split_b"), F.greatest("split_a", "split_b")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            (F.col("split_lo") != F.col("split_hi")).alias("leaks"),
+            "n_pairs",
+        )
+    )
+
+
 @query(
     "dedup_cross_source",
     oracle=f"""

@@ -108,7 +108,17 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """(id, sig: array<bigint> length k). One explode + one groupBy — the
-    k permutations are k expressions inside a single aggregate, not k jobs."""
+    k permutations are k expressions inside a single aggregate, not k jobs.
+
+    Measured alternative, rejected: since min(multiset) == min(set) the
+    signature is expressible fully narrow — k ``array_min(transform(...))``
+    passes over a per-doc shingle-hash array, zero exchanges. It benches
+    ~10x SLOWER at sf0.1 (2.3 s → 27 s): higher-order array functions are
+    CodegenFallback, so the k passes run as interpreted per-element lambda
+    evals with no whole-stage codegen and no common-subexpression reuse,
+    while the explode+groupBy keeps every expression inside codegen and
+    ships only (id, 8-byte hash) partials with map-side combine. The
+    shuffle is the cheap part; losing codegen is the expensive part."""
     params = perm_params(k, seed)
     sh = doc_shingle_hashes(df, text_col, id_col, shingle_k)
     aggs = [

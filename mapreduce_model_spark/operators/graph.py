@@ -62,6 +62,15 @@ def _compress(parent: DataFrame, max_rounds: int = 40) -> DataFrame:
     raise RuntimeError(f"forest compression did not converge in {max_rounds} rounds")
 
 
+# Below this many (long, long) edge rows (~3 MB) the graph iterates in ONE
+# task: every hook/compress/contract round on a multi-partition tiny graph
+# pays scheduler + broadcast latency per round, which dominates wall time
+# (measured: 2.7 s for 256 edges at 32 partitions). The gate rides on the
+# frontier count each phase already computes, so it costs nothing, and a
+# graph that is still large keeps its parallelism untouched.
+SMALL_GRAPH_ROWS = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -86,6 +95,8 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     frontier = g.count()
+    if frontier <= SMALL_GRAPH_ROWS:
+        g = g.coalesce(1)
     labels = (
         g.select(F.col("u").alias("node")).distinct().withColumn("component", F.col("node"))
     )
@@ -127,6 +138,8 @@ def connected_components(
         )
         # one job: materializes the contracted graph AND is the loop exit
         frontier = g.count()
+        if frontier <= SMALL_GRAPH_ROWS:
+            g = g.coalesce(1)
     raise RuntimeError(
         f"connected_components did not converge in {max_phases} phases"
     )
@@ -179,6 +192,13 @@ def pagerank(
     n, n_dangling = counts["n"], counts["n_dangling"]
     if n == 0:
         return base.select("node", F.lit(0.0).alias("rank"))
+    if n <= SMALL_GRAPH_ROWS:
+        # same small-graph gate as connected_components, riding on the node
+        # count this function already pays for: iterate a tiny graph in one
+        # task instead of paying scheduler latency × partitions × n_iter.
+        # (Edge count tracks node count here — near-dup graphs cap degree.)
+        e = e.coalesce(1)
+        base = base.coalesce(1)
     ranks = base.withColumn("rank", F.lit(1.0 / n))
     # dangling mass of the uniform init — no job needed
     dangling = n_dangling / n

@@ -132,6 +132,53 @@ def minhash_signatures(
     )
 
 
+def minhash_sig_expr(
+    text_col="text", k: int = 32, shingle_k: int = 3, seed: int = 42
+):
+    """Per-ROW MinHash signature (array<bigint> length k) — no explode, no
+    groupBy. The streaming-safe twin of :func:`minhash_signatures`: a
+    readStream plan cannot absorb a stateful aggregation just to compute a
+    per-doc value, and a microbatch is small enough that the interpreted
+    higher-order-function cost (the reason the batch path keeps its
+    codegen'd explode+groupBy — see minhash_signatures' docstring) doesn't
+    matter. NULL for docs with < shingle_k words (no shingles ⇒ no
+    signature), matching the batch function's absent-row semantics.
+    Identical values to the batch path by construction: same shingles, same
+    md5-derived hashes, same permutation constants."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    params = perm_params(k, seed)
+    xs = F.transform(
+        shingles(words_array(c), shingle_k), lambda s: md5_int32(s) % MERSENNE_P
+    )
+
+    def perm(a, b):
+        # closure factory: pyspark counts lambda params, so default-arg
+        # binding would read as a 3-arg HOF lambda
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P
+
+    sig = F.array(*[F.array_min(F.transform(xs, perm(a, b))) for a, b in params])
+    return F.when(F.size(xs) > 0, sig)
+
+
+def band_keys_expr(sig_col, bands: int = 8, rows: int = 4):
+    """array<string> of LSH band keys for a signature column — md5 of
+    ``"{band_index},{comma-joined band slice}"``. The ONE definition of the
+    band key, shared by the batch pair join (lsh_near_dup_pairs) and the
+    streaming admission gate (streaming/dedup_gate.py), so their buckets
+    join by construction."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.md5(
+            F.concat_ws(
+                ",",
+                j.cast("string"),
+                F.array_join(F.slice(sig, j * rows + 1, rows), ","),
+            )
+        ),
+    )
+
+
 def lsh_near_dup_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -173,18 +220,7 @@ def lsh_near_dup_pairs(
     banded = sig.select(
         F.col(id_col),
         "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda j: F.md5(
-                    F.concat_ws(
-                        ",",
-                        j.cast("string"),
-                        F.array_join(F.slice("sig", j * rows + 1, rows), ","),
-                    )
-                ),
-            )
-        ).alias("band_key"),
+        F.explode(band_keys_expr("sig", bands, rows)).alias("band_key"),
     )
     # bucket-size cap via groupBy+join (no per-occurrence sort); the banded
     # side's exchange on band_key is shared with the pair self-join below

@@ -374,3 +374,87 @@ def q_dedup_cross_source(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+CHUNK_WORDS = 16
+
+
+@query(
+    "chunk_dedup",
+    oracle=rf"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), chunks AS (
+    SELECT doc_id, i - 1 AS chunk_idx,
+           md5(array_to_string(
+               words[(i - 1) * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS}], ' ')) AS h
+    FROM (SELECT doc_id, words,
+                 unnest(range(1, 1 + CAST(ceil(len(words) / {CHUNK_WORDS}.0) AS INT))) AS i
+          FROM wbase WHERE len(words) > 0)
+), ranked AS (
+    SELECT doc_id, chunk_idx,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+           AS kept_frac
+FROM ranked GROUP BY doc_id
+""",
+)
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document duplicate removal at chunk granularity — the C4 rule
+    ("discard duplicated paragraphs/lines corpus-wide, keep the rest of the
+    page") adapted to fixed 16-word chunks, since the synthetic docs carry
+    no newlines. First writer wins: a chunk survives only in the lowest
+    (doc_id, chunk_idx) that contains its exact text. Output is the per-doc
+    retention report (n_chunks / n_kept / kept_frac) a curriculum build
+    uses to drop gutted docs.
+
+    Scale: chunking + hashing are NARROW (transform over sequence in the
+    scan stage — no explode of raw text before hashing); the two exchanges
+    carry only (doc_id, chunk_idx, 32-char md5), never chunk text. The
+    window on h is a hash-keyed shuffle (same cardinality discipline as
+    dedup_exact, operators/dedup.py:57); the final doc_id agg is the
+    second. Generalizes reference per-file distinct→global merge
+    (main.cc:62-96) from words to chunk hashes."""
+    from pyspark.sql import Window
+
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+    from mapreduce_model_spark.functions.text import words_array
+
+    docs = (
+        spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", words_array("text").alias("words"))
+        .where(F.size("words") > 0)
+    )
+    n = F.ceil(F.size("words") / CHUNK_WORDS).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice("words", (i - 1) * CHUNK_WORDS + 1, F.lit(CHUNK_WORDS)),
+                        " ",
+                    )
+                ),
+            )
+        ).alias("chunk_idx", "h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        kept.alias("n_kept"),
+        F.round(kept / F.count(F.lit(1)), 4).alias("kept_frac"),
+    )

@@ -1726,3 +1726,163 @@ def ewma_user_daily(spark, sf_dir):
         F.size("xs").cast("long").alias("n_events"),
         rnd(ewma, 4).alias("ewma"),
     )
+
+
+@query(
+    "eval_coverage",
+    oracle=_DECON_WBASE
+    + f"""
+, evx AS (
+    SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+    FROM (SELECT doc_id, unnest({_SH5_SQL}) AS s
+          FROM wbase WHERE source = '{_EVAL_SOURCE}' AND len(words) >= 5)
+), trx AS (
+    SELECT DISTINCT ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+    FROM (SELECT unnest({_SH5_SQL}) AS s
+          FROM wbase WHERE source <> '{_EVAL_SOURCE}' AND len(words) >= 5)
+), m AS (
+    SELECT x FROM trx WHERE x IN (SELECT x FROM evx)
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT)    AS n_shingles,
+       CAST(count(m.x) AS BIGINT)  AS n_hit,
+       round(count(m.x)::DOUBLE / count(*), 4) AS coverage
+FROM evx e LEFT JOIN m ON e.x = m.x
+GROUP BY e.doc_id
+""",
+)
+def eval_coverage(spark, sf_dir):
+    """Contamination report in the EVAL direction: per benchmark doc, what
+    fraction of its distinct 5-grams already exists anywhere in the
+    training corpus. decontaminate_ngram flags training docs to DROP; this
+    is the companion audit that says whether the benchmark itself is
+    compromised (coverage ~1.0 = the eval doc is effectively memorizable
+    even after exact-match scrubbing).
+
+    Scale: the training side — the 100 TB side — is touched by exactly one
+    narrow shingle pass plus a semi join against the BROADCAST eval
+    shingle-hash set; the matched-hash set that comes back is bounded by
+    the eval corpus (small by definition), so the per-eval-doc scoring join
+    is broadcast too. No shuffle anywhere scales with training size."""
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+    from mapreduce_model_spark.functions.text import shingles, words_array
+
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", words_array("text").alias("words")
+    )
+
+    def sh5(df):
+        return (
+            df.filter(F.size("words") >= 5)
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(shingles(F.col("words"), 5))).alias("s"),
+            )
+            .select("doc_id", md5_int32(F.col("s")).alias("x"))
+        )
+
+    evx = sh5(docs.filter(F.col("source") == _EVAL_SOURCE)).distinct()
+    ev_set = evx.select("x").distinct()
+    trx = sh5(docs.filter(F.col("source") != _EVAL_SOURCE))
+    matched = (
+        trx.join(F.broadcast(ev_set), "x", "semi").select("x").distinct()
+    )
+    scored = evx.join(
+        F.broadcast(matched.withColumn("hit", F.lit(1))), "x", "left"
+    )
+    n_hit = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        n_hit.alias("n_hit"),
+        F.round(n_hit / F.count(F.lit(1)), 4).alias("coverage"),
+    )
+
+
+# Temporal split geometry: integer-µs boundary arithmetic (identical in
+# both engines; float span math would diverge in the last bit).
+_SPLIT_TRAIN_PCT = 60
+_SPLIT_EMBARGO_PCT = 10
+
+
+@query(
+    "time_embargo_split",
+    oracle=f"""
+WITH b AS (
+    SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+), tagged AS (
+    SELECT user_id,
+           CASE
+             WHEN epoch_us(ts) < lo + (hi - lo) * {_SPLIT_TRAIN_PCT} // 100
+               THEN 'train'
+             WHEN epoch_us(ts) < lo + (hi - lo) * {_SPLIT_TRAIN_PCT + _SPLIT_EMBARGO_PCT} // 100
+               THEN 'embargo'
+             ELSE 'test'
+           END AS split
+    FROM events, b
+), shared AS (
+    SELECT count(DISTINCT t.user_id) AS n_shared
+    FROM (SELECT DISTINCT user_id FROM tagged WHERE split = 'train') t
+    JOIN (SELECT DISTINCT user_id FROM tagged WHERE split = 'test') s
+      ON t.user_id = s.user_id
+)
+SELECT split,
+       CAST(count(*) AS BIGINT)                 AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
+       CAST((SELECT n_shared FROM shared) AS BIGINT) AS n_train_test_shared_users
+FROM tagged
+GROUP BY split
+""",
+)
+def time_embargo_split(spark, sf_dir):
+    """Leakage-safe TEMPORAL train/test split with an embargo gap — the
+    time-series discipline (finance/forecasting, and LLM data with a
+    knowledge-cutoff) where random splits leak the future: train gets the
+    first 60% of the time span, the next 10% is discarded as embargo (so
+    windowed features computed at train time cannot straddle the
+    boundary), test gets the rest. Boundaries are integer-µs arithmetic so
+    both engines place every event identically. The report carries the
+    cross-split audit inline: n_train_test_shared_users is the entity
+    overlap a stricter BY-USER split would also have to address
+    (complements split_leakage_audit, which audits near-dup DOCS).
+
+    Scale: one events scan + a 2-value global min/max broadcast back; the
+    split tag is then a narrow CASE. The shared-users audit is two
+    distinct-user aggregates (bounded by |users|) hash-joined. Nothing
+    shuffles the full fact table twice."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    b = ev.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    t_pct, e_pct = _SPLIT_TRAIN_PCT, _SPLIT_TRAIN_PCT + _SPLIT_EMBARGO_PCT
+    # `div` (integral), NOT `/`: Spark's `/` on longs returns DOUBLE, which
+    # would floor differently from DuckDB's `//` on boundary-adjacent events
+    b1 = F.expr(f"lo + ((hi - lo) * {t_pct}) div 100")
+    b2 = F.expr(f"lo + ((hi - lo) * {e_pct}) div 100")
+    tagged = (
+        ev.crossJoin(F.broadcast(b))
+        .withColumn(
+            "split",
+            F.when(us < b1, "train").when(us < b2, "embargo").otherwise("test"),
+        )
+        .select("user_id", "split")
+    )
+    tr_u = tagged.filter(F.col("split") == "train").select("user_id").distinct()
+    te_u = tagged.filter(F.col("split") == "test").select("user_id").distinct()
+    shared = tr_u.join(te_u, "user_id").agg(
+        F.count(F.lit(1)).alias("n_train_test_shared_users")
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(shared))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            F.col("n_train_test_shared_users").cast("long"),
+        )
+    )

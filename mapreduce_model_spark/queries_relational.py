@@ -1609,3 +1609,109 @@ def join_asof_forward(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "asof_ts_us"
     )
+
+
+@query(
+    "max_concurrent_intervals",
+    oracle="""
+WITH pts AS (
+    SELECT event_type, ts AS t, 1 AS d FROM events
+    UNION ALL
+    SELECT event_type, ts + INTERVAL 300 SECOND AS t, -1 AS d FROM events
+), run AS (
+    SELECT event_type,
+           sum(d) OVER (PARTITION BY event_type ORDER BY t, d) AS c
+    FROM pts
+)
+SELECT event_type, CAST(max(c) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type
+""",
+)
+def max_concurrent_intervals(spark, sf_dir):
+    """Sweep-line maximum concurrency: treating each event as a 5-minute
+    interval [ts, ts+300s), the peak number of simultaneously-open
+    intervals per event_type — the capacity-planning / peak-load question
+    that naive interval self-joins answer in O(n²). Sweep line does it with
+    zero joins: explode each interval into a +1 (open) and -1 (close)
+    point, cumulative-sum in time order, take the max.
+
+    Ordering contract: (t, d) with d=-1 sorting first makes the interval
+    half-open — a close at time t releases before an open at t is counted.
+    Ties beyond (t, d) need no break: the cumulative window's default RANGE
+    frame gives all peer rows the post-peer-group sum, so max is
+    deterministic in both engines.
+
+    Scale: one exchange, keyed on event_type (the sweep key), carrying
+    2 rows × (timestamp, ±1) per event — no raw payload. Per-key
+    in-partition sort is the same discipline as any window agg; a skewed
+    single key is bounded by the time-bucketed variant (partition the
+    sweep by (event_type, day) and carry the opening balance forward, the
+    standard parallel-prefix split)."""
+    ev = table(spark, sf_dir, "events")
+    opens = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d"))
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    pts = opens.unionAll(closes)
+    w = Window.partitionBy("event_type").orderBy("t", "d")
+    run = pts.withColumn("c", F.sum("d").over(w))
+    return run.groupBy("event_type").agg(
+        F.max("c").cast("long").alias("max_concurrent")
+    )
+
+
+@query(
+    "anomaly_seasonal",
+    oracle="""
+WITH stats AS (
+    SELECT event_type, extract(hour FROM ts) AS hr,
+           avg(value) AS mu, stddev_pop(value) AS sd
+    FROM events GROUP BY 1, 2
+), z AS (
+    SELECT e.event_type,
+           CASE WHEN s.sd > 0 THEN abs(e.value - s.mu) / s.sd ELSE 0 END AS z
+    FROM events e
+    JOIN stats s ON e.event_type = s.event_type
+                AND extract(hour FROM e.ts) = s.hr
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                      AS n_events,
+       CAST(sum(CASE WHEN z > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       round(max(z), 4)                              AS max_z
+FROM z GROUP BY event_type
+""",
+)
+def anomaly_seasonal(spark, sf_dir):
+    """Seasonal-baseline anomaly screen: per (event_type, hour-of-day)
+    mean/σ of the metric, then flag events beyond 3σ of their OWN seasonal
+    cell — the data-quality monitor that catches a feed going bad at 3am
+    without paging on the nightly batch spike (a global threshold can't
+    separate the two). Output is the per-type incident summary.
+
+    Scale: the baseline table is |event_types| × 24 rows — aggregated with
+    one map-side-combining groupBy, then BROADCAST back onto the fact
+    scan, so scoring is narrow. Two fact scans total (baseline + score);
+    the single-scan window formulation would instead shuffle the entire
+    fact table into (type, hour) partitions — strictly worse at 100 TB."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    stats = ev.groupBy("event_type", "hr").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    z = (
+        ev.join(F.broadcast(stats), ["event_type", "hr"])
+        .withColumn(
+            "z",
+            F.when(
+                F.col("sd") > 0, F.abs(F.col("value") - F.col("mu")) / F.col("sd")
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("z") > 3, 1).otherwise(0)).alias("n_anomalies"),
+        rnd(F.max("z"), 4).alias("max_z"),
+    )

@@ -120,3 +120,110 @@ def test_containment_catches_doc_inside_doc(spark):
     assert not ngram_jaccard_pairs(df, threshold=0.5).collect(), (
         "symmetric Jaccard must miss this pair — that's the point"
     )
+
+
+def test_chunk_dedup_conserves_distinct_chunks(spark):
+    """First-writer-wins at chunk granularity: the total of kept chunks
+    equals the number of DISTINCT chunk texts in the corpus (every distinct
+    chunk survives exactly once), and no doc keeps more than it has."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_model_spark.functions.text import words_array
+    from mapreduce_model_spark.queries_dedup import CHUNK_WORDS
+    from mapreduce_model_spark.registry import table
+
+    rows = QUERIES["chunk_dedup"](spark, SF).collect()
+    assert rows
+    assert all(0 < r["n_kept"] <= r["n_chunks"] for r in rows) or any(
+        r["n_kept"] == 0 for r in rows
+    )
+    assert all(0.0 <= r["kept_frac"] <= 1.0 for r in rows)
+    docs = table(spark, SF, "documents").select(
+        words_array("text").alias("words")
+    )
+    n_distinct = (
+        docs.where(F.size("words") > 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.ceil(F.size("words") / CHUNK_WORDS).cast("int")
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("words", (i - 1) * CHUNK_WORDS + 1, F.lit(CHUNK_WORDS)),
+                        " ",
+                    ),
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept"] for r in rows) == n_distinct
+
+
+def test_eval_coverage_bounds(spark):
+    rows = QUERIES["eval_coverage"](spark, SF).collect()
+    assert rows, "src0 is the eval corpus — it has docs with >= 5 words"
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["n_shingles"]
+        assert 0.0 <= r["coverage"] <= 1.0
+
+
+def test_time_embargo_split_partitions_all_events(spark):
+    from mapreduce_model_spark.registry import table
+
+    rows = {r["split"]: r for r in QUERIES["time_embargo_split"](spark, SF).collect()}
+    assert set(rows) == {"train", "embargo", "test"}
+    total = table(spark, SF, "events").count()
+    assert sum(r["n_events"] for r in rows.values()) == total
+    shared = {r["n_train_test_shared_users"] for r in rows.values()}
+    assert len(shared) == 1, "the audit column is one global number"
+    assert all(r["n_users"] <= r["n_events"] for r in rows.values())
+
+
+def test_max_concurrent_matches_brute_force(spark):
+    """The sweep line must agree with a direct per-type simulation over
+    the full sf0.001 events table (intervals [ts, ts+300s))."""
+    from collections import defaultdict
+
+    from mapreduce_model_spark.registry import table
+
+    got = {
+        r["event_type"]: r["max_concurrent"]
+        for r in QUERIES["max_concurrent_intervals"](spark, SF).collect()
+    }
+    by_type = defaultdict(list)
+    for r in table(spark, SF, "events").select("event_type", "ts").collect():
+        by_type[r["event_type"]].append(r["ts"].timestamp())
+    for et, starts in by_type.items():
+        pts = [(t, 1) for t in starts] + [(t + 300.0, -1) for t in starts]
+        cur = best = 0
+        for _, d in sorted(pts, key=lambda p: (p[0], p[1])):
+            cur += d
+            best = max(best, cur)
+        assert got[et] == best, et
+
+
+def test_anomaly_seasonal_flags_planted_outlier(spark, tmp_path):
+    """A value 100x outside its (type, hour) cell must be the only flag."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 7, "click", 10.0 + (i % 5), None)
+        for i in range(40)
+    ]
+    rows.append((99, base + dt.timedelta(minutes=41), 3, "click", 1000.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_type"]: r for r in QUERIES["anomaly_seasonal"](spark, str(tmp_path)).collect()
+    }
+    r = out["click"]
+    assert r["n_anomalies"] == 1
+    assert r["max_z"] > 3

@@ -458,3 +458,78 @@ def q_chunk_dedup(spark, sf_dir):
         kept.alias("n_kept"),
         F.round(kept / F.count(F.lit(1)), 4).alias("kept_frac"),
     )
+
+
+@query(
+    "entity_match_names",
+    oracle="""
+WITH names AS (
+    SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+           split_part(p_name, ' ', 1) AS tok1,
+           split_part(p_name, ' ', 2) AS tok2
+    FROM part GROUP BY p_name
+), cand AS (
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.tok2 = b.tok2 AND a.p_name < b.p_name
+    UNION
+    SELECT a.p_name, b.p_name, a.n_parts, b.n_parts
+    FROM names a JOIN names b
+      ON a.tok1 = b.tok1 AND a.p_name < b.p_name
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+       n_parts_a, n_parts_b
+FROM cand
+WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 3
+""",
+)
+def entity_match_names(spark, sf_dir):
+    """Entity resolution with multi-pass blocking: find name-dictionary
+    pairs within edit distance 3 — the vendor-file / catalog-merge fuzzy
+    matcher. Two blocking passes (same first token, same last token)
+    generate candidates, so a typo in EITHER word still meets its match;
+    only candidates pay the levenshtein.
+
+    Scale: resolution runs on the DISTINCT-name dictionary, not the fact
+    rows — the 2000-part table collapses to 64 names here, and a 100 TB
+    catalog collapses to its name cardinality, with per-name instance
+    counts carried along. Candidate generation is two equi-joins on block
+    keys (never a cross join); the quadratic term is bounded by the
+    largest block, the standard ER blocking contract (cap hot blocks like
+    lsh_near_dup_pairs' max_bucket if a stop-word token dominates)."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("tok1", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+        .withColumn("tok2", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
+    )
+
+    def block(key):
+        a = names.select(
+            F.col(key).alias("k"),
+            F.col("p_name").alias("name_a"),
+            F.col("n_parts").alias("n_parts_a"),
+        )
+        b = names.select(
+            F.col(key).alias("k"),
+            F.col("p_name").alias("name_b"),
+            F.col("n_parts").alias("n_parts_b"),
+        )
+        return (
+            a.join(b, "k")
+            .where(F.col("name_a") < F.col("name_b"))
+            .drop("k")
+        )
+
+    cand = block("tok2").unionAll(block("tok1")).distinct()
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist.between(1, 3)).select(
+        "name_a",
+        "name_b",
+        dist.cast("long").alias("dist"),
+        "n_parts_a",
+        "n_parts_b",
+    )

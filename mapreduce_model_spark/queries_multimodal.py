@@ -105,3 +105,57 @@ def multimodal_resize(spark, sf_dir):
     return resize_media(media, target_bytes=128).select(
         "doc_id", "orig_bytes", "resized_bytes", "truncated"
     )
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(range(0, CAST(ceil(octet_length(text::BLOB) / 256.0) AS BIGINT))) AS j
+    FROM documents
+), fr AS (
+    SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+           md5(substr(text, CAST(j * 256 + 1 AS BIGINT), 256)) AS h
+    FROM f WHERE j % 4 = 0
+), ranked AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, frame_idx) AS rn
+    FROM fr
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_seen,
+       round(1 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+           AS dup_frac
+FROM ranked GROUP BY doc_id
+""",
+)
+def multimodal_frame_dedup(spark, sf_dir):
+    """Cross-asset frame deduplication — the video-corpus near-dup signal
+    (shared intros, mirrored uploads, repeated stock footage): sampled
+    frames are content-hashed and a frame counts as FIRST-SEEN only in the
+    lowest (doc_id, frame_idx) carrying those exact bytes; per-asset
+    dup_frac is the curation score. Composes the sample_frames mapInPandas
+    plumbing (operators/multimodal.py:236) with the same first-writer-wins
+    discipline as chunk_dedup — over BINARY frames instead of text chunks.
+
+    Scale: frames hash in the stage that produced them (F.md5 on the
+    binary column, JVM-side); the exchanges carry (doc_id, frame_idx,
+    32-char md5), never frame bytes. A real pHash/codec replaces the
+    byte-slicer per the decode-stub contract; the dedup topology is
+    unchanged."""
+    from pyspark.sql import Window
+
+    media = attach_payload(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_bytes=256, every_k=4).select(
+        "doc_id", "frame_idx", F.md5("frame").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "frame_idx")
+    ranked = frames.withColumn("rn", F.row_number().over(w))
+    first_seen = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        first_seen.alias("n_first_seen"),
+        F.round(1 - first_seen / F.count(F.lit(1)), 4).alias("dup_frac"),
+    )

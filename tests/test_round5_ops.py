@@ -227,3 +227,40 @@ def test_anomaly_seasonal_flags_planted_outlier(spark, tmp_path):
     r = out["click"]
     assert r["n_anomalies"] == 1
     assert r["max_z"] > 3
+
+
+def test_entity_match_blocking_catches_one_word_typos(spark):
+    """Every returned pair must share at least one token (the blocking
+    contract), be totally ordered, and sit within the edit-distance bar."""
+    rows = QUERIES["entity_match_names"](spark, SF).collect()
+    assert rows, "the small part-name vocabulary guarantees near matches"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["dist"] <= 3
+        ta, tb = set(r["name_a"].split()), set(r["name_b"].split())
+        assert ta & tb, "blocked pair with no shared token"
+        assert r["n_parts_a"] >= 1 and r["n_parts_b"] >= 1
+
+
+def test_frame_dedup_conserves_first_seen(spark):
+    """Across the corpus each distinct frame hash is first-seen exactly
+    once: sum(n_first_seen) == number of distinct sampled-frame hashes."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_model_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+    from mapreduce_model_spark.registry import table
+
+    rows = QUERIES["multimodal_frame_dedup"](spark, SF).collect()
+    assert rows
+    assert all(0 <= r["n_first_seen"] <= r["n_frames"] for r in rows)
+    media = attach_payload(table(spark, SF, "documents"))
+    n_distinct = (
+        sample_frames(media, frame_bytes=256, every_k=4)
+        .select(F.md5("frame"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_first_seen"] for r in rows) == n_distinct

@@ -1886,3 +1886,74 @@ def time_embargo_split(spark, sf_dir):
             F.col("n_train_test_shared_users").cast("long"),
         )
     )
+
+
+@query(
+    "ab_test_welch",
+    oracle="""
+WITH tagged AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS variant,
+           value
+    FROM events
+), s AS (
+    SELECT event_type, variant,
+           count(*) AS n, avg(value) AS mu, var_samp(value) AS v
+    FROM tagged GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT)  AS n_a,
+       CAST(b.n AS BIGINT)  AS n_b,
+       round(a.mu - b.mu, 4) AS mean_diff,
+       round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+       abs((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n)) > 1.96 AS significant
+FROM s a JOIN s b ON a.event_type = b.event_type
+WHERE a.variant = 0 AND b.variant = 1
+""",
+)
+def ab_test_welch(spark, sf_dir):
+    """Experiment readout: Welch's t-statistic for the metric between two
+    deterministic variants (props.k parity — the hash-bucket assignment an
+    experimentation platform uses), per event_type. The whole test reduces
+    to SUFFICIENT STATISTICS (n, mean, sample variance per cell): one
+    map-side-combining aggregate over the fact table, then a |types|-sized
+    self-join computes the statistic — the canonical pattern for ANY
+    moment-based test at 100 TB (no row ever leaves its scan partition
+    un-aggregated).
+
+    Welch, not pooled-variance Student: variant traffic splits are rarely
+    equal-variance in practice."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") % 2).alias("variant"),
+        "value",
+    )
+    s = ev.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.where(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mu").alias("mu_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = s.where(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("v").alias("v_b"),
+    )
+    j = a.join(b, "event_type")
+    t = (F.col("mu_a") - F.col("mu_b")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        rnd(F.col("mu_a") - F.col("mu_b"), 4).alias("mean_diff"),
+        rnd(t, 4).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )

@@ -1715,3 +1715,79 @@ def anomaly_seasonal(spark, sf_dir):
         F.sum(F.when(F.col("z") > 3, 1).otherwise(0)).alias("n_anomalies"),
         rnd(F.max("z"), 4).alias("max_z"),
     )
+
+
+@query(
+    "basket_lift",
+    oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), totals AS (
+    SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+), item_n AS (
+    SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1
+), pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_both
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       round(n_both * n_orders / (na.n_item * 1.0 * nb.n_item), 4) AS lift
+FROM pairs
+JOIN item_n na ON na.l_partkey = part_a
+JOIN item_n nb ON nb.l_partkey = part_b
+CROSS JOIN totals
+WHERE n_both >= 3
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def basket_lift(spark, sf_dir):
+    """Market-basket affinity: top-20 part pairs by LIFT (observed
+    co-purchase rate over the rate independence predicts), min support 3
+    orders — the classic MapReduce co-occurrence workload, reference A20's
+    canonical use case, as one declarative plan.
+
+    Scale: the pair join is keyed on l_orderkey and therefore bounded by
+    max basket size squared per order (12² here), never corpus-quadratic;
+    per-item counts join back by part key (the item dictionary is huge at
+    100 TB — a key join, not a broadcast); the 1-row order total IS
+    broadcast. Top-20 is TakeOrderedAndProject: per-partition heaps, no
+    global sort."""
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    totals = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    na = item_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    lift = F.col("n_both") * F.col("n_orders") / (F.col("n_a") * F.lit(1.0) * F.col("n_b"))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long"),
+            rnd(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )

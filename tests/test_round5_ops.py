@@ -264,3 +264,39 @@ def test_frame_dedup_conserves_first_seen(spark):
         .count()
     )
     assert sum(r["n_first_seen"] for r in rows) == n_distinct
+
+
+def test_ab_test_welch_detects_planted_effect(spark, tmp_path):
+    """A variant shifted by 10 sigma must flag significant; a no-effect
+    type must not. Variant assignment is props.k parity."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(400):
+        ts = base + dt.timedelta(minutes=i)
+        # treated cell of 'promo' gets a large additive effect
+        effect = 50.0 if (i % 2 == 1) else 0.0
+        rows.append((i, ts, i % 13, "promo", 10.0 + (i % 7) + effect, f'{{"k": {i}}}'))
+        rows.append((1000 + i, ts, i % 13, "plain", 10.0 + (i % 7), f'{{"k": {i}}}'))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["event_type"]: r for r in QUERIES["ab_test_welch"](spark, str(tmp_path)).collect()}
+    assert out["promo"]["significant"] and out["promo"]["t_stat"] < 0
+    assert not out["plain"]["significant"]
+    assert out["promo"]["n_a"] == out["promo"]["n_b"] == 200
+
+
+def test_basket_lift_is_ordered_and_supported(spark):
+    rows = QUERIES["basket_lift"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    keys = [(-r["lift"], r["part_a"], r["part_b"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert r["n_both"] >= 3
+        assert r["part_a"] < r["part_b"]
+        assert r["lift"] > 0

@@ -1287,9 +1287,15 @@ def boilerplate_ngrams(spark, sf_dir):
     shingle STRING from the shuffle key in favor of its hash and joins the
     text back for the tiny surviving set; kept inline here because the
     output is the human-readable artifact."""
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+
     docs = table(spark, sf_dir, "documents")
+    # the shingle explode is the expensive branch: spread the narrow input
+    # first or a single-file scan runs it in one task (measured 9.5 s -> 1 s
+    # at sf0.1); the totals branch stays on the raw scan (tiny)
+    spread = spread_for_fanout(docs, "doc_id")
     sh = (
-        docs.select(
+        spread.select(
             "doc_id",
             "source",
             F.explode(F.array_distinct(shingles(words_array("text"), 3))).alias(

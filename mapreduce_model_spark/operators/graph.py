@@ -63,12 +63,57 @@ def _compress(parent: DataFrame, max_rounds: int = 40) -> DataFrame:
 
 
 # Below this many (long, long) edge rows (~3 MB) the graph iterates in ONE
-# task: every hook/compress/contract round on a multi-partition tiny graph
-# pays scheduler + broadcast latency per round, which dominates wall time
-# (measured: 2.7 s for 256 edges at 32 partitions). The gate rides on the
-# frontier count each phase already computes, so it costs nothing, and a
-# graph that is still large keeps its parallelism untouched.
+# Below this many (long, long) edge rows (~3 MB) the remaining graph is
+# finished in ONE executor task (``_local_components``): every further
+# hook/compress/contract round would pay scheduler latency per round, which
+# dominates wall time on a tiny graph (measured: 2.7 s for 256 edges at 32
+# partitions; ~1.5 s even coalesced to one partition, vs one ~0.2 s task
+# for the local finish). This is the standard forest-contraction endgame —
+# contract until the graph fits a worker, then solve it there. The gate
+# rides on the frontier count each phase already computes, so it costs
+# nothing, and a graph that is still large keeps the distributed loop.
 SMALL_GRAPH_ROWS = 200_000
+
+
+def _local_components(g: DataFrame) -> DataFrame:
+    """Single-task union-find over a graph that fits one partition —
+    EXECUTOR-side via mapInPandas (the driver never sees an edge; the
+    input is bounded by ``SMALL_GRAPH_ROWS`` ≈ 3 MB by the caller's gate).
+    Union-by-min (the larger root attaches under the smaller) makes every
+    final root the minimum id of its component — the same contract as the
+    distributed loop. The iterator covers ALL Arrow batches of the single
+    coalesced partition, so state is complete before anything is emitted."""
+    import pandas as pd
+
+    def uf(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                u, v = int(u), int(v)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru < rv:
+                    parent[rv] = ru
+                elif rv < ru:
+                    parent[ru] = rv
+        nodes = sorted(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "component": [find(n) for n in nodes]}
+        )
+
+    return g.coalesce(1).mapInPandas(uf, "node long, component long")
 
 
 def connected_components(
@@ -76,13 +121,20 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_phases: int = 30,
+    small_graph_rows: int | None = None,
 ) -> DataFrame:
     """Undirected connected components. ``edges``: two long columns.
 
     Returns ``(node, component)`` where ``component`` is the minimum node id
     in the node's component — deterministic, join-able back onto the doc
     table to pick keep-first survivors.
+
+    ``small_graph_rows`` overrides the local-finish gate (default
+    ``SMALL_GRAPH_ROWS``); tests pass 0 to force the distributed loop
+    end-to-end.
     """
+    if small_graph_rows is None:
+        small_graph_rows = SMALL_GRAPH_ROWS
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # symmetrize; materialize once (the count below is the action) so the
     # iteration never re-executes the upstream pipeline (e.g. MinHash-LSH)
@@ -95,8 +147,8 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     frontier = g.count()
-    if frontier <= SMALL_GRAPH_ROWS:
-        g = g.coalesce(1)
+    if 0 < frontier <= small_graph_rows:
+        return _local_components(g)
     labels = (
         g.select(F.col("u").alias("node")).distinct().withColumn("component", F.col("node"))
     )
@@ -138,8 +190,21 @@ def connected_components(
         )
         # one job: materializes the contracted graph AND is the loop exit
         frontier = g.count()
-        if frontier <= SMALL_GRAPH_ROWS:
-            g = g.coalesce(1)
+        if 0 < frontier <= small_graph_rows:
+            # local finish on the CONTRACTED graph, folded through labels
+            # exactly like a phase's roots
+            local = _local_components(g).select(
+                F.col("node").alias("c_node"), F.col("component").alias("c_root")
+            )
+            return (
+                labels.join(local, labels["component"] == local["c_node"], "left")
+                .select(
+                    labels["node"],
+                    F.coalesce(F.col("c_root"), F.col("component")).alias(
+                        "component"
+                    ),
+                )
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_phases} phases"
     )

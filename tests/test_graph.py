@@ -3,6 +3,7 @@ end-to-end dedup survivor pick."""
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from mapreduce_model_spark.operators.dedup import lsh_near_dup_pairs, minhash_signatures
@@ -31,7 +32,11 @@ def _union_find(edges):
     return {n: find(n) for n in parent}
 
 
-def test_connected_components_random_graphs(spark):
+@pytest.mark.parametrize("gate", [None, 0], ids=["local-finish", "distributed"])
+def test_connected_components_random_graphs(spark, gate):
+    """gate=None exercises the production single-task local finish;
+    gate=0 forces the distributed hook/compress/contract loop end-to-end
+    (the 100 TB path) — both must match driver union-find exactly."""
     rng = random.Random(7)
     for trial in range(3):
         nodes = list(range(trial * 1000, trial * 1000 + 120))
@@ -39,7 +44,10 @@ def test_connected_components_random_graphs(spark):
             (rng.choice(nodes), rng.choice(nodes)) for _ in range(60 + 40 * trial)
         ]
         e = spark.createDataFrame(edges, "id_a: long, id_b: long")
-        got = {r.node: r.component for r in connected_components(e).collect()}
+        got = {
+            r.node: r.component
+            for r in connected_components(e, small_graph_rows=gate).collect()
+        }
         exp = _union_find(edges)
         # union-find roots ARE component minima: union always parents the
         # larger root under the smaller, so the root never exceeds any member
@@ -78,7 +86,12 @@ def test_connected_components_long_chain(spark):
     _random.Random(3).shuffle(ids)
     edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
     e = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    got = {r.node: r.component for r in connected_components(e).collect()}
+    # gate=0: the local finish would trivialize this — the point is the
+    # DISTRIBUTED pointer-jumping convergence on a diameter-299 graph
+    got = {
+        r.node: r.component
+        for r in connected_components(e, small_graph_rows=0).collect()
+    }
     assert set(got.values()) == {min(ids)}
     assert len(got) == len(ids)
 
@@ -130,3 +143,24 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-9, node
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_connected_components_midloop_local_finish(spark):
+    """Gate sized BETWEEN the initial edge count and the contracted one:
+    the loop must run at least one distributed phase, then finish the
+    remainder in the single-task union-find and fold it through the
+    accumulated labels — the production path for a big graph that
+    contracts below one worker's capacity."""
+    import random as _random
+
+    ids = list(range(2000, 2200))
+    _random.Random(11).shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    # symmetrized initial graph = 398 rows > gate=100 > contracted size
+    e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {
+        r.node: r.component
+        for r in connected_components(e, small_graph_rows=100).collect()
+    }
+    assert set(got.values()) == {min(ids)}
+    assert len(got) == len(ids)

@@ -165,6 +165,52 @@ COMMENTARY: dict[str, str] = {
         "vocabulary is tens of GB. Min-support filters the ranking input "
         "before the per-partition top-k."
     ),
+    "chunk_dedup": (
+        "C4-style sub-document dedup. Chunking + md5 happen NARROW in the "
+        "scan stage (`transform` over `sequence`, no pre-hash explode of "
+        "raw text); both exchanges carry only (doc_id, chunk_idx, md5) — "
+        "pinned by test_plan_shape (no `text`/`words` column in any "
+        "hashpartitioning). The window on the hash is the same key "
+        "discipline as dedup_exact; first-writer-wins needs the total "
+        "(doc_id, chunk_idx) order, so a window — not max_by — is the "
+        "right tool."
+    ),
+    "eval_coverage": (
+        "Contamination audit in the eval direction. The TRAINING side — "
+        "the 100 TB side — appears exactly twice as a narrow shingle pass "
+        "feeding a broadcast LeftSemi join against the eval hash set; the "
+        "matched set that returns is bounded by the EVAL corpus, so the "
+        "per-eval-doc scoring join is broadcast too. No exchange in the "
+        "plan scales with training size — pinned (no SortMergeJoin, ≥2 "
+        "BroadcastHashJoin, LeftSemi present)."
+    ),
+    "basket_lift": (
+        "Market-basket affinity. The pair generator is an equi-join ON "
+        "l_orderkey with the a<b orientation as a join residual — cost "
+        "bounded by max-basket-size² per order, never corpus-quadratic. "
+        "Item counts join back BY KEY (a 100 TB item dictionary does not "
+        "broadcast); the single BroadcastNestedLoopJoin is the 1-row "
+        "order-total. Final top-20 is TakeOrderedAndProject: "
+        "per-partition heaps, no global sort."
+    ),
+    "max_concurrent_intervals": (
+        "Sweep-line peak concurrency. Each interval explodes into a +1/-1 "
+        "point (union, narrow), then ONE exchange keyed on event_type "
+        "feeds the cumulative-sum window; ties are deterministic because "
+        "the default RANGE frame gives peer rows the post-peer-group sum. "
+        "The O(n²) interval self-join never exists. A skewed single type "
+        "splits by (type, day) with carried opening balances — the "
+        "standard parallel-prefix decomposition."
+    ),
+    "entity_match_names": (
+        "Entity resolution, multi-pass blocking. Resolution runs on the "
+        "DISTINCT-name dictionary (one aggregate over the fact), then two "
+        "equi-joins on block tokens (shared first word / shared last "
+        "word) generate candidates; `levenshtein` exists only as a "
+        "post-join filter — never as a join condition, which would force "
+        "a cartesian. Instance counts ride along so the report needs no "
+        "second fact pass."
+    ),
 }
 
 

@@ -1791,3 +1791,138 @@ def basket_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "mutual_information",
+    oracle="""
+WITH joint AS (
+    SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+), tot AS (SELECT sum(n) AS total FROM joint),
+ma AS (SELECT a, sum(n) AS na FROM joint GROUP BY a),
+mb AS (SELECT b, sum(n) AS nb FROM joint GROUP BY b)
+SELECT CAST(total AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((n / total) * ln((n * total) / (na * 1.0 * nb))), 6) AS mi_nats
+FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+GROUP BY total
+""",
+)
+def mutual_information(spark, sf_dir):
+    """Mutual information between two categorical columns — the
+    feature-selection / redundancy screen (is l_linestatus just a proxy
+    for l_returnflag?). Everything reduces to the JOINT contingency table:
+    one map-side-combining groupBy over the fact is the only data-sized
+    work; marginals and the MI sum are computed ON the |A|x|B| cell table
+    (6 rows here), so the fact table is scanned exactly once however large
+    it is — the sufficient-statistics discipline of ab_test_welch applied
+    to information theory."""
+    joint = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # "total", not "N": Spark's default case-insensitive resolution would
+    # collide N with the per-cell n
+    tot = joint.agg(F.sum("n").alias("total"))
+    ma = joint.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = joint.groupBy("b").agg(F.sum("n").alias("nb"))
+    cells = (
+        joint.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = (F.col("n") / F.col("total")) * F.log(
+        (F.col("n") * F.col("total")) / (F.col("na") * F.lit(1.0) * F.col("nb"))
+    )
+    return cells.groupBy("total").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        rnd(F.sum(contrib), 6).alias("mi_nats"),
+    ).select(F.col("total").cast("long").alias("n"), "n_cells", "mi_nats")
+
+
+@query(
+    "target_encode_smoothed",
+    oracle="""
+WITH g AS (SELECT avg(o_totalprice) AS mu FROM orders),
+c AS (
+    SELECT o_orderpriority AS category,
+           count(*) AS n, sum(o_totalprice) AS s, avg(o_totalprice) AS raw_mean
+    FROM orders GROUP BY 1
+)
+SELECT category,
+       CAST(n AS BIGINT)       AS n,
+       round(raw_mean, 4)      AS raw_mean,
+       round((s + 10 * mu) / (n + 10), 4) AS encoded
+FROM c CROSS JOIN g
+""",
+)
+def target_encode_smoothed(spark, sf_dir):
+    """Smoothed target encoding — the category→number feature transform
+    (mean target per category, shrunk toward the global mean with
+    pseudo-count m=10 so rare categories don't memorize their few labels).
+    The OUTPUT is the encoding table a training pipeline broadcasts back
+    onto the fact; emitting the table itself keeps the query the reusable
+    artifact.
+
+    Scale: one map-side-combining aggregate builds per-category (n, sum);
+    the global mean is a 1-row broadcast. The fact is scanned once; no
+    shuffle carries a row, only partial states."""
+    orders = table(spark, sf_dir, "orders")
+    g = orders.agg(F.avg("o_totalprice").alias("mu"))
+    c = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("s"),
+        F.avg("o_totalprice").alias("raw_mean"),
+    )
+    m = 10
+    return c.crossJoin(F.broadcast(g)).select(
+        "category",
+        F.col("n").cast("long").alias("n"),
+        rnd(F.col("raw_mean"), 4).alias("raw_mean"),
+        rnd((F.col("s") + m * F.col("mu")) / (F.col("n") + m), 4).alias("encoded"),
+    )
+
+
+@query(
+    "corr_matrix",
+    oracle="""
+WITH s AS (
+    SELECT corr(l_quantity, l_extendedprice) AS qty_price,
+           corr(l_quantity, l_discount)      AS qty_disc,
+           corr(l_quantity, l_tax)           AS qty_tax,
+           corr(l_extendedprice, l_discount) AS price_disc,
+           corr(l_extendedprice, l_tax)      AS price_tax,
+           corr(l_discount, l_tax)           AS disc_tax
+    FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(qty_price, 4) AS corr FROM s
+UNION ALL SELECT 'l_quantity', 'l_discount', round(qty_disc, 4) FROM s
+UNION ALL SELECT 'l_quantity', 'l_tax', round(qty_tax, 4) FROM s
+UNION ALL SELECT 'l_extendedprice', 'l_discount', round(price_disc, 4) FROM s
+UNION ALL SELECT 'l_extendedprice', 'l_tax', round(price_tax, 4) FROM s
+UNION ALL SELECT 'l_discount', 'l_tax', round(disc_tax, 4) FROM s
+""",
+)
+def corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the numeric measure
+    columns — the feature-redundancy triage that decides which columns an
+    embedding/model pipeline keeps. All k(k-1)/2 correlations are
+    ALGEBRAIC aggregates computed in ONE fact scan (a single HashAggregate
+    carrying 6 corr states), then the 1-row result unpivots to the long
+    (col_a, col_b, corr) form. Never a self-join, never k scans."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    s = li.agg(
+        *[rnd(F.corr(a, b), 4).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return s.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )

@@ -300,3 +300,32 @@ def test_basket_lift_is_ordered_and_supported(spark):
         assert r["n_both"] >= 3
         assert r["part_a"] < r["part_b"]
         assert r["lift"] > 0
+
+
+def test_mutual_information_nonnegative(spark):
+    rows = QUERIES["mutual_information"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["mi_nats"] >= -1e-6, "MI is nonnegative up to rounding"
+    assert r["n_cells"] >= 1 and r["n"] > 0
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark):
+    """encoded is a convex combination of the category mean and the global
+    mean, so it must lie between them (inclusive up to rounding)."""
+    from mapreduce_model_spark.registry import table
+
+    mu = table(spark, SF, "orders").agg({"o_totalprice": "avg"}).first()[0]
+    for r in QUERIES["target_encode_smoothed"](spark, SF).collect():
+        lo, hi = sorted([r["raw_mean"], mu])
+        assert lo - 1e-3 <= r["encoded"] <= hi + 1e-3, r
+
+
+def test_corr_matrix_bounds_and_shape(spark):
+    rows = QUERIES["corr_matrix"](spark, SF).collect()
+    assert len(rows) == 6
+    seen = set()
+    for r in rows:
+        assert -1.0 <= r["corr"] <= 1.0
+        assert (r["col_a"], r["col_b"]) not in seen
+        seen.add((r["col_a"], r["col_b"]))

@@ -1957,3 +1957,49 @@ def ab_test_welch(spark, sf_dir):
         rnd(t, 4).alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "class_rebalance",
+    oracle="""
+WITH counts AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), m AS (SELECT min(n) AS target FROM counts),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM ranked CROSS JOIN m
+WHERE rk <= target
+""",
+)
+def class_rebalance(spark, sf_dir):
+    """Deterministic class balancing: downsample every language to the
+    minority class's size by keeping each class's md5-lowest doc_ids — the
+    label-balance step before fine-tune/classifier training. md5 ranking
+    makes the sample reproducible across engines and runs (no RNG), the
+    same discipline as train_val_split / weighted_sample.
+
+    Scale: one class-keyed exchange for the per-class ranking window plus
+    a 1-row broadcast of the target. A mega-class lands on one partition
+    here; the skew-safe variant ranks per-partition first and takes
+    partial top-m like weighted_sample (operators-level pattern), swapped
+    in when one label dominates a 100 TB corpus."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(F.min("n").alias("target"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .where(F.col("rk") <= F.col("target"))
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )

@@ -329,3 +329,21 @@ def test_corr_matrix_bounds_and_shape(spark):
         assert -1.0 <= r["corr"] <= 1.0
         assert (r["col_a"], r["col_b"]) not in seen
         seen.add((r["col_a"], r["col_b"]))
+
+
+def test_class_rebalance_is_exactly_balanced(spark):
+    """Every language must end with exactly the minority-class count, and
+    the kept set must be the md5-lowest ids per class (deterministic)."""
+    from collections import Counter
+
+    from mapreduce_model_spark.registry import table
+
+    rows = QUERIES["class_rebalance"](spark, SF).collect()
+    by_lang = Counter(r["lang"] for r in rows)
+    full = Counter(
+        r["lang"] for r in table(spark, SF, "documents").select("lang").collect()
+    )
+    target = min(full.values())
+    assert set(by_lang) == set(full)
+    assert all(v == target for v in by_lang.values()), by_lang
+    assert all(1 <= r["rk"] <= target for r in rows)

@@ -139,3 +139,89 @@ def test_except_set_semantics_with_duplicates(spark):
     right = spark.createDataFrame([(1,), (3,)], "v: long")
     got = sorted(r.v for r in left.subtract(right).collect())
     assert got == [2]
+
+
+graphs = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=0, max_size=60
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=graphs, gate=st.sampled_from([None, 0, 10]))
+def test_connected_components_property(spark, edges, gate):
+    """CC == driver union-find on arbitrary graphs for ALL three code
+    paths: immediate local finish (gate=None), forced-distributed
+    (gate=0), and mid-loop local finish (gate=10: small graphs finish
+    immediately, larger ones contract first)."""
+    from mapreduce_model_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for ab in edges for n in ab if ab[0] != ab[1]}
+    exp = {n: find(n) for n in touched}
+
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)],
+        "id_a: long, id_b: long",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(e, small_graph_rows=gate).collect()
+    }
+    assert {n: got[n] for n in touched} == exp
+
+
+intervals = st.lists(st.integers(0, 500), min_size=1, max_size=40)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(starts=intervals)
+def test_sweep_line_matches_simulation(spark, starts):
+    """The sweep-line construction used by max_concurrent_intervals,
+    rebuilt on arbitrary second-offsets, must equal a direct sweep
+    simulation — including heavy tie pileups hypothesis loves to plant."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(starts)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    opens = df.select(F.col("ts").alias("t"), F.lit(1).alias("d"))
+    closes = df.select(
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    w = Window.orderBy("t", "d")
+    got = (
+        opens.unionAll(closes)
+        .withColumn("c", F.sum("d").over(w))
+        .agg(F.max("c"))
+        .first()[0]
+    )
+
+    pts = [(s, 1) for s in starts] + [(s + 300, -1) for s in starts]
+    cur = best = 0
+    for _, d in sorted(pts):
+        cur += d
+        best = max(best, cur)
+    assert got == best

@@ -2003,3 +2003,60 @@ def class_rebalance(spark, sf_dir):
         .where(F.col("rk") <= F.col("target"))
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "dataset_card",
+    oracle=r"""
+WITH wbase AS (
+    SELECT doc_id, lang, source, n_chars,
+           len(list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0)) AS n_words
+    FROM documents
+)
+SELECT CAST(count(*) AS BIGINT)                    AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT)        AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT)      AS n_sources,
+       CAST(sum(n_words) AS BIGINT)                AS total_words,
+       CAST(min(n_words) AS BIGINT)                AS min_words,
+       CAST(max(n_words) AS BIGINT)                AS max_words,
+       round(avg(n_words), 4)                      AS avg_words,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_words), 4)
+                                                   AS median_words,
+       round(avg(n_chars), 4)                      AS avg_chars,
+       array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
+FROM wbase
+""",
+)
+def dataset_card(spark, sf_dir):
+    """Dataset datasheet in one pass: the header block of a dataset card
+    (doc/source/language counts, token totals, length distribution) that
+    every corpus release ships. ALL columns are algebraic or
+    single-quantile aggregates over one scan — the per-doc word count is
+    computed narrowly in the scan stage, so the whole card costs one
+    map-side-combining aggregate however large the corpus; the language
+    roster (bounded by |langs|) rides the same pass as a collect_set.
+
+    median via exact percentile is the local formulation; the documented
+    100 TB swap is approx_percentile (same discipline as robust_outliers)."""
+    from mapreduce_model_spark.functions.text import words_array
+
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars", F.size(words_array("text")).alias("n_words")
+    )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("n_words").cast("long").alias("min_words"),
+        F.max("n_words").cast("long").alias("max_words"),
+        rnd(F.avg("n_words"), 4).alias("avg_words"),
+        # percentile() interpolates (= SQL percentile_cont) — the oracle
+        # must NOT use percentile_disc, which floors to the lower middle
+        rnd(F.expr("percentile(n_words, 0.5)"), 4).alias("median_words"),
+        rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+    )

@@ -347,3 +347,16 @@ def test_class_rebalance_is_exactly_balanced(spark):
     assert set(by_lang) == set(full)
     assert all(v == target for v in by_lang.values()), by_lang
     assert all(1 <= r["rk"] <= target for r in rows)
+
+
+def test_dataset_card_is_one_row_consistent(spark):
+    from mapreduce_model_spark.registry import table
+
+    r = QUERIES["dataset_card"](spark, SF).collect()
+    assert len(r) == 1
+    c = r[0]
+    n = table(spark, SF, "documents").count()
+    assert c["n_docs"] == n
+    assert c["min_words"] <= c["median_words"] <= c["max_words"]
+    assert c["min_words"] <= c["avg_words"] <= c["max_words"]
+    assert len(c["langs"].split(",")) == c["n_langs"]

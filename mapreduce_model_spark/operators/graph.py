@@ -62,7 +62,6 @@ def _compress(parent: DataFrame, max_rounds: int = 40) -> DataFrame:
     raise RuntimeError(f"forest compression did not converge in {max_rounds} rounds")
 
 
-# Below this many (long, long) edge rows (~3 MB) the graph iterates in ONE
 # Below this many (long, long) edge rows (~3 MB) the remaining graph is
 # finished in ONE executor task (``_local_components``): every further
 # hook/compress/contract round would pay scheduler latency per round, which

@@ -1845,10 +1845,11 @@ def time_embargo_split(spark, sf_dir):
     overlap a stricter BY-USER split would also have to address
     (complements split_leakage_audit, which audits near-dup DOCS).
 
-    Scale: one events scan + a 2-value global min/max broadcast back; the
-    split tag is then a narrow CASE. The shared-users audit is two
-    distinct-user aggregates (bounded by |users|) hash-joined. Nothing
-    shuffles the full fact table twice."""
+    Scale: TWO fact scans — the 2-value min/max aggregate, then the tag
+    pass (a narrow CASE against the broadcast boundaries) feeding a single
+    (split, user) aggregate. That persisted, |users|-bounded frame serves
+    both the split summary and the shared-user audit, so no branch ever
+    re-derives the fact-table plan."""
     ev = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     b = ev.agg(
@@ -1867,22 +1868,35 @@ def time_embargo_split(spark, sf_dir):
         )
         .select("user_id", "split")
     )
-    tr_u = tagged.filter(F.col("split") == "train").select("user_id").distinct()
-    te_u = tagged.filter(F.col("split") == "test").select("user_id").distinct()
-    shared = tr_u.join(te_u, "user_id").agg(
-        F.count(F.lit(1)).alias("n_train_test_shared_users")
+    # ONE (split, user) aggregate off the tag pass; the split summary AND
+    # the shared-user audit both derive from it, so the fact table is
+    # scanned exactly twice (boundary stats + tag), never re-derived per
+    # branch. per_user is bounded by 3x|users| — persist, not re-plan.
+    per_user = (
+        tagged.groupBy("split", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    shared = (
+        per_user.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_tr"),
+            F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_te"),
+        )
+        .where((F.col("in_tr") == 1) & (F.col("in_te") == 1))
+        .agg(F.count(F.lit(1)).alias("n_train_test_shared_users"))
     )
     return (
-        tagged.groupBy("split")
+        per_user.groupBy("split")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
         )
         .crossJoin(F.broadcast(shared))
         .select(
             "split",
-            "n_events",
-            "n_users",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_users").cast("long").alias("n_users"),
             F.col("n_train_test_shared_users").cast("long"),
         )
     )
@@ -1906,7 +1920,8 @@ SELECT a.event_type,
        CAST(b.n AS BIGINT)  AS n_b,
        round(a.mu - b.mu, 4) AS mean_diff,
        round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
-       abs((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n)) > 1.96 AS significant
+       abs(round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 4)) > 1.96
+           AS significant
 FROM s a JOIN s b ON a.event_type = b.event_type
 WHERE a.variant = 0 AND b.variant = 1
 """,
@@ -1955,7 +1970,10 @@ def ab_test_welch(spark, sf_dir):
         "n_b",
         rnd(F.col("mu_a") - F.col("mu_b"), 4).alias("mean_diff"),
         rnd(t, 4).alias("t_stat"),
-        (F.abs(t) > 1.96).alias("significant"),
+        # threshold on the ROUNDED statistic: engines differ in low-order
+        # bits of avg/var_samp, and a raw-float comparison at the boundary
+        # would flip this hash-checked boolean between engines
+        (F.abs(rnd(t, 4)) > 1.96).alias("significant"),
     )
 
 

@@ -1671,7 +1671,8 @@ WITH stats AS (
     FROM events GROUP BY 1, 2
 ), z AS (
     SELECT e.event_type,
-           CASE WHEN s.sd > 0 THEN abs(e.value - s.mu) / s.sd ELSE 0 END AS z
+           CASE WHEN s.sd > 0
+                THEN round(abs(e.value - s.mu) / s.sd, 4) ELSE 0 END AS z
     FROM events e
     JOIN stats s ON e.event_type = s.event_type
                 AND extract(hour FROM e.ts) = s.hr
@@ -1679,7 +1680,7 @@ WITH stats AS (
 SELECT event_type,
        CAST(count(*) AS BIGINT)                      AS n_events,
        CAST(sum(CASE WHEN z > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-       round(max(z), 4)                              AS max_z
+       max(z)                                        AS max_z
 FROM z GROUP BY event_type
 """,
 )
@@ -1705,15 +1706,19 @@ def anomaly_seasonal(spark, sf_dir):
         ev.join(F.broadcast(stats), ["event_type", "hr"])
         .withColumn(
             "z",
+            # z is ROUNDED before thresholding/max: engines differ in the
+            # low-order bits of avg/stddev, and a raw comparison at the 3.0
+            # boundary would flip the hash-checked count between engines
             F.when(
-                F.col("sd") > 0, F.abs(F.col("value") - F.col("mu")) / F.col("sd")
+                F.col("sd") > 0,
+                rnd(F.abs(F.col("value") - F.col("mu")) / F.col("sd"), 4),
             ).otherwise(F.lit(0.0)),
         )
     )
     return z.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("z") > 3, 1).otherwise(0)).alias("n_anomalies"),
-        rnd(F.max("z"), 4).alias("max_z"),
+        F.max("z").alias("max_z"),
     )
 
 

@@ -531,3 +531,12 @@ def test_entity_match_runs_on_name_dictionary(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "levenshtein" in p
+
+
+def test_time_embargo_split_two_fact_scans(spark):
+    """The fact table appears exactly twice (boundary min/max + the tag
+    pass); the split summary and the shared-user audit must both read the
+    PERSISTED (split, user) aggregate, never re-derive the fact plan."""
+    p = plan(spark, "time_embargo_split")
+    assert p.count("events.parquet") == 2
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p

@@ -2078,3 +2078,62 @@ def dataset_card(spark, sf_dir):
         rnd(F.avg("n_chars"), 4).alias("avg_chars"),
         F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
     )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM daily),
+dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY day),
+contrib AS (
+    SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS off, day, user_id FROM daily
+), wau AS (
+    SELECT c.day + CAST(c.off AS INTEGER) AS day,
+           count(DISTINCT c.user_id) AS wau
+    FROM contrib c
+    WHERE c.day + CAST(c.off AS INTEGER) IN (SELECT day FROM days)
+    GROUP BY 1
+)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+       round(d.dau * 1.0 / w.wau, 4) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+""",
+)
+def dau_wau_stickiness(spark, sf_dir):
+    """Engagement triad: daily active users, 7-day-window active users,
+    and DAU/WAU stickiness per observed day — the overlapping-window
+    distinct-count workload every product-analytics stack runs.
+
+    Scale: the naive WAU formulation is a range join of every day against
+    the event log; instead each (user, day) row CONTRIBUTES itself to the
+    7 forward window-end days (narrow ×7 explode of the deduped user-day
+    frame — already |users|×|days| bounded, far smaller than events), then
+    one distinct-count aggregate keyed on the window-end day. Off-grid
+    window ends are dropped by a broadcast semi join against the observed
+    -day grid. The event log itself is touched once, for the user-day
+    dedup."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "day", "semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        rnd(F.col("dau") * 1.0 / F.col("wau"), 4).alias("stickiness"),
+    )

@@ -358,3 +358,28 @@ def test_dataset_card_is_one_row_consistent(spark):
     assert c["min_words"] <= c["median_words"] <= c["max_words"]
     assert c["min_words"] <= c["avg_words"] <= c["max_words"]
     assert len(c["langs"].split(",")) == c["n_langs"]
+
+
+def test_dau_wau_stickiness_invariants(spark):
+    """WAU's window includes the day itself, so wau >= dau and stickiness
+    is in (0, 1]; spot-check one day's WAU against a direct recompute."""
+    from collections import defaultdict
+
+    from mapreduce_model_spark.registry import table
+
+    rows = {r["day"]: r for r in QUERIES["dau_wau_stickiness"](spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        assert r["wau"] >= r["dau"] >= 1
+        assert 0 < r["stickiness"] <= 1.0
+    by_day = defaultdict(set)
+    for e in table(spark, SF, "events").select("ts", "user_id").collect():
+        by_day[e["ts"].date()].add(e["user_id"])
+    probe = sorted(rows)[len(rows) // 2]
+    import datetime as dt
+
+    expect = set()
+    for k in range(7):
+        expect |= by_day.get(probe - dt.timedelta(days=k), set())
+    assert rows[probe]["wau"] == len(expect)
+    assert rows[probe]["dau"] == len(by_day[probe])

@@ -2137,3 +2137,48 @@ def dau_wau_stickiness(spark, sf_dir):
         F.col("wau").cast("long").alias("wau"),
         rnd(F.col("dau") * 1.0 / F.col("wau"), 4).alias("stickiness"),
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH q AS (
+    SELECT lang, source, CAST(n_chars // 32 AS BIGINT) AS len_bucket,
+           count(*) AS group_size
+    FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source, len_bucket,
+       CAST(group_size AS BIGINT) AS group_size,
+       group_size < {_K_ANON} AS risky
+FROM q
+""",
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket): any equivalence class smaller than k={_K_ANON} is a
+    re-identification risk — the privacy pre-flight a dataset release
+    runs before publishing 'anonymized' metadata (small classes must be
+    suppressed or generalized). Reports every class with its size and
+    risk flag so the release pipeline can filter on `risky`.
+
+    Scale: one map-side-combining aggregate on the quasi-identifier key —
+    the audit costs exactly one shuffle of (QI key, partial count),
+    whatever the corpus size. The integer length bucket (floor div 32) is
+    the generalization step itself: auditing raw n_chars would make
+    nearly every row its own class."""
+    docs = table(spark, sf_dir, "documents")
+    q = docs.groupBy(
+        "lang",
+        "source",
+        F.expr("n_chars div 32").alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return q.select(
+        "lang",
+        "source",
+        "len_bucket",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("group_size") < _K_ANON).alias("risky"),
+    )

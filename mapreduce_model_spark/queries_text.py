@@ -1311,3 +1311,61 @@ def boilerplate_ngrams(spark, sf_dir):
         .filter((F.col("n_with") >= _BP_MIN_DOCS) & (frac >= _BP_MIN_FRAC))
         .select("source", "shingle", "n_with", rnd(frac, 6).alias("df_frac"))
     )
+
+
+_PHRASE = ("table", "scan")
+
+
+@query(
+    "phrase_search",
+    oracle=rf"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), pos AS (
+    SELECT doc_id, unnest(words) AS word,
+           generate_subscripts(words, 1) AS pos
+    FROM wbase
+)
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(a.pos) - 1 AS BIGINT) AS first_pos
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.word = '{_PHRASE[0]}' AND b.word = '{_PHRASE[1]}'
+GROUP BY a.doc_id
+""",
+)
+def phrase_search(spark, sf_dir):
+    """Positional phrase search — exact-phrase retrieval ("table scan")
+    over the positional index, the IR operation a bag-of-words inverted
+    index cannot answer. Adjacency is POSITION ARITHMETIC: postings for
+    word_i join postings for word_{i+1} on (doc, pos+1).
+
+    Scale: each posting list is FILTERED to its phrase word before the
+    join — the join inputs are two term-posting lists (selective), keyed
+    on (doc_id, position), never the full positional index against
+    itself. Longer phrases chain one join per extra word, each further
+    shrinking the candidate set. first_pos is 0-based (the engine's
+    token_positions convention)."""
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(words_array("text")).alias("pos", "word"),
+    )
+    a = pos.where(F.col("word") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = pos.where(F.col("word") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    m = a.join(b, "doc_id").where(F.col("pos_b") == F.col("pos_a") + 1)
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos_a").cast("long").alias("first_pos"),
+    )

@@ -383,3 +383,42 @@ def test_dau_wau_stickiness_invariants(spark):
         expect |= by_day.get(probe - dt.timedelta(days=k), set())
     assert rows[probe]["wau"] == len(expect)
     assert rows[probe]["dau"] == len(by_day[probe])
+
+
+def test_phrase_search_matches_string_find(spark):
+    """Positional-join results must equal direct normalized-substring
+    counting (adjacent-pair scan) per doc."""
+    from mapreduce_model_spark.registry import table
+    import re
+
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in QUERIES["phrase_search"](spark, SF).collect()
+    }
+    exp = {}
+    for r in table(spark, SF, "documents").select("doc_id", "text").collect():
+        words = [
+            re.sub(r"[^a-z]", "", t.lower())
+            for t in r["text"].strip().split()
+        ]
+        words = [w for w in words if w]
+        hits = [
+            i
+            for i in range(len(words) - 1)
+            if words[i] == "table" and words[i + 1] == "scan"
+        ]
+        if hits:
+            exp[r["doc_id"]] = (len(hits), hits[0])
+    assert got == exp
+    assert exp, "the synthetic vocabulary guarantees phrase hits"
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from mapreduce_model_spark.registry import table
+
+    rows = QUERIES["k_anonymity_audit"](spark, SF).collect()
+    assert rows
+    total = sum(r["group_size"] for r in rows)
+    assert total == table(spark, SF, "documents").count()
+    for r in rows:
+        assert r["risky"] == (r["group_size"] < 5)

@@ -1931,3 +1931,45 @@ def corr_matrix(spark, sf_dir):
     return s.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+@query(
+    "sql_udf_surface",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(greatest(0.0, least(1.0, l_discount * 10))), 4)
+           AS avg_clamped
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sql_udf_surface(spark, sf_dir):
+    """SQL-defined scalar functions (Spark 4 `CREATE TEMPORARY FUNCTION
+    ... RETURN <expr>`): reusable business logic declared IN SQL and
+    inlined by Catalyst at plan time — zero runtime dispatch, full
+    codegen, unlike a Python UDF. The oracle states the same expressions
+    inline, proving the function bodies fold away semantically.
+
+    Scale: inlining means these cost exactly what the raw expressions
+    cost — the whole query stays one map-side-combining aggregate."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clamp01(x DOUBLE) "
+        "RETURNS DOUBLE RETURN greatest(0.0d, least(1.0d, x))"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_udf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue,
+               round(avg(clamp01(l_discount * 10)), 4) AS avg_clamped
+        FROM lineitem_udf
+        GROUP BY l_returnflag
+        """
+    )

@@ -540,3 +540,13 @@ def test_time_embargo_split_two_fact_scans(spark):
     p = plan(spark, "time_embargo_split")
     assert p.count("events.parquet") == 2
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_sql_udf_inlines_to_codegen(spark):
+    """SQL-defined functions must fold into the plan at analysis time:
+    no Python evaluation operator anywhere, and the aggregate stays
+    two-phase exactly as if the expressions were written inline."""
+    p = plan(spark, "sql_udf_surface")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p

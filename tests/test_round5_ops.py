@@ -422,3 +422,27 @@ def test_k_anonymity_flags_small_classes(spark):
     assert total == table(spark, SF, "documents").count()
     for r in rows:
         assert r["risky"] == (r["group_size"] < 5)
+
+
+def test_sql_table_function_surface(spark):
+    """Spark 4 SQL-defined TABLE functions (CREATE ... RETURNS TABLE
+    RETURN SELECT): the body is analyzed at CREATE time (views must
+    pre-exist) and calls inline like a parameterized view."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_model_spark.registry import table
+
+    cust = table(spark, SF, "customer")
+    cust.createOrReplaceTempView("customer_tf")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION top_spenders(minbal DOUBLE)
+           RETURNS TABLE(c_custkey BIGINT, c_acctbal DOUBLE)
+           RETURN SELECT c_custkey, c_acctbal
+                  FROM customer_tf WHERE c_acctbal > minbal"""
+    )
+    got = spark.sql("SELECT count(*) AS n FROM top_spenders(5000.0)").first()["n"]
+    exp = cust.where(F.col("c_acctbal") > 5000.0).count()
+    assert got == exp and exp > 0
+    # parameterization really parameterizes
+    got0 = spark.sql("SELECT count(*) AS n FROM top_spenders(-1e9)").first()["n"]
+    assert got0 == cust.count()

@@ -211,6 +211,29 @@ COMMENTARY: dict[str, str] = {
         "a cartesian. Instance counts ride along so the report needs no "
         "second fact pass."
     ),
+    "phrase_search": (
+        "Positional phrase retrieval. Each phrase word's postings are "
+        "FILTERED out of the positional index before anything joins — "
+        "the (doc, pos+1) adjacency join then runs between two selective "
+        "term lists, never the index against itself. Longer phrases "
+        "chain one join per extra word, each shrinking the candidates."
+    ),
+    "dau_wau_stickiness": (
+        "Overlapping-window distinct counts without a range join: the "
+        "deduped (user, day) frame — already far smaller than the event "
+        "log — explodes x7 to its forward window-end days (narrow), then "
+        "ONE distinct-count aggregate per window-end day; off-grid ends "
+        "drop via a broadcast semi join. The event log is scanned once, "
+        "for the user-day dedup."
+    ),
+    "sql_udf_surface": (
+        "SQL-defined scalar functions. Catalyst inlines `CREATE "
+        "TEMPORARY FUNCTION ... RETURN expr` bodies at analysis time: "
+        "the plan has NO Python eval operator and the aggregate is the "
+        "same two-phase codegen as hand-inlined expressions — reusable "
+        "business logic at zero runtime cost, the opposite tradeoff "
+        "from a row-at-a-time UDF."
+    ),
 }
 
 

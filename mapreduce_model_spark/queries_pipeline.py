@@ -2182,3 +2182,72 @@ def k_anonymity_audit(spark, sf_dir):
         F.col("group_size").cast("long").alias("group_size"),
         (F.col("group_size") < _K_ANON).alias("risky"),
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS tmax FROM events),
+per_user AS (
+    SELECT user_id,
+           date_diff('day', max(ts), (SELECT tmax FROM mx)) AS recency_days,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0)
+               AS monetary
+    FROM events GROUP BY user_id
+), scored AS (
+    SELECT user_id,
+           ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+           ntile(5) OVER (ORDER BY frequency, user_id)        AS f,
+           ntile(5) OVER (ORDER BY monetary, user_id)         AS m,
+           monetary
+    FROM per_user
+)
+SELECT r || '-' || f || '-' || m AS segment,
+       CAST(count(*) AS BIGINT)  AS n_users,
+       round(avg(monetary), 4)   AS avg_monetary
+FROM scored GROUP BY 1
+""",
+)
+def rfm_segments(spark, sf_dir):
+    """RFM segmentation — the marketing-analytics workhorse: per-user
+    Recency (days since last activity), Frequency (purchases), Monetary
+    (purchase value), each quintile-scored, users bucketed into R-F-M
+    segments. Higher score = better on every axis (most recent, most
+    frequent, highest spend). Ties carry a user_id tie-break inside the
+    ntile ordering so both engines assign identical quintiles.
+
+    Scale: one fact scan builds the |users|-sized RFM frame (map-side
+    combined); the three ntile windows are GLOBAL — a deliberate local
+    formulation flagged for scale: at 100 TB, quintile boundaries come
+    from approx_percentile over the user frame (5 numbers broadcast back,
+    fully narrow scoring) instead of a total-order window. The output is
+    the |segments|-bounded roll-up, not the per-user frame."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("tmax"), F.max("ts")).alias("recency_days"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "frequency"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                F.lit(0.0),
+            ).alias("monetary"),
+        )
+    )
+    from pyspark.sql import Window
+
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "user_id"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+    scored = per_user.select(
+        F.concat_ws("-", r, f, m).alias("segment"), "monetary"
+    )
+    return scored.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        rnd(F.avg("monetary"), 4).alias("avg_monetary"),
+    )

@@ -446,3 +446,18 @@ def test_sql_table_function_surface(spark):
     # parameterization really parameterizes
     got0 = spark.sql("SELECT count(*) AS n FROM top_spenders(-1e9)").first()["n"]
     assert got0 == cust.count()
+
+
+def test_rfm_segments_cover_all_users(spark):
+    from mapreduce_model_spark.registry import table
+
+    rows = QUERIES["rfm_segments"](spark, SF).collect()
+    assert rows
+    n_users = (
+        table(spark, SF, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        parts = r["segment"].split("-")
+        assert len(parts) == 3
+        assert all(1 <= int(p) <= 5 for p in parts)

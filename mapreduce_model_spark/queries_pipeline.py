@@ -2112,12 +2112,16 @@ def dau_wau_stickiness(spark, sf_dir):
     frame — already |users|×|days| bounded, far smaller than events), then
     one distinct-count aggregate keyed on the window-end day. Off-grid
     window ends are dropped by a broadcast semi join against the observed
-    -day grid. The event log itself is touched once, for the user-day
-    dedup."""
+    -day grid. The event log itself is touched once — the deduped
+    user-day frame persists and every branch (day grid, DAU, window
+    contributions) reads the materialized frame, not the fact table."""
     ev = table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    daily = ev.distinct()
+    # persist the deduped user-day frame: days / dau / contrib all derive
+    # from it, so the event log is scanned exactly once (the claim below);
+    # unpersisted, each branch would re-run the fact dedup
+    daily = ev.distinct().persist()
     days = daily.select("day").distinct()
     dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = daily.select(
@@ -2158,7 +2162,7 @@ FROM q
 )
 def k_anonymity_audit(spark, sf_dir):
     """k-anonymity audit over the quasi-identifier tuple (lang, source,
-    length bucket): any equivalence class smaller than k={_K_ANON} is a
+    length bucket): any equivalence class smaller than k=5 is a
     re-identification risk — the privacy pre-flight a dataset release
     runs before publishing 'anonymized' metadata (small classes must be
     suppressed or generalized). Reports every class with its size and
@@ -2239,8 +2243,6 @@ def rfm_segments(spark, sf_dir):
             ).alias("monetary"),
         )
     )
-    from pyspark.sql import Window
-
     r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "user_id"))
     f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
     m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))

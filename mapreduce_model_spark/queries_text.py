@@ -1351,12 +1351,17 @@ def phrase_search(spark, sf_dir):
     itself. Longer phrases chain one join per extra word, each further
     shrinking the candidate set. first_pos is 0-based (the engine's
     token_positions convention)."""
-    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
-
     docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(words_array("text")).alias("pos", "word"),
+    # tokenize the corpus ONCE: restrict to the phrase vocabulary in the
+    # same pass and persist the (tiny) postings frame — unpersisted, each
+    # word branch of the self-join re-runs the full posexplode fan-out
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(words_array("text")).alias("pos", "word"),
+        )
+        .where(F.col("word").isin(*_PHRASE))
+        .persist()
     )
     a = pos.where(F.col("word") == _PHRASE[0]).select(
         "doc_id", F.col("pos").alias("pos_a")

@@ -372,9 +372,18 @@ def test_dau_wau_stickiness_invariants(spark):
     for r in rows.values():
         assert r["wau"] >= r["dau"] >= 1
         assert 0 < r["stickiness"] <= 1.0
+    from pyspark.sql import functions as F
+
     by_day = defaultdict(set)
-    for e in table(spark, SF, "events").select("ts", "user_id").collect():
-        by_day[e["ts"].date()].add(e["user_id"])
+    # to_date on the UTC-pinned session, NOT e["ts"].date() — collect()ed
+    # timestamps convert via the OS timezone and would shift events near
+    # UTC midnight into the previous local day on non-UTC machines
+    for e in (
+        table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .collect()
+    ):
+        by_day[e["day"]].add(e["user_id"])
     probe = sorted(rows)[len(rows) // 2]
     import datetime as dt
 

@@ -1374,3 +1374,72 @@ def phrase_search(spark, sf_dir):
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("pos_a").cast("long").alias("first_pos"),
     )
+
+
+_VOCAB_SIZES = (8, 16, 24, 32)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=_WBASE
+    + f"""
+, tf AS (
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(words) AS word FROM wbase) GROUP BY word
+), tot AS (SELECT sum(n) AS total FROM tf),
+ranked AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk
+    FROM tf ORDER BY n DESC, word LIMIT {max(_VOCAB_SIZES)}
+), cum AS (
+    SELECT rk, sum(n) OVER (ORDER BY rk) AS cum_n FROM ranked
+)
+SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
+       round(max(c.cum_n) / t.total, 4)  AS coverage,
+       round(1 - max(c.cum_n) / t.total, 4) AS oov_rate
+FROM (VALUES {", ".join(f"({s})" for s in _VOCAB_SIZES)}) AS s(vocab_size)
+JOIN cum c ON c.rk <= s.vocab_size
+CROSS JOIN tot t
+GROUP BY s.vocab_size, t.total
+""",
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary sizing curve: corpus token coverage (and OOV rate) at
+    candidate vocabulary sizes, with the vocabulary greedily chosen by
+    frequency — the tokenizer-design question ("how big must the vocab be
+    for <1% OOV?") answered from one corpus pass.
+
+    Scale: one explode+count pass builds term frequencies (map-side
+    combined); only the TOP max(sizes) words survive a
+    TakeOrderedAndProject before any window runs (the vocab_topk
+    discipline — the full vocabulary never funnels through one
+    partition), and the total-token count is a 1-row broadcast."""
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        docs.select(F.explode(words_array("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tf.agg(F.sum("n").alias("total"))
+    top = tf.orderBy(F.desc("n"), "word").limit(max(_VOCAB_SIZES))
+    w = Window.orderBy(F.desc("n"), "word")
+    cum = top.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in _VOCAB_SIZES], "vocab_size long"
+    )
+    # rk <= size (not rk == size): a candidate size larger than the actual
+    # vocabulary must still report its (full) coverage; cum_n is monotone
+    # in rk, so the size's coverage is the MAX cum_n among ranks <= size
+    return (
+        sizes.join(F.broadcast(cum), cum["rk"] <= sizes["vocab_size"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size", "total")
+        .agg(F.max("cum_n").alias("cum_n"))
+        .select(
+            "vocab_size",
+            rnd(F.col("cum_n") / F.col("total"), 4).alias("coverage"),
+            rnd(1 - F.col("cum_n") / F.col("total"), 4).alias("oov_rate"),
+        )
+    )

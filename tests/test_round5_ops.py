@@ -470,3 +470,18 @@ def test_rfm_segments_cover_all_users(spark):
         parts = r["segment"].split("-")
         assert len(parts) == 3
         assert all(1 <= int(p) <= 5 for p in parts)
+
+
+def test_vocab_coverage_curve_is_monotone(spark):
+    rows = sorted(
+        QUERIES["vocab_coverage_curve"](spark, SF).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert [r["vocab_size"] for r in rows] == [8, 16, 24, 32]
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs), "coverage grows with vocab size"
+    for r in rows:
+        assert 0 < r["coverage"] <= 1.0
+        assert abs(r["coverage"] + r["oov_rate"] - 1.0) < 1e-6
+    # the synthetic corpus has ~31 distinct words: a 32-word vocab covers all
+    assert rows[-1]["coverage"] == 1.0

@@ -320,3 +320,55 @@ def dedup_survivors(
         F.coalesce(F.col("component"), docs[id_col]).alias("component"),
     )
     return out.withColumn("is_survivor", F.col(id_col) == F.col("component"))
+
+
+def bfs_depths(
+    edges: DataFrame,
+    source: int | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Unit-weight single-source shortest paths (BFS layers) on an
+    undirected graph: returns ``(node, depth)`` for every node reachable
+    from ``source`` (default: the minimum node id — deterministic).
+
+    Level-synchronous frontier expansion — the canonical distributed BFS:
+    each round joins the frontier against the edge list (node-keyed
+    shuffle), anti-joins already-labeled nodes, and stops when the
+    frontier empties. Depth labels are traversal-order-independent, so
+    the output is deterministic however tasks interleave. The driver sees
+    one scalar per round (the frontier count, which doubles as the
+    materializing action for the lazy checkpoint) — never data. Rounds =
+    graph eccentricity of the source, the intrinsic lower bound for BFS.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    g = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if g.count() == 0:
+        return g.select(F.col("u").alias("node"), F.lit(0).cast("long").alias("depth"))
+    if source is None:
+        # one scalar to the driver — the deterministic source pick
+        source = g.agg(F.min("u")).first()[0]
+    spark = edges.sparkSession
+    labels = spark.createDataFrame([(int(source), 0)], "node long, depth long")
+    frontier = labels.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            g.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(labels, "node", "anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            return labels
+        labels = labels.unionByName(
+            nxt.withColumn("depth", F.lit(depth).cast("long"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    raise RuntimeError(f"bfs_depths exceeded max_depth={max_depth}")

@@ -403,3 +403,31 @@ def graph_triangles(spark, sf_dir):
             F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
         )
     )
+
+
+@query("graph_bfs_depths")  # iterative frontier expansion — rows-only
+def graph_bfs_depths(spark, sf_dir):
+    """BFS shortest-path depths from the minimum part id over the
+    co-purchase graph (same support>=2 edge list as graph_triangles) —
+    the reachability/hop-distance primitive (recommendation radius,
+    blast-radius analysis) beside components, PageRank, and triangles.
+    Depth labels are traversal-order independent => deterministic output;
+    pinned against a driver-side BFS recompute in tests (rows-only here:
+    the frontier loop is not SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_model_spark.operators.graph import bfs_depths
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = items.alias("ia"), items.alias("ib")
+    edges = (
+        a.join(b, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
+        .groupBy(F.col("ia.p").alias("id_a"), F.col("ib.p").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("id_a", "id_b")
+    )
+    return bfs_depths(edges)

@@ -164,3 +164,48 @@ def test_connected_components_midloop_local_finish(spark):
     }
     assert set(got.values()) == {min(ids)}
     assert len(got) == len(ids)
+
+
+def test_bfs_depths_matches_python_bfs(spark):
+    """Distributed BFS layers == collections.deque BFS on random graphs
+    (depths are traversal-order independent, so exact equality)."""
+    from collections import deque
+
+    from mapreduce_model_spark.operators.graph import bfs_depths
+
+    rng = random.Random(23)
+    for trial in range(3):
+        nodes = list(range(100))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(140)]
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        if not adj:
+            continue
+        src = min(adj)
+        exp, q = {src: 0}, deque([src])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in exp:
+                    exp[y] = exp[x] + 1
+                    q.append(y)
+        e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {r.node: r.depth for r in bfs_depths(e).collect()}
+        assert got == exp, trial
+
+
+def test_bfs_depths_long_chain(spark):
+    """A path graph: depth must equal position along the chain — one-hop
+    frontier expansion for the full diameter, no shortcuts. (BFS is
+    inherently one round per level — unlike CC's pointer jumping there is
+    no doubling shortcut — so the chain stays inside max_depth.)"""
+    ids = list(range(500, 520))
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    from mapreduce_model_spark.operators.graph import bfs_depths
+
+    e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.node: r.depth for r in bfs_depths(e).collect()}
+    assert got == {ids[i]: i for i in range(len(ids))}

@@ -2253,3 +2253,41 @@ def rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         rnd(F.avg("monetary"), 4).alias("avg_monetary"),
     )
+
+
+@query("wau_hll_sliding")  # approximate sketch — rows-only by design
+def wau_hll_sliding(spark, sf_dir):
+    """Approximate 7-day WAU from per-day mergeable HLL sketches — the
+    100 TB production form of dau_wau_stickiness: the fact table folds
+    into ONE small sketch per day, and every sliding window is a UNION of
+    7 sketches (HLL union is lossless over unions), so window evaluation
+    never touches user-level data again. Re-windowing (14-day, monthly)
+    reuses the same per-day sketches — the pre-aggregation exact distinct
+    counts can't offer.
+
+    Accuracy vs the exact query is pinned in tests (lgK=14 → ~1% typical
+    error). Scale: one fact scan builds |days| sketches; the explode ×7 +
+    union_agg runs on |days| rows however large the corpus."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    per_day = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    days = per_day.select("day")
+    contrib = per_day.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "day_end"
+        ),
+        "sk",
+    )
+    return (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("day", "day_end")), "day_end", "semi"
+        )
+        .groupBy("day_end")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("wau_approx")
+        )
+        .select(F.col("day_end").alias("day"), "wau_approx")
+    )

@@ -485,3 +485,18 @@ def test_vocab_coverage_curve_is_monotone(spark):
         assert abs(r["coverage"] + r["oov_rate"] - 1.0) < 1e-6
     # the synthetic corpus has ~31 distinct words: a 32-word vocab covers all
     assert rows[-1]["coverage"] == 1.0
+
+
+def test_wau_hll_tracks_exact_within_5pct(spark):
+    """The sketch path must track the exact overlapping-window distinct
+    count within HLL error on every observed day (lgK=14 ~ 1% typical)."""
+    exact = {
+        r["day"]: r["wau"] for r in QUERIES["dau_wau_stickiness"](spark, SF).collect()
+    }
+    approx = {
+        r["day"]: r["wau_approx"]
+        for r in QUERIES["wau_hll_sliding"](spark, SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, wau in exact.items():
+        assert abs(approx[day] - wau) <= max(2, 0.05 * wau), (day, wau, approx[day])

@@ -350,14 +350,27 @@ def bfs_depths(
         .localCheckpoint(eager=False)
     )
     if g.count() == 0:
-        return g.select(F.col("u").alias("node"), F.lit(0).cast("long").alias("depth"))
+        # an explicitly named source is depth-0 reachable even in a graph
+        # with no (non-self-loop) edges; without one there is nothing to do
+        spark = edges.sparkSession
+        if source is not None:
+            return spark.createDataFrame(
+                [(int(source), 0)], "node long, depth long"
+            )
+        return g.select(
+            F.col("u").alias("node"), F.lit(0).cast("long").alias("depth")
+        )
     if source is None:
         # one scalar to the driver — the deterministic source pick
         source = g.agg(F.min("u")).first()[0]
     spark = edges.sparkSession
     labels = spark.createDataFrame([(int(source), 0)], "node long, depth long")
     frontier = labels.select("node")
-    for depth in range(1, max_depth + 1):
+    # max_depth + 1 expansions: the LAST permitted level (depth ==
+    # max_depth) must still get its empty-frontier check, otherwise a
+    # graph whose source eccentricity equals max_depth would raise even
+    # though the traversal completed (off-by-one caught in review)
+    for depth in range(1, max_depth + 2):
         nxt = (
             g.join(frontier.withColumnRenamed("node", "u"), "u")
             .select(F.col("v").alias("node"))
@@ -367,6 +380,8 @@ def bfs_depths(
         )
         if nxt.count() == 0:
             return labels
+        if depth > max_depth:
+            break
         labels = labels.unionByName(
             nxt.withColumn("depth", F.lit(depth).cast("long"))
         ).localCheckpoint(eager=False)

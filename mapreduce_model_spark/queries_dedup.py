@@ -404,7 +404,7 @@ WITH wbase AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+       round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 1e-9, 4)
            AS kept_frac
 FROM ranked GROUP BY doc_id
 """,
@@ -456,7 +456,7 @@ def q_chunk_dedup(spark, sf_dir):
     return ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         kept.alias("n_kept"),
-        F.round(kept / F.count(F.lit(1)), 4).alias("kept_frac"),
+        F.round(kept / F.count(F.lit(1)) + 1e-9, 4).alias("kept_frac"),
     )
 
 

@@ -126,7 +126,7 @@ WITH f AS (
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_frames,
        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_seen,
-       round(1 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+       round(1 - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) + 1e-9, 4)
            AS dup_frac
 FROM ranked GROUP BY doc_id
 """,
@@ -157,5 +157,5 @@ def multimodal_frame_dedup(spark, sf_dir):
     return ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         first_seen.alias("n_first_seen"),
-        F.round(1 - first_seen / F.count(F.lit(1)), 4).alias("dup_frac"),
+        F.round(1 - first_seen / F.count(F.lit(1)) + 1e-9, 4).alias("dup_frac"),
     )

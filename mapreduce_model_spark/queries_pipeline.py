@@ -1746,7 +1746,7 @@ def ewma_user_daily(spark, sf_dir):
 SELECT e.doc_id,
        CAST(count(*) AS BIGINT)    AS n_shingles,
        CAST(count(m.x) AS BIGINT)  AS n_hit,
-       round(count(m.x)::DOUBLE / count(*), 4) AS coverage
+       round(count(m.x)::DOUBLE / count(*) + 1e-9, 4) AS coverage
 FROM evx e LEFT JOIN m ON e.x = m.x
 GROUP BY e.doc_id
 """,
@@ -1794,7 +1794,7 @@ def eval_coverage(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         n_hit.alias("n_hit"),
-        F.round(n_hit / F.count(F.lit(1)), 4).alias("coverage"),
+        rnd(n_hit / F.count(F.lit(1)), 4).alias("coverage"),
     )
 
 
@@ -1918,9 +1918,9 @@ WITH tagged AS (
 SELECT a.event_type,
        CAST(a.n AS BIGINT)  AS n_a,
        CAST(b.n AS BIGINT)  AS n_b,
-       round(a.mu - b.mu, 4) AS mean_diff,
-       round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
-       abs(round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 4)) > 1.96
+       round(a.mu - b.mu + 1e-9, 4) AS mean_diff,
+       round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n) + 1e-9, 4) AS t_stat,
+       abs(round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n) + 1e-9, 4)) > 1.96
            AS significant
 FROM s a JOIN s b ON a.event_type = b.event_type
 WHERE a.variant = 0 AND b.variant = 1
@@ -2040,10 +2040,10 @@ SELECT CAST(count(*) AS BIGINT)                    AS n_docs,
        CAST(sum(n_words) AS BIGINT)                AS total_words,
        CAST(min(n_words) AS BIGINT)                AS min_words,
        CAST(max(n_words) AS BIGINT)                AS max_words,
-       round(avg(n_words), 4)                      AS avg_words,
-       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_words), 4)
+       round(avg(n_words) + 1e-9, 4)                      AS avg_words,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_words) + 1e-9, 4)
                                                    AS median_words,
-       round(avg(n_chars), 4)                      AS avg_chars,
+       round(avg(n_chars) + 1e-9, 4)                      AS avg_chars,
        array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs
 FROM wbase
 """,
@@ -2097,7 +2097,7 @@ contrib AS (
     GROUP BY 1
 )
 SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
-       round(d.dau * 1.0 / w.wau, 4) AS stickiness
+       round(d.dau * 1.0 / w.wau + 1e-9, 4) AS stickiness
 FROM dau d JOIN wau w ON d.day = w.day
 """,
 )
@@ -2209,7 +2209,7 @@ per_user AS (
 )
 SELECT r || '-' || f || '-' || m AS segment,
        CAST(count(*) AS BIGINT)  AS n_users,
-       round(avg(monetary), 4)   AS avg_monetary
+       round(avg(monetary) + 1e-9, 4)   AS avg_monetary
 FROM scored GROUP BY 1
 """,
 )
@@ -2271,7 +2271,12 @@ def wau_hll_sliding(spark, sf_dir):
     ev = table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    per_day = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    # persist: the day grid and the contribution explode both consume
+    # per_day — unpersisted, column pruning gives each branch a different
+    # partial-agg plan and the fact table aggregates twice
+    per_day = (
+        ev.groupBy("day").agg(F.hll_sketch_agg("user_id", 14).alias("sk")).persist()
+    )
     days = per_day.select("day")
     contrib = per_day.select(
         F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(

@@ -1672,7 +1672,7 @@ WITH stats AS (
 ), z AS (
     SELECT e.event_type,
            CASE WHEN s.sd > 0
-                THEN round(abs(e.value - s.mu) / s.sd, 4) ELSE 0 END AS z
+                THEN round(abs(e.value - s.mu) / s.sd + 1e-9, 4) ELSE 0 END AS z
     FROM events e
     JOIN stats s ON e.event_type = s.event_type
                 AND extract(hour FROM e.ts) = s.hr
@@ -1740,7 +1740,7 @@ WITH items AS (
 )
 SELECT part_a, part_b,
        CAST(n_both AS BIGINT) AS n_both,
-       round(n_both * n_orders / (na.n_item * 1.0 * nb.n_item), 4) AS lift
+       round(n_both * n_orders / (na.n_item * 1.0 * nb.n_item) + 1e-9, 4) AS lift
 FROM pairs
 JOIN item_n na ON na.l_partkey = part_a
 JOIN item_n nb ON nb.l_partkey = part_b
@@ -1809,7 +1809,7 @@ ma AS (SELECT a, sum(n) AS na FROM joint GROUP BY a),
 mb AS (SELECT b, sum(n) AS nb FROM joint GROUP BY b)
 SELECT CAST(total AS BIGINT) AS n,
        CAST(count(*) AS BIGINT) AS n_cells,
-       round(sum((n / total) * ln((n * total) / (na * 1.0 * nb))), 6) AS mi_nats
+       round(sum((n / total) * ln((n * total) / (na * 1.0 * nb))) + 1e-9, 6) AS mi_nats
 FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
 GROUP BY total
 """,
@@ -1858,8 +1858,8 @@ c AS (
 )
 SELECT category,
        CAST(n AS BIGINT)       AS n,
-       round(raw_mean, 4)      AS raw_mean,
-       round((s + 10 * mu) / (n + 10), 4) AS encoded
+       round(raw_mean + 1e-9, 4)      AS raw_mean,
+       round((s + 10 * mu) / (n + 10) + 1e-9, 4) AS encoded
 FROM c CROSS JOIN g
 """,
 )
@@ -1902,12 +1902,12 @@ WITH s AS (
            corr(l_discount, l_tax)           AS disc_tax
     FROM lineitem
 )
-SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(qty_price, 4) AS corr FROM s
-UNION ALL SELECT 'l_quantity', 'l_discount', round(qty_disc, 4) FROM s
-UNION ALL SELECT 'l_quantity', 'l_tax', round(qty_tax, 4) FROM s
-UNION ALL SELECT 'l_extendedprice', 'l_discount', round(price_disc, 4) FROM s
-UNION ALL SELECT 'l_extendedprice', 'l_tax', round(price_tax, 4) FROM s
-UNION ALL SELECT 'l_discount', 'l_tax', round(disc_tax, 4) FROM s
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(qty_price + 1e-9, 4) AS corr FROM s
+UNION ALL SELECT 'l_quantity', 'l_discount', round(qty_disc + 1e-9, 4) FROM s
+UNION ALL SELECT 'l_quantity', 'l_tax', round(qty_tax + 1e-9, 4) FROM s
+UNION ALL SELECT 'l_extendedprice', 'l_discount', round(price_disc + 1e-9, 4) FROM s
+UNION ALL SELECT 'l_extendedprice', 'l_tax', round(price_tax + 1e-9, 4) FROM s
+UNION ALL SELECT 'l_discount', 'l_tax', round(disc_tax + 1e-9, 4) FROM s
 """,
 )
 def corr_matrix(spark, sf_dir):
@@ -1938,8 +1938,8 @@ def corr_matrix(spark, sf_dir):
     oracle="""
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       round(avg(greatest(0.0, least(1.0, l_discount * 10))), 4)
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+       round(avg(greatest(0.0, least(1.0, l_discount * 10))) + 1e-9, 4)
            AS avg_clamped
 FROM lineitem
 GROUP BY l_returnflag
@@ -1967,8 +1967,8 @@ def sql_udf_surface(spark, sf_dir):
         """
         SELECT l_returnflag,
                count(*) AS n,
-               round(sum(disc_price(l_extendedprice, l_discount)), 2) AS revenue,
-               round(avg(clamp01(l_discount * 10)), 4) AS avg_clamped
+               round(sum(disc_price(l_extendedprice, l_discount)) + 1e-9, 2) AS revenue,
+               round(avg(clamp01(l_discount * 10)) + 1e-9, 4) AS avg_clamped
         FROM lineitem_udf
         GROUP BY l_returnflag
         """

@@ -349,6 +349,26 @@ def kmeans_embeddings(spark, sf_dir):
     )
 
 
+def _copurchase_edges(spark, sf_dir):
+    """Support>=2 co-purchase edge list (u, v) with u < v — the ONE edge
+    definition shared by graph_triangles and graph_bfs_depths (a threshold
+    change must hit both queries or they silently measure different
+    graphs). Pair generation is blocked BY ORDER (per-order-bounded
+    quadratic); the support filter is the hub guard."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = items.alias("ia"), items.alias("ib")
+    return (
+        a.join(b, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
+        .groupBy(F.col("ia.p").alias("u"), F.col("ib.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+
+
 @query(
     "graph_triangles",
     oracle="""
@@ -380,21 +400,9 @@ def graph_triangles(spark, sf_dir):
     u<v<w orientation so each wedge is probed once and each triangle
     counted exactly once. Every join is an equi-join on node keys —
     shuffle-partitioned, AQE-managed, no cartesian anywhere."""
-    li = table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = items.alias("ia"), items.alias("ib")
-    edges = (
-        a.join(b, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
-        .groupBy(F.col("ia.p").alias("u"), F.col("ib.p").alias("v"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("u", "v")
-        # three consumers below — persist the (tiny, post-support) edge
-        # list so the order-blocked pair generation runs once, not thrice
-        .persist()
-    )
+    # three consumers below — persist the (tiny, post-support) edge
+    # list so the order-blocked pair generation runs once, not thrice
+    edges = _copurchase_edges(spark, sf_dir).persist()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     return (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -414,20 +422,6 @@ def graph_bfs_depths(spark, sf_dir):
     Depth labels are traversal-order independent => deterministic output;
     pinned against a driver-side BFS recompute in tests (rows-only here:
     the frontier loop is not SQL-expressible)."""
-    from pyspark.sql import functions as F
-
     from mapreduce_model_spark.operators.graph import bfs_depths
 
-    li = table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = items.alias("ia"), items.alias("ib")
-    edges = (
-        a.join(b, (F.col("ia.o") == F.col("ib.o")) & (F.col("ia.p") < F.col("ib.p")))
-        .groupBy(F.col("ia.p").alias("id_a"), F.col("ib.p").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("id_a", "id_b")
-    )
-    return bfs_depths(edges)
+    return bfs_depths(_copurchase_edges(spark, sf_dir), src="u", dst="v")

@@ -1394,8 +1394,8 @@ ranked AS (
     SELECT rk, sum(n) OVER (ORDER BY rk) AS cum_n FROM ranked
 )
 SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
-       round(max(c.cum_n) / t.total, 4)  AS coverage,
-       round(1 - max(c.cum_n) / t.total, 4) AS oov_rate
+       round(max(c.cum_n) / t.total + 1e-9, 4)  AS coverage,
+       round(1 - max(c.cum_n) / t.total + 1e-9, 4) AS oov_rate
 FROM (VALUES {", ".join(f"({s})" for s in _VOCAB_SIZES)}) AS s(vocab_size)
 JOIN cum c ON c.rk <= s.vocab_size
 CROSS JOIN tot t

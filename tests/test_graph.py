@@ -209,3 +209,30 @@ def test_bfs_depths_long_chain(spark):
     e = spark.createDataFrame(edges, "id_a: long, id_b: long")
     got = {r.node: r.depth for r in bfs_depths(e).collect()}
     assert got == {ids[i]: i for i in range(len(ids))}
+
+
+def test_bfs_depths_eccentricity_equals_max_depth(spark):
+    """A source whose eccentricity is exactly max_depth completes (the
+    final level still gets its empty-frontier check — review-caught
+    off-by-one); one less raises."""
+    import pytest as _pytest
+
+    from mapreduce_model_spark.operators.graph import bfs_depths
+
+    ids = list(range(700, 706))  # path graph, eccentricity 5 from ids[0]
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    e = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.node: r.depth for r in bfs_depths(e, max_depth=5).collect()}
+    assert got == {ids[i]: i for i in range(6)}
+    with _pytest.raises(RuntimeError, match="max_depth"):
+        bfs_depths(e, max_depth=4).collect()
+
+
+def test_bfs_depths_edgeless_graph_with_source(spark):
+    """Self-loop-only input + explicit source: the source is still depth-0
+    reachable (review-caught inconsistency with the non-empty path)."""
+    from mapreduce_model_spark.operators.graph import bfs_depths
+
+    e = spark.createDataFrame([(9, 9), (4, 4)], "id_a: long, id_b: long")
+    got = [(r.node, r.depth) for r in bfs_depths(e, source=5).collect()]
+    assert got == [(5, 0)]

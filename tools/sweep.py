@@ -1,0 +1,61 @@
+"""Full-registry DuckDB oracle sweep — the local twin of the driver's
+correctness gate.
+
+    python tools/sweep.py [sf_dir]          # default /root/testdata/sf0.01
+
+Every registered query with an oracle is hash-compared against DuckDB on
+the same parquet tables (row count + schema + order-insensitive value
+hash, via tests.oracle_harness.compare_query — the same comparator the
+pytest parity sweep uses); rows-only queries (iterative fixpoints,
+sketches, mapInPandas) are executed to the noop sink so a crash still
+fails the sweep. Exit code 1 on any failure.
+
+Prints one summary line:
+    SWEEPDONE checked=<n> rowsonly=<n> fails=<n> secs=<n>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from mapreduce_model_spark.registry import ORACLE_SQL, QUERIES
+    from mapreduce_model_spark.session import get_spark
+    from tests.oracle_harness import compare_query
+
+    spark = get_spark(app_name="sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    t0 = time.time()
+    fails = 0
+    n_checked = n_rowsonly = 0
+    for name in QUERIES:
+        if name in ORACLE_SQL:
+            r = compare_query(spark, sf_dir, name)
+            n_checked += 1
+            if r is not None:
+                fails += 1
+                print(f"FAIL {name}: {r}", flush=True)
+        else:
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                n_rowsonly += 1
+            except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+                fails += 1
+                print(f"FAIL-RUN {name}: {exc}", flush=True)
+    print(
+        f"SWEEPDONE checked={n_checked} rowsonly={n_rowsonly} "
+        f"fails={fails} secs={time.time() - t0:.0f}",
+        flush=True,
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

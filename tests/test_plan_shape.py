@@ -550,3 +550,29 @@ def test_sql_udf_inlines_to_codegen(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("HashAggregate") >= 2
     assert "Exchange" in p
+
+
+def test_dau_wau_single_events_scan(spark):
+    """The deduped user-day frame persists: day grid, DAU, and window
+    contributions must all read the cached frame — exactly ONE events
+    scan in the plan (review-caught triple scan)."""
+    p = plan(spark, "dau_wau_stickiness")
+    assert p.count("events.parquet") == 1
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_wau_hll_single_events_scan(spark):
+    """Sketch path: per_day persists so the day grid and the explode
+    branch share one fact aggregation (review-caught double scan)."""
+    p = plan(spark, "wau_hll_sliding")
+    assert p.count("events.parquet") == 1
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_phrase_search_single_corpus_tokenize(spark):
+    """The phrase-restricted postings frame persists: the adjacency
+    self-join must not re-run the posexplode per word branch — one
+    documents scan only (review-caught double tokenize)."""
+    p = plan(spark, "phrase_search")
+    assert p.count("documents.parquet") == 1
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p

@@ -101,9 +101,10 @@ def q_minhash_sig(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_near_minhash",
-    oracle=_SHX + f"""
+# Shared MinHash-LSH candidate-pair pipeline (signatures → band keys →
+# hot-bucket cap → same-band pairs → estimated Jaccard) — the single SQL
+# source of truth for dedup_near_minhash AND the dedup_clusters oracle.
+_LSH_CORE = _SHX + f"""
 , sig AS (
     SELECT doc_id, {_SIG_SQL} AS sig FROM shx GROUP BY doc_id
 ), banded AS (
@@ -125,6 +126,12 @@ def q_minhash_sig(spark, sf_dir):
            / {K}.0 AS est_jaccard
     FROM pairs
 )
+"""
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=_LSH_CORE + f"""
 SELECT id_a, id_b, round(1e-9 + est_jaccard, 4) AS est_jaccard
 FROM est WHERE est_jaccard >= {LSH_THRESHOLD}
 """,
@@ -176,12 +183,39 @@ def q_simhash(spark, sf_dir):
     return simhash(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
-@query("dedup_clusters")  # iterative fixpoint — rows-only check (no recursive CTE)
+# Connected components as a DuckDB recursive CTE: `reach` enumerates every
+# (node, label) where `label` reaches `node` through the symmetrized dup
+# edges; UNION-dedup terminates (≤ |V|² pairs, tiny at oracle scale), and
+# min(label) per node is exactly the min-id component the distributed
+# forest-contraction loop computes. Oracle-scale only — the Spark side is
+# the O(log n)-phase algorithm that survives 100 TB.
+_CLUSTERS_ORACLE = (
+    _LSH_CORE
+    + f"""
+, near AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= {LSH_THRESHOLD}),
+sym AS (SELECT id_a AS u, id_b AS v FROM near
+        UNION SELECT id_b, id_a FROM near),
+reach(node, lbl) AS (
+    SELECT u, u FROM sym
+    UNION
+    SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+).replace("WITH wbase", "WITH RECURSIVE wbase", 1)
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark, sf_dir):
     """End-to-end near-dup clustering: MinHash-LSH pairs → distributed
-    connected components (label propagation) → keep-first survivor flags.
-    Iterative, hence no single-query oracle; correctness is pinned by the
-    union-find property test (tests/test_graph.py)."""
+    connected components (forest contraction) → keep-first survivor flags.
+    Hash-checked against a DuckDB recursive-CTE transitive-closure oracle
+    (min reachable label == min-id component); the union-find property
+    test (tests/test_graph.py) additionally pins all three code paths."""
     from mapreduce_model_spark.operators.graph import dedup_survivors
 
     docs = table(spark, sf_dir, "documents")

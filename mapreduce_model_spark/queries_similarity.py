@@ -177,15 +177,68 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
-@query("graph_pagerank")  # iterative fixpoint — rows-only (no recursive SQL)
+_PR_ITER, _PR_DAMPING = 8, 0.85
+
+
+def _pagerank_oracle(n_iter: int = _PR_ITER, damping: float = _PR_DAMPING) -> str:
+    """Fixed-iteration PageRank unrolled into chained CTEs (r0..rN) — the
+    SQL twin of operators.graph.pagerank on the symmetrized embedding
+    near-dup graph. Symmetrization means every node has out-edges, so the
+    dangling-mass term is identically zero and each iteration is exactly
+    rank' = (1-d)/n + d·Σ rank/outdeg — the same double-precision
+    expression Spark evaluates. Oracle scale only; the Spark side is the
+    checkpointed one-job-per-iteration loop."""
+    head = _V + f"""
+, vb AS (
+    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
+), prs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM vb a JOIN vb b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
+), e AS (
+    SELECT DISTINCT u, v FROM (
+        SELECT id_a AS u, id_b AS v FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs
+    ) WHERE u <> v
+), nodes AS (SELECT DISTINCT u AS node FROM e),
+deg AS (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY u),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+, r{i} AS (
+    SELECT nd.node,
+           (1.0 - {damping}) / (SELECT n FROM nn)
+           + {damping} * coalesce(c.contrib, 0.0) AS rank
+    FROM nodes nd LEFT JOIN (
+        SELECT e.v AS node, sum(r.rank / d.outdeg) AS contrib
+        FROM e JOIN r{i - 1} r ON e.u = r.node JOIN deg d ON e.u = d.node
+        GROUP BY e.v
+    ) c ON nd.node = c.node
+)""")
+    tail = f"""
+SELECT node AS vec_id, round(rank + 1e-12, 8) AS rank
+FROM r{n_iter}
+ORDER BY round(rank + 1e-12, 8) DESC, node
+LIMIT 50"""
+    return head + "".join(iters) + tail
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     """PageRank centrality over the embedding near-dup graph (each
     cosine-near pair is an undirected edge ⇒ both directed edges): ranks
     surface the hub vectors of semantic-duplicate clusters. Chains two
     custom operators — LSH-blocked pair generation and the iterative
     power-method fixpoint (operators.graph.pagerank; deterministic:
-    fixed 8 iterations, fixed damping). Top-50 by rank keeps the
-    rows-only check small; rank/vec_id tie-break gives a total order."""
+    fixed 8 iterations, fixed damping). Hash-checked against an
+    8-iteration unrolled-CTE DuckDB oracle (the graph is symmetric ⇒ no
+    dangling mass ⇒ both engines evaluate the same double-precision
+    recurrence; 8-decimal rounding absorbs summation-order noise).
+    Top-50 by rank keeps the output small; rank/vec_id tie-break gives a
+    total order."""
     from pyspark.sql import functions as F
 
     from mapreduce_model_spark.operators.graph import pagerank
@@ -198,7 +251,7 @@ def graph_pagerank(spark, sf_dir):
     both = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    ranks = pagerank(both, n_iter=8)
+    ranks = pagerank(both, n_iter=_PR_ITER, damping=_PR_DAMPING)
     return (
         ranks.select(
             F.col("node").alias("vec_id"),
@@ -413,15 +466,44 @@ def graph_triangles(spark, sf_dir):
     )
 
 
-@query("graph_bfs_depths")  # iterative frontier expansion — rows-only
+# BFS as a DuckDB recursive CTE: `walk` enumerates every (node, length)
+# walk from the source up to the Spark side's max_depth cap (30); UNION
+# dedups (node, depth) pairs so the recursion terminates (≤ |V|·31 rows at
+# oracle scale), and min(depth) is the BFS layer. Shares the exact edge
+# definition with graph_triangles' oracle.
+_BFS_MAX_DEPTH = 30
+_BFS_ORACLE = f"""
+WITH RECURSIVE items AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), cop AS (
+    SELECT a.p AS u, b.p AS v, count(*) AS sup
+    FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+), edges AS (SELECT u, v FROM cop WHERE sup >= 2),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+walk(node, depth) AS (
+    SELECT u, 0 FROM (SELECT min(u) AS u FROM sym) WHERE u IS NOT NULL
+    UNION
+    SELECT s.v, w.depth + 1 FROM walk w JOIN sym s ON s.u = w.node
+    WHERE w.depth < {_BFS_MAX_DEPTH}
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM walk GROUP BY node
+"""
+
+
+@query("graph_bfs_depths", oracle=_BFS_ORACLE)
 def graph_bfs_depths(spark, sf_dir):
     """BFS shortest-path depths from the minimum part id over the
     co-purchase graph (same support>=2 edge list as graph_triangles) —
     the reachability/hop-distance primitive (recommendation radius,
     blast-radius analysis) beside components, PageRank, and triangles.
     Depth labels are traversal-order independent => deterministic output;
-    pinned against a driver-side BFS recompute in tests (rows-only here:
-    the frontier loop is not SQL-expressible)."""
+    hash-checked against a DuckDB recursive-CTE walk oracle (min walk
+    length == BFS depth) and pinned against a driver-side BFS recompute
+    in tests."""
     from mapreduce_model_spark.operators.graph import bfs_depths
 
-    return bfs_depths(_copurchase_edges(spark, sf_dir), src="u", dst="v")
+    return bfs_depths(
+        _copurchase_edges(spark, sf_dir), src="u", dst="v",
+        max_depth=_BFS_MAX_DEPTH,
+    )

@@ -2188,6 +2188,27 @@ def k_anonymity_audit(spark, sf_dir):
     )
 
 
+def _rfm_per_user(spark, sf_dir):
+    """The |users|-sized RFM frame both rfm queries score: one fact scan,
+    map-side combined; the corpus max-ts is a broadcast 1-row frame."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max("tmax"), F.max("ts")).alias("recency_days"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "frequency"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                F.lit(0.0),
+            ).alias("monetary"),
+        )
+    )
+
+
 @query(
     "rfm_segments",
     oracle="""
@@ -2227,27 +2248,64 @@ def rfm_segments(spark, sf_dir):
     from approx_percentile over the user frame (5 numbers broadcast back,
     fully narrow scoring) instead of a total-order window. The output is
     the |segments|-bounded roll-up, not the per-user frame."""
-    ev = table(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("tmax"))
-    per_user = (
-        ev.crossJoin(F.broadcast(mx))
-        .groupBy("user_id")
-        .agg(
-            F.datediff(F.max("tmax"), F.max("ts")).alias("recency_days"),
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
-                "frequency"
-            ),
-            F.coalesce(
-                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
-                F.lit(0.0),
-            ).alias("monetary"),
-        )
-    )
+    per_user = _rfm_per_user(spark, sf_dir)
     r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "user_id"))
     f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
     m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
     scored = per_user.select(
         F.concat_ws("-", r, f, m).alias("segment"), "monetary"
+    )
+    return scored.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        rnd(F.avg("monetary"), 4).alias("avg_monetary"),
+    )
+
+
+_RFM_QS = [0.2, 0.4, 0.6, 0.8]
+_RFM_ACC = 10000
+
+
+@query("rfm_segments_scaled")  # approx-quantile boundaries — rows-only by design
+def rfm_segments_scaled(spark, sf_dir):
+    """rfm_segments' 100 TB formulation — the scale twin the exact query's
+    docstring promises. The exact form ranks every user through three
+    GLOBAL ntile(5) windows: at billions of users each window funnels the
+    whole frame through ONE partition, three times — the canonical scale
+    anti-pattern. Here quintile BOUNDARIES come from one
+    ``approx_percentile`` aggregate over the user frame (GK sketch,
+    map-side mergeable — 3×4 doubles to the driver), re-enter as a
+    broadcast 1-row frame, and scoring is fully narrow: score = 1 + #
+    boundaries below the value (recency inverted: fewer days = better).
+    No window, no total order, no single-partition exchange on the big
+    side — pinned by test_plan_shape.
+
+    Semantics vs the exact twin: boundary scoring puts ties in ONE bucket
+    (quintiles are no longer exactly equal-sized where values tie), which
+    is the standard production trade; hence rows-only, with an
+    independent pandas recompute pin (tests/test_round6_ops.py) instead
+    of a hash oracle."""
+    per_user = _rfm_per_user(spark, sf_dir)
+    bounds = per_user.agg(
+        F.percentile_approx("recency_days", _RFM_QS, _RFM_ACC).alias("rb"),
+        F.percentile_approx("frequency", _RFM_QS, _RFM_ACC).alias("fb"),
+        F.percentile_approx("monetary", _RFM_QS, _RFM_ACC).alias("mb"),
+    )
+
+    def asc_score(value_col, bounds_col):
+        return F.lit(1) + F.aggregate(
+            F.col(bounds_col),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
+        )
+
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.concat_ws(
+            "-",
+            F.lit(6) - asc_score("recency_days", "rb"),
+            asc_score("frequency", "fb"),
+            asc_score("monetary", "mb"),
+        ).alias("segment"),
+        "monetary",
     )
     return scored.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_users"),

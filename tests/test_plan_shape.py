@@ -576,3 +576,15 @@ def test_phrase_search_single_corpus_tokenize(spark):
     p = plan(spark, "phrase_search")
     assert p.count("documents.parquet") == 1
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_rfm_scaled_twin_has_no_window(spark):
+    """rfm_segments_scaled exists to eliminate the exact twin's three
+    global ntile(5) windows (every user row through ONE partition, three
+    times): its plan must contain no window operator at all — boundaries
+    are an approx_percentile aggregate broadcast back, scoring is narrow."""
+    p = plan(spark, "rfm_segments_scaled")
+    assert "Window" not in p
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    # and the exact twin still carries them (the pair stays a twin)
+    assert "Window" in plan(spark, "rfm_segments")

@@ -102,6 +102,92 @@ def similarity_ann_lsh(spark, sf_dir):
     )
 
 
+# DuckDB twin of operators.similarity.probe_buckets: the exact bucket plus
+# all single-bit-flip neighbors (Hamming radius 1), as an unnest-able list.
+def _probe_sql(bits: int) -> str:
+    return f"""[bucket] || list_transform(range({bits}),
+        j -> substr(bucket, 1, j)
+             || (CASE WHEN substr(bucket, j + 1, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, j + 2, {bits}))"""
+
+
+@query(
+    "similarity_ann_lsh_multiprobe",
+    oracle=_V
+    + f"""
+, vb AS (
+    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
+), pr AS (
+    SELECT vec_id, ve, nrm, unnest({_probe_sql(ANN_BITS)}) AS bucket
+    FROM vb WHERE vec_id < {ANN_QUERIES}
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           list_dot_product(q.ve, c.ve) / (q.nrm * c.nrm) AS cosine
+    FROM pr q JOIN vb c USING (bucket)
+    WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, round(1e-9 + cosine, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {ANN_K}
+""",
+)
+def similarity_ann_lsh_multiprobe(spark, sf_dir):
+    """Sign-LSH ANN with Hamming-radius-1 multi-probe: each query probes
+    its own bucket plus all single-bit-flip neighbors, closing the
+    split-pair recall gap single-probe sign-LSH documents. The query side
+    explodes ×(bits+1); the corpus side and the bucket equi-join shape are
+    unchanged (no cross join — plan-pinned), so candidate volume grows
+    linearly with probes, not with corpus size. Recall contract (pinned in
+    tests/test_round6_ops.py): on genuinely-near pairs (cosine ≥ 0.9 —
+    the near-dup workload) radius-1 reaches ≥0.9 recall vs brute force;
+    on this table's near-RANDOM vectors any few-probe LSH is intrinsically
+    low-recall (per-bit collision ~0.6 at ~70° neighbor angles — measured
+    0.04 single / 0.29 radius-1 at sf0.01), which is a property of the
+    data, not the operator."""
+    emb = table(spark, sf_dir, "embeddings")
+    res = lsh_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < ANN_QUERIES),
+        k=ANN_K,
+        bits=ANN_BITS,
+        probe_radius=1,
+    )
+    return res.select(
+        "query_id", "vec_id", rnd(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "embedding_near_dup_multiprobe",
+    oracle=_V
+    + f"""
+, vb AS (
+    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
+), pr AS (
+    SELECT vec_id, ve, nrm, unnest({_probe_sql(ANN_BITS)}) AS bucket FROM vb
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(1e-9 + list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6) AS cosine
+FROM pr a JOIN vb b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
+""",
+)
+def q_embedding_near_dup_multiprobe(spark, sf_dir):
+    """embedding_near_dup with Hamming-radius-1 probing on one join side —
+    recovers every near-dup pair whose sign buckets differ in exactly one
+    bit (the dominant split mode). Each pair still appears once: side b
+    keeps its exact bucket and side a's probe keys are distinct."""
+    return embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"),
+        threshold=NEAR_DUP_THRESHOLD,
+        bits=ANN_BITS,
+        probe_radius=1,
+    )
+
+
 IVF_STRIDE = 25
 IVF_NPROBE = 2
 

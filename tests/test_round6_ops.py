@@ -65,3 +65,94 @@ def test_rfm_scaled_agrees_with_exact_twin_on_totals(spark, sf_dir):
     mass_e = sum(r["n_users"] * r["avg_monetary"] for r in exact)
     mass_s = sum(r["n_users"] * r["avg_monetary"] for r in scaled)
     assert abs(mass_e - mass_s) / max(abs(mass_e), 1.0) < 1e-3
+
+
+def _clustered_corpus(spark, n_bases=100, copies=3, dim=32, scale=0.12, seed=7):
+    """Deterministic near-dup corpus: jittered copies of gaussian bases
+    (within-cluster cosine ~0.95+) — the workload multi-probe exists for."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    bases = rng.normal(size=(n_bases, dim))
+    rows, vid = [], 0
+    for b in bases:
+        for _ in range(copies):
+            v = b + rng.normal(scale=scale, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import numpy.linalg as la
+
+    M = np.array([r[1] for r in rows])
+    Mn = M / la.norm(M, axis=1, keepdims=True)
+    return emb, Mn @ Mn.T, vid
+
+
+def test_multiprobe_near_dup_recall_contract(spark):
+    """The documented sign-LSH recall gap, closed: on genuinely-near pairs
+    (cosine >= 0.9) Hamming-radius-1 probing must reach >= 0.9 recall vs
+    the brute-force truth, strictly improve on single-probe, and radius 2
+    must improve again — with zero false positives at every radius (the
+    bucket join only BLOCKS; the exact cosine filter decides)."""
+    from mapreduce_model_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb, C, n = _clustered_corpus(spark)
+    truth = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if C[i, j] >= 0.9
+    }
+    assert len(truth) >= 100  # the corpus really is clustered
+    recall = {}
+    for radius in (0, 1, 2):
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.9, bits=6, probe_radius=radius
+            ).collect()
+        }
+        assert got <= truth  # exact-cosine filter => no false positives
+        recall[radius] = len(got) / len(truth)
+    assert recall[1] >= 0.9
+    assert recall[0] < recall[1] <= recall[2]
+
+
+def test_multiprobe_captures_every_one_bit_split_pair(spark, sf_dir):
+    """Exact mechanism pin on the real embeddings table: the radius-1
+    query must contain EVERY brute-force pair (cosine >= threshold) whose
+    sign buckets differ in <= 1 bit — probing captures precisely its
+    Hamming ball, nothing about the corpus can change that."""
+    import numpy as np
+
+    from mapreduce_model_spark.queries_similarity import (
+        ANN_BITS,
+        NEAR_DUP_THRESHOLD,
+    )
+    from mapreduce_model_spark.registry import QUERIES
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = pdf["vec_id"].to_numpy()
+    M = np.array([list(map(float, e)) for e in pdf["embedding"]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    buckets = (M[:, :ANN_BITS] >= 0).astype(int)
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if C[i, j] >= NEAR_DUP_THRESHOLD and (
+                (buckets[i] != buckets[j]).sum() <= 1
+            ):
+                expected.add((int(ids[i]), int(ids[j])))
+    got = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["embedding_near_dup_multiprobe"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert expected  # non-vacuous
+    assert expected <= got

@@ -503,14 +503,19 @@ WITH names AS (
            split_part(p_name, ' ', 2) AS tok2
     FROM part GROUP BY p_name
 ), cand AS (
+    -- empty block keys (single-token names ⇒ tok2 = '') would funnel
+    -- every such name into ONE shared block and pair quadratically —
+    -- drop them before the self-join (review-caught hot-block hazard)
     SELECT a.p_name AS name_a, b.p_name AS name_b,
            a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
     FROM names a JOIN names b
       ON a.tok2 = b.tok2 AND a.p_name < b.p_name
+    WHERE a.tok2 <> ''
     UNION
     SELECT a.p_name, b.p_name, a.n_parts, b.n_parts
     FROM names a JOIN names b
       ON a.tok1 = b.tok1 AND a.p_name < b.p_name
+    WHERE a.tok1 <> ''
 )
 SELECT name_a, name_b,
        CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
@@ -542,12 +547,16 @@ def entity_match_names(spark, sf_dir):
     )
 
     def block(key):
-        a = names.select(
+        # single-token names make tok2 = '' — an empty key is not a block,
+        # it's a catch-all bucket that pairs quadratically; drop it before
+        # the self-join (same hot-block discipline as lsh max_bucket)
+        keyed = names.where(F.col(key) != "")
+        a = keyed.select(
             F.col(key).alias("k"),
             F.col("p_name").alias("name_a"),
             F.col("n_parts").alias("n_parts_a"),
         )
-        b = names.select(
+        b = keyed.select(
             F.col(key).alias("k"),
             F.col("p_name").alias("name_b"),
             F.col("n_parts").alias("n_parts_b"),

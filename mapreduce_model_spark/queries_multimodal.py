@@ -18,7 +18,7 @@ from mapreduce_model_spark.registry import query, table
     "multimodal_cols",
     oracle="""
 SELECT doc_id,
-       octet_length(text::BLOB)          AS payload_len,
+       octet_length(encode(text))          AS payload_len,
        md5(text)                         AS payload_md5,
        lang                              AS meta_lang,
        source                            AS meta_source,
@@ -26,7 +26,7 @@ SELECT doc_id,
        'utf8-blob'                       AS meta_format,
        len(string_split(source, 'c'))    AS src_parts
 FROM documents
-WHERE octet_length(text::BLOB) > 64
+WHERE octet_length(encode(text)) > 64
 """,
 )
 def multimodal_cols(spark, sf_dir):
@@ -63,8 +63,8 @@ def multimodal_features(spark, sf_dir):
     oracle="""
 WITH f AS (
     SELECT doc_id,
-           octet_length(text::BLOB) AS n,
-           unnest(range(0, CAST(ceil(octet_length(text::BLOB) / 256.0) AS BIGINT))) AS j
+           octet_length(encode(text)) AS n,
+           unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS j
     FROM documents
 )
 SELECT doc_id,
@@ -88,9 +88,9 @@ def multimodal_frames(spark, sf_dir):
     "multimodal_resize",
     oracle="""
 SELECT doc_id,
-       CAST(octet_length(text::BLOB) AS INTEGER)      AS orig_bytes,
+       CAST(octet_length(encode(text)) AS INTEGER)      AS orig_bytes,
        CAST(128 AS INTEGER)                           AS resized_bytes,
-       octet_length(text::BLOB) > 128                 AS truncated
+       octet_length(encode(text)) > 128                 AS truncated
 FROM documents
 """,
 )
@@ -112,11 +112,16 @@ def multimodal_resize(spark, sf_dir):
     oracle="""
 WITH f AS (
     SELECT doc_id, text,
-           unnest(range(0, CAST(ceil(octet_length(text::BLOB) / 256.0) AS BIGINT))) AS j
+           unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS j
     FROM documents
 ), fr AS (
+    -- slice BYTES, not characters: hex(encode(text)) is the byte stream
+    -- at 2 chars/byte, so frame j is hex chars [j*512+1, j*512+512] —
+    -- identical to the engine's payload[j*256 : j*256+256] for ANY
+    -- content, multi-byte UTF-8 included (review-caught char/byte skew;
+    -- DuckDB 1.0 md5 is VARCHAR-only, hence hashing the hex form)
     SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
-           md5(substr(text, CAST(j * 256 + 1 AS BIGINT), 256)) AS h
+           md5(substr(hex(encode(text)), CAST(j * 512 + 1 AS BIGINT), 512)) AS h
     FROM f WHERE j % 4 = 0
 ), ranked AS (
     SELECT doc_id,
@@ -148,8 +153,11 @@ def multimodal_frame_dedup(spark, sf_dir):
     from pyspark.sql import Window
 
     media = attach_payload(table(spark, sf_dir, "documents"))
+    # content key = md5 of the frame's HEX form: injective in the frame
+    # bytes (so dedup semantics are unchanged) and reproducible in
+    # VARCHAR-only md5 engines — the oracle hashes the same hex slice
     frames = sample_frames(media, frame_bytes=256, every_k=4).select(
-        "doc_id", "frame_idx", F.md5("frame").alias("h")
+        "doc_id", "frame_idx", F.md5(F.hex(F.col("frame"))).alias("h")
     )
     w = Window.partitionBy("h").orderBy("doc_id", "frame_idx")
     ranked = frames.withColumn("rn", F.row_number().over(w))

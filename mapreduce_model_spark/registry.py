@@ -10,6 +10,15 @@ rounded identically on both sides (FIXTURES.md §4).
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings (pre-registered as DuckDB views by the driver; loaded
 from ``{sf_dir}/{name}.parquet`` on the Spark side).
+
+Cache lifecycle: query functions return UNmaterialized DataFrames (the
+caller collects), so a ``.persist()`` placed to share a subframe across
+branches cannot be unpersisted inside the function — the intended
+lifecycle is Spark's own reclamation: executor LRU eviction under memory
+pressure (caches are MEMORY_AND_DISK and evictable) plus ContextCleaner
+release once the plan is unreferenced. Long-lived sessions running many
+queries (bench, sweep) rely on this deliberately; do NOT add eager
+unpersist calls that would force recomputation of shared branches.
 """
 
 from __future__ import annotations

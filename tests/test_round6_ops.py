@@ -156,3 +156,49 @@ def test_multiprobe_captures_every_one_bit_split_pair(spark, sf_dir):
     }
     assert expected  # non-vacuous
     assert expected <= got
+
+
+def test_multimodal_oracles_survive_multibyte_text(spark, tmp_path):
+    """Review-caught char/byte skew: the frame-dedup oracle used to slice
+    `text` by CHARACTERS while the engine slices the UTF-8 payload by
+    BYTES — parity held only because the synthetic corpus is pure ASCII.
+    Both sides now address bytes (encode + hex-slice), so a corpus with
+    multi-byte characters must hash identically end to end."""
+    import duckdb
+
+    from mapreduce_model_spark.registry import ORACLE_SQL, QUERIES
+
+    t1 = "héllo wörld ünïcode χξψ " * 40
+    t2 = "日本語テキスト断片 " * 60
+    df = spark.createDataFrame(
+        [
+            (1, t1, "xx", "s", len(t1)),
+            (2, t2, "yy", "s", len(t2)),
+            (3, "short ascii", "zz", "s", 11),
+            (4, t1, "xx", "s", len(t1)),  # duplicate payload → dup frames
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in (
+        "multimodal_cols",
+        "multimodal_frames",
+        "multimodal_resize",
+        "multimodal_frame_dedup",
+    ):
+        s_rows = sorted(tuple(r) for r in QUERIES[name](spark, str(tmp_path)).collect())
+        o_rows = sorted(tuple(r) for r in con.execute(ORACLE_SQL[name]).fetchall())
+        assert s_rows == o_rows, name
+    # and the duplicated payload really registers as duplicated frames
+    dd = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_frame_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert dd[4]["n_first_seen"] == 0 and dd[4]["dup_frac"] == 1.0

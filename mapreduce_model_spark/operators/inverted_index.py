@@ -38,6 +38,7 @@ __all__ = [
     "tokenize",
     "word_doc_pairs",
     "invert",
+    "invert_df_capped",
     "format_output",
     "write_letter_files",
 ]
@@ -121,6 +122,48 @@ def invert(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     )
     return postings.select("letter", "word", "docs", "n_docs").orderBy(
         "letter", F.col("n_docs").desc(), F.col("word").asc()
+    )
+
+
+def invert_df_capped(
+    docs: DataFrame,
+    df_cap: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The true-stopword-scale index build the module docstring promises:
+    words above a document-frequency cap keep their ``n_docs`` count but
+    get NO postings array (empty string) — 'the' at 100 TB has an
+    O(n_docs) postings list that no single aggregation buffer should hold.
+
+    Two-phase shape, both word-keyed:
+    1. df count over distinct pairs — purely algebraic (count, no array),
+       so the partial aggregate absorbs stopword volume map-side and the
+       hot key costs one long per partition, never a collected set;
+    2. postings collect ONLY for under-cap words: the pair stream joins
+       the under-cap word set (word-keyed shuffle join — both sides hash
+       on word, AQE-managed) and ``collect_set`` runs where the result is
+       bounded by df_cap by construction.
+    The hot words therefore never materialize arrays anywhere in the plan
+    — the cap is enforced BEFORE collection, not by truncating after.
+    Output: (letter, word, docs 'd1 d2 ...'-joined, n_docs); capped words
+    carry docs = ''."""
+    pairs = word_doc_pairs(docs, text_col, id_col)
+    cnt = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs"))
+    under = cnt.filter(F.col("n_docs") <= df_cap).select("word")
+    posted = (
+        pairs.join(under, "word")
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+    )
+    return cnt.join(posted, "word", "left").select(
+        F.substring("word", 1, 1).alias("letter"),
+        "word",
+        F.coalesce(
+            F.array_join(F.transform("docs", lambda x: x.cast("string")), " "),
+            F.lit(""),
+        ).alias("docs"),
+        F.col("n_docs").cast("long").alias("n_docs"),
     )
 
 

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mapreduce_model_spark.operators.inverted_index import invert, word_doc_pairs
+from mapreduce_model_spark.operators.inverted_index import (
+    invert,
+    invert_df_capped,
+    word_doc_pairs,
+)
 from mapreduce_model_spark.operators.skew import salted_collect_set
 from mapreduce_model_spark.registry import query, table
 
@@ -64,6 +68,42 @@ def inverted_index_agg(spark, sf_dir):
         F.array_join(F.transform("docs", lambda x: x.cast("string")), " ").alias("docs"),
         F.col("n_docs").cast("long").alias("n_docs"),
     )
+
+
+# Tuned to the synthetic corpus' df distribution (31-word vocabulary, df
+# ~25..415): both the capped and the postings path carry several words at
+# every test scale, so neither branch is vacuously green.
+_DF_CAP = 380
+
+
+@query(
+    "inverted_index_dfcap",
+    oracle=_WORDS_CTE
+    + f"""
+, wd AS (SELECT DISTINCT word, doc_id FROM words WHERE length(word) > 0),
+cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS n_docs FROM wd GROUP BY word)
+SELECT substr(cnt.word, 1, 1) AS letter,
+       cnt.word AS word,
+       coalesce(p.docs, '') AS docs,
+       n_docs
+FROM cnt LEFT JOIN (
+    SELECT wd.word, array_to_string(list_sort(list(doc_id)), ' ') AS docs
+    FROM wd JOIN cnt USING (word)
+    WHERE n_docs <= {_DF_CAP}
+    GROUP BY wd.word
+) p ON cnt.word = p.word
+""",
+)
+def inverted_index_dfcap(spark, sf_dir):
+    """The 100 TB stopword form of the index (the df-cap strategy the
+    operator module docstring names): words with document frequency above
+    the cap keep n_docs but carry NO postings list — 'the' never
+    materializes an O(n_docs) array in any aggregation buffer. The df
+    count is algebraic (map-side combinable); postings collect only after
+    joining the under-cap word set, so the cap is enforced BEFORE
+    collection. The cap is chosen so both branches carry words at every
+    test scale (tests pin that neither is empty)."""
+    return invert_df_capped(table(spark, sf_dir, "documents"), df_cap=_DF_CAP)
 
 
 @query(

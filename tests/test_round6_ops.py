@@ -202,3 +202,27 @@ def test_multimodal_oracles_survive_multibyte_text(spark, tmp_path):
         for r in QUERIES["multimodal_frame_dedup"](spark, str(tmp_path)).collect()
     }
     assert dd[4]["n_first_seen"] == 0 and dd[4]["dup_frac"] == 1.0
+
+
+def test_inverted_index_dfcap_both_branches_live(spark, sf_dir):
+    """The df-capped index build (stopword scale path): capped words carry
+    n_docs but an EMPTY postings string; under-cap words carry the full
+    sorted postings. Both branches must be non-empty at test scale, the
+    cap boundary must be respected exactly, and under-cap postings must
+    agree with the uncapped index."""
+    from mapreduce_model_spark.queries_reference import _DF_CAP
+    from mapreduce_model_spark.registry import QUERIES
+
+    rows = QUERIES["inverted_index_dfcap"](spark, sf_dir).collect()
+    capped = [r for r in rows if r["docs"] == ""]
+    posted = [r for r in rows if r["docs"] != ""]
+    assert capped and posted
+    assert all(r["n_docs"] > _DF_CAP for r in capped)
+    assert all(r["n_docs"] <= _DF_CAP for r in posted)
+    full = {
+        r["word"]: r["docs"]
+        for r in QUERIES["inverted_index_agg"](spark, sf_dir).collect()
+    }
+    for r in posted:
+        assert full[r["word"]] == r["docs"]
+    assert len(rows) == len(full)  # every word present either way

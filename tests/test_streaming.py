@@ -392,6 +392,85 @@ def test_transform_with_state_running_totals(spark, sf_dir):
     assert got == batch
 
 
+def test_v2_processor_logic_parity_without_engine(spark, sf_dir):
+    """Local execution evidence for the v2 path even where the engine
+    twin can't run (transformWithStateInPandas needs protobuf, absent in
+    this env): drive the SHIPPED RunningTotalsProcessor directly through
+    its StatefulProcessor lifecycle (init → handleInputRows per batch →
+    close) against a fake ValueState handle, splitting each user's rows
+    across MULTIPLE batches so cross-batch state carry is really
+    exercised. The final emitted row per user must equal the batch
+    aggregate — the same contract the engine test pins when protobuf is
+    present."""
+    import pandas as pd
+
+    from mapreduce_model_spark.streaming.stateful import (
+        RunningTotalsProcessor,
+    )
+
+    assert RunningTotalsProcessor is not None  # Spark 4: class must exist
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "value", F.unix_micros("ts").alias("ts_us"))
+        .toPandas()
+    )
+    got = {}
+    for uid, grp in ev.groupby("user_id"):
+        proc = RunningTotalsProcessor()
+        proc.init(FakeHandle())
+        half = max(1, len(grp) // 2)
+        last = None
+        for batch in (grp.iloc[:half], grp.iloc[half:]):
+            if len(batch) == 0:
+                continue
+            outs = list(proc.handleInputRows((uid,), iter([batch]), None))
+            last = pd.concat(outs).iloc[-1]
+        proc.close()
+        got[uid] = (
+            int(last["n_events"]),
+            float(last["total_value"]),
+            int(last["last_ts_us"]),
+        )
+    batch_truth = {
+        r.user_id: (r.n, round(r.s, 2), r.last_us)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch_truth)
+    for uid in got:
+        n_g, t_g, ts_g = got[uid]
+        n_b, t_b, ts_b = batch_truth[uid]
+        assert (n_g, ts_g) == (n_b, ts_b)
+        assert abs(t_g - t_b) < 1e-6
+
+
 def test_rocksdb_state_store_parity(spark, sf_dir):
     """The documented cluster config — RocksDB state store — must actually
     run and produce the same windows as the default (HDFS-backed) provider:

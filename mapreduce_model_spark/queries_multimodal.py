@@ -50,10 +50,40 @@ def multimodal_cols(spark, sf_dir):
     )
 
 
-@query("multimodal_features")  # mapInPandas — rows-only check
+@query(
+    "multimodal_features",
+    oracle="""
+WITH b AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n,
+           hex(encode(text)) AS h
+    FROM documents
+), s AS (
+    -- byte_sum_mod: the payload's bytes summed mod 997, reassembled from
+    -- the hex stream two chars per byte — byte-exact for any content
+    SELECT doc_id, n,
+           CASE WHEN n = 0 THEN 0 ELSE
+               list_sum(list_transform(range(0, n),
+                        i -> ('0x' || substr(h, i * 2 + 1, 2))::BIGINT)) % 997
+           END AS bs,
+           CAST(trunc(sqrt(n)) AS BIGINT) AS w
+    FROM b
+)
+SELECT doc_id,
+       CAST(n AS INTEGER)                    AS n_bytes,
+       CAST(bs AS INTEGER)                   AS byte_sum_mod,
+       CAST(w AS INTEGER)                    AS fake_width,
+       CAST(n // greatest(w, 1) AS INTEGER)  AS fake_height
+FROM s
+""",
+)
 def multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads (the decode
-    stub's plumbing): deterministic fake features, real mapInPandas shape."""
+    stub's plumbing): deterministic fake features, real mapInPandas shape.
+    The fake features are pure byte arithmetic (length, byte-sum mod 997,
+    trunc-sqrt geometry), so the mapInPandas path IS hash-checkable — the
+    DuckDB twin recomputes each from the hex byte stream (r6: formerly
+    rows-only; the byte-exact pin in tests stays as defense in depth)."""
     media = attach_payload(table(spark, sf_dir, "documents"))
     return extract_features(media)
 

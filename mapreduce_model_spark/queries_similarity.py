@@ -469,18 +469,88 @@ def embedding_quantize(spark, sf_dir):
     )
 
 
-@query("kmeans_embeddings")  # iterative Lloyd's — rows-only check
+_KM_K, _KM_ITER = 8, 5
+
+
+def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    """Lloyd's unrolled into chained CTEs (c0 → a1/m1/c1 → … → cN), the
+    pagerank-oracle move applied to k-means. Deterministic throughout:
+    lowest-id seeding, cosine argmax with (score DESC, cid) tie-break,
+    per-dimension means, empty-cell carry-forward via LEFT JOIN +
+    coalesce — each step the exact SQL twin of kmeans_fit's iteration.
+    Dot products are bit-identical across engines (left-to-right double
+    MAC); per-dimension means can differ by summation order at ~1e-16,
+    far below the 1e-6 output rounding and the measured ≥1e-4 assignment
+    decision gaps, so the unrolled recurrence stays hash-stable."""
+    sql = """
+WITH v AS (
+    SELECT vec_id AS vid,
+           embedding::DOUBLE[] AS ve,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), seeds AS (
+    SELECT vid, ve, nrm FROM v ORDER BY vid LIMIT {k}
+), c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS cid,
+           ve AS ce, nrm AS cn
+    FROM seeds
+)""".format(k=k)
+    for i in range(1, n_iter + 1):
+        sql += """
+, a{i} AS (
+    SELECT vid, ve, cid FROM (
+        SELECT v.vid, v.ve, c.cid,
+               row_number() OVER (PARTITION BY v.vid
+                   ORDER BY list_dot_product(v.ve, c.ce) / (v.nrm * c.cn) DESC,
+                            c.cid) AS rn
+        FROM v CROSS JOIN c{p} c) t
+    WHERE rn = 1
+), p{i} AS (
+    SELECT cid, unnest(range(0, len(ve))) AS pos, ve FROM a{i}
+), m{i} AS (
+    SELECT cid, pos, avg(ve[pos + 1]) AS m FROM p{i} GROUP BY cid, pos
+), n{i} AS (
+    SELECT cid, list(m ORDER BY pos) AS ce FROM m{i} GROUP BY cid
+), c{i} AS (
+    SELECT c{p}.cid,
+           coalesce(n{i}.ce, c{p}.ce) AS ce,
+           sqrt(list_dot_product(coalesce(n{i}.ce, c{p}.ce),
+                                 coalesce(n{i}.ce, c{p}.ce))) AS cn
+    FROM c{p} LEFT JOIN n{i} USING (cid)
+)""".format(i=i, p=i - 1)
+    sql += """
+, afin AS (
+    SELECT vid, cid FROM (
+        SELECT v.vid, c.cid,
+               row_number() OVER (PARTITION BY v.vid
+                   ORDER BY list_dot_product(v.ve, c.ce) / (v.nrm * c.cn) DESC,
+                            c.cid) AS rn
+        FROM v CROSS JOIN c{n} c) t
+    WHERE rn = 1
+), members AS (
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM afin GROUP BY cid
+)
+SELECT c{n}.cid,
+       list_transform(c{n}.ce, x -> round(x + 1e-9, 6)) AS centroid,
+       coalesce(members.n_members, 0) AS n_members
+FROM c{n} LEFT JOIN members USING (cid)
+""".format(n=n_iter)
+    return sql
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
 def kmeans_embeddings(spark, sf_dir):
     """Spherical k-means over the embedding corpus (operators/similarity.py
     kmeans_fit): deterministic lowest-id seeding, 5 iterations of
-    broadcast-assign + two-level per-dimension mean. Iterative fixpoint ⇒
-    no single-statement oracle; the algorithm is pinned against a numpy
-    recompute in tests/test_round3_ops.py. Centroids rounded for stable
-    cross-run comparison."""
+    broadcast-assign + two-level per-dimension mean. Hash-checked (r6)
+    against a 5-iteration unrolled-CTE DuckDB oracle (see _kmeans_oracle
+    on why the float recurrence is hash-stable); the numpy recompute in
+    tests/test_round3_ops.py stays as defense in depth. Centroids rounded
+    for stable cross-run comparison."""
     from mapreduce_model_spark.operators.similarity import kmeans_fit
 
     emb = table(spark, sf_dir, "embeddings")
-    out = kmeans_fit(emb, k=8, n_iter=5)
+    out = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
     return out.select(
         "cid",
         F.transform("centroid", lambda c: rnd(c, 6)).alias("centroid"),

@@ -690,13 +690,13 @@ def bigram_pmi(spark, sf_dir):
     )
 
 
-@query(
-    "corpus_build_pipeline",
-    oracle=_WBASE.replace(
-        "SELECT doc_id, text, lang,",
-        "SELECT doc_id, text, lang, source, n_chars,",
-    )
-    + f"""
+# Shared SQL front end of both corpus-build oracles: quality gates → exact
+# keep-first dedup, ending at the `exact` survivor CTE (doc_id, source,
+# n_chars, text). The twin of _quality_exact_corpus below.
+_CORPUS_EXACT_CTE = _WBASE.replace(
+    "SELECT doc_id, text, lang,",
+    "SELECT doc_id, text, lang, source, n_chars,",
+) + f"""
 , kept AS (
     SELECT doc_id, source, n_chars, text FROM wbase
     WHERE len(words) >= 50
@@ -708,13 +708,26 @@ def bigram_pmi(spark, sf_dir):
           / len(words) >= 0.01
 ), survivors AS (
     SELECT md5(text) AS h, min(doc_id) AS keep_id FROM kept GROUP BY md5(text)
-), final AS (
-    SELECT k.doc_id, k.source, k.n_chars,
-           CASE WHEN ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
-                THEN 'train'
-                WHEN ('0x' || substr(md5('split:' || CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
-                THEN 'val' ELSE 'test' END AS split
+), exact AS (
+    SELECT k.doc_id, k.source, k.n_chars, k.text
     FROM kept k JOIN survivors s ON k.doc_id = s.keep_id
+)"""
+
+# Deterministic md5 split buckets — twin of _split_manifest.
+_SPLIT_CASE = (
+    "CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 100 < 80 THEN 'train' "
+    "WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle=_CORPUS_EXACT_CTE
+    + f"""
+, final AS (
+    SELECT doc_id, source, n_chars, {_SPLIT_CASE} AS split FROM exact
 )
 SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM final GROUP BY split, source
@@ -789,7 +802,39 @@ def _split_manifest(final):
     )
 
 
-@query("corpus_build_pipeline_near")  # iterative CC gate — rows-only check
+def _near_pipeline_oracle() -> str:
+    """corpus_build_pipeline_near's oracle: the exact-dedup prefix, the
+    parameterized LSH pair pipeline run over the `exact` survivor subset,
+    recursive-CTE connected components (min reachable label), keep-first
+    survivors, then the split manifest."""
+    from mapreduce_model_spark.queries_dedup import LSH_THRESHOLD, lsh_cte
+
+    return (
+        _CORPUS_EXACT_CTE
+        + ",\n"
+        + lsh_cte("exact", "_l")
+        + f"""
+, near_l AS (SELECT id_a, id_b FROM est_l WHERE est_jaccard >= {LSH_THRESHOLD}),
+sym_l AS (SELECT id_a AS u, id_b AS v FROM near_l
+          UNION SELECT id_b, id_a FROM near_l),
+reach_l(node, lbl) AS (
+    SELECT u, u FROM sym_l
+    UNION
+    SELECT s.v, r.lbl FROM reach_l r JOIN sym_l s ON s.u = r.node
+),
+comp_l AS (SELECT node, min(lbl) AS component FROM reach_l GROUP BY node),
+final AS (
+    SELECT e.doc_id, e.source, e.n_chars, {_SPLIT_CASE} AS split
+    FROM exact e LEFT JOIN comp_l c ON e.doc_id = c.node
+    WHERE coalesce(c.component, e.doc_id) = e.doc_id
+)
+SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM final GROUP BY split, source
+"""
+    ).replace("WITH wbase", "WITH RECURSIVE wbase", 1)
+
+
+@query("corpus_build_pipeline_near", oracle=_near_pipeline_oracle())
 def corpus_build_pipeline_near(spark, sf_dir):
     """corpus_build_pipeline with a SECOND dedup gate: after the exact
     keep-first pass, MinHash-LSH candidate pairs feed distributed connected
@@ -801,9 +846,11 @@ def corpus_build_pipeline_near(spark, sf_dir):
     Scale shape: the near gate adds the LSH banded self-join (bucketed,
     hot-bucket-capped — never all-pairs) and an iterative fixpoint over the
     PAIR GRAPH only (pairs ≪ corpus); the corpus itself is touched by one
-    extra survivor semi-join. Iterative ⇒ no single-statement oracle; the
-    survivor count is pinned against an operator-level recomputation in
-    tests/test_round3_ops.py."""
+    extra survivor semi-join. Hash-checked (r6): the oracle composes the
+    shared lsh_cte over the exact-survivor subset with the recursive-CTE
+    component labeling from the dedup_clusters oracle; the operator-level
+    survivor recomputation pin in tests/test_round3_ops.py stays as
+    defense in depth."""
     from mapreduce_model_spark.operators.dedup import (
         lsh_near_dup_pairs,
         minhash_signatures,

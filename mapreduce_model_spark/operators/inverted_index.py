@@ -148,8 +148,12 @@ def invert_df_capped(
     — the cap is enforced BEFORE collection, not by truncating after.
     Output: (letter, word, docs 'd1 d2 ...'-joined, n_docs); capped words
     carry docs = ''."""
-    pairs = word_doc_pairs(docs, text_col, id_col)
-    cnt = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs"))
+    # pairs feeds BOTH phases (df count + postings collect) and cnt feeds
+    # both the under-cap filter and the final join — persist so the
+    # tokenize/normalize/dedup pipeline runs once, not three times
+    # (cache lifecycle: registry.py docstring)
+    pairs = word_doc_pairs(docs, text_col, id_col).persist()
+    cnt = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs")).persist()
     under = cnt.filter(F.col("n_docs") <= df_cap).select("word")
     posted = (
         pairs.join(under, "word")

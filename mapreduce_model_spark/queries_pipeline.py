@@ -2284,7 +2284,10 @@ def rfm_segments_scaled(spark, sf_dir):
     is the standard production trade; hence rows-only, with an
     independent pandas recompute pin (tests/test_round6_ops.py) instead
     of a hash oracle."""
-    per_user = _rfm_per_user(spark, sf_dir)
+    # per_user feeds both the boundary aggregate and the scoring pass —
+    # persist the |users|-bounded frame so the fact scan runs once
+    # (cache lifecycle: registry.py docstring)
+    per_user = _rfm_per_user(spark, sf_dir).persist()
     bounds = per_user.agg(
         F.percentile_approx("recency_days", _RFM_QS, _RFM_ACC).alias("rb"),
         F.percentile_approx("frequency", _RFM_QS, _RFM_ACC).alias("fb"),

@@ -588,3 +588,22 @@ def test_rfm_scaled_twin_has_no_window(spark):
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
     # and the exact twin still carries them (the pair stays a twin)
     assert "Window" in plan(spark, "rfm_segments")
+
+
+def test_inverted_index_dfcap_single_tokenize(spark):
+    """pairs persists across its two phases (df count + postings) and cnt
+    across its two consumers — exactly ONE documents scan; without the
+    persists the tokenize/dedup pipeline ran three times (r6 plan audit)."""
+    p = plan(spark, "inverted_index_dfcap")
+    assert p.count("documents.parquet") == 1
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_rfm_scaled_shares_per_user_frame(spark):
+    """The |users| RFM frame persists so the boundary aggregate and the
+    scoring pass BOTH read the cache instead of re-running the fact
+    aggregation (r6 plan audit: double scan). The cached build plan
+    itself scans events twice (fact + broadcast max-ts branch — same as
+    the exact twin), so the pin is on the cache reads, not scan count."""
+    p = plan(spark, "rfm_segments_scaled")
+    assert p.count("InMemoryTableScan") >= 2

@@ -117,3 +117,78 @@ def global_ordered_ids(
             seen += n
 
     return ranged.mapInArrow(_number, out_schema)
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` in the total order of
+    ``order_cols`` (a unique key) — ``sum(...) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` without the single-partition
+    global window. Same two-phase shape as :func:`global_ordered_ids`
+    (and the same ``materialize`` layout-pinning contract): one range
+    exchange + sort, per-partition VALUE SUMS to the driver (one long per
+    partition — tiny at any scale), then a narrow Arrow pass computing
+    each row's local exclusive cumsum plus its partition's base. This is
+    the scan primitive behind sequence packing, byte-offset assignment in
+    concatenated shard files, and cumulative quota splits."""
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = (
+        df.repartitionByRange(int(parts), *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if materialize:
+        ranged = ranged.localCheckpoint(eager=False)
+    sums = sorted(
+        (r["_pid"], r["s"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).cast("long").alias("s"))
+        .collect()
+    )
+    bases: dict[int, int] = {}
+    acc = 0
+    for pid, s in sums:
+        bases[pid] = acc
+        acc += int(s)
+
+    out_names = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+    )
+
+    def _cumsum(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        base = None
+        run = 0
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            if base is None:
+                pid = b.column("_pid")[0].as_py()
+                if pid not in bases:
+                    raise RuntimeError(
+                        f"global_prefix_sums: partition {pid} not in sums "
+                        f"({len(bases)} partitions) — range layout diverged "
+                        "between the sums job and the cumsum job; run with "
+                        "materialize=True (see global_ordered_ids contract)"
+                    )
+                base = bases[pid]
+            vals = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            cums = np.cumsum(vals) - vals  # exclusive prefix within batch
+            yield b.select(out_names).append_column(
+                out_col, pa.array(base + run + cums)
+            )
+            run += int(vals.sum())
+
+    return ranged.mapInArrow(_cumsum, out_schema)

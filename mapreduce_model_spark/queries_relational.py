@@ -1131,6 +1131,70 @@ def global_row_ids(spark, sf_dir):
     return global_ordered_ids(docs, ["source", "doc_id"])
 
 
+_PACK_CAP = 1024
+
+
+@query(
+    "sequence_packing_global",
+    oracle=rf"""
+WITH t AS (
+    SELECT doc_id,
+           len(list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              tk -> regexp_replace(lower(tk), '[^a-z]', '', 'g')),
+               w -> length(w) > 0)) AS n_tok
+    FROM documents
+), c AS (
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+    FROM t
+)
+SELECT doc_id, n_tok,
+       cum_before // {_PACK_CAP} AS seq_id,
+       cum_before % {_PACK_CAP}  AS seq_pos,
+       (cum_before % {_PACK_CAP}) + n_tok > {_PACK_CAP} AS straddles
+FROM c
+""",
+)
+def sequence_packing_global(spark, sf_dir):
+    """GLOBAL training-sequence packing: ONE contiguous token stream (in
+    deterministic doc_id order) laid out into fixed-capacity sequences —
+    each doc gets its sequence id, its token offset within that sequence,
+    and a straddle flag (the packer's split point when a doc crosses a
+    sequence boundary). The single-stream complement of queries_text's
+    per-source `sequence_packing`, and the concrete delivery of that
+    query's deferred promise ("split by the two-phase pattern if one
+    source dominates"): here there is no partition key AT ALL and the
+    layout is still window-free. Deterministic on any cluster size, so an
+    epoch is reproducible bit-for-bit.
+
+    Scale: the running token count is the classic single-partition global
+    window trap (the oracle's OVER (ORDER BY ...) is the semantic spec
+    only). The engine uses operators/ids.py global_prefix_sums — ONE range
+    exchange, per-partition token SUMS to the driver (a long per
+    partition), then a narrow Arrow cumsum pass; everything after is a
+    narrow projection (div/mod by the capacity). Plan-pinned: no Window,
+    no single-partition exchange."""
+    from mapreduce_model_spark.functions.text import words_array
+    from mapreduce_model_spark.operators.ids import global_prefix_sums
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words_array("text")).cast("long").alias("n_tok")
+    )
+    c = global_prefix_sums(docs, ["doc_id"], "n_tok")
+    return c.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"cum_before div {_PACK_CAP}").alias("seq_id"),
+        (F.col("cum_before") % _PACK_CAP).alias("seq_pos"),
+        ((F.col("cum_before") % _PACK_CAP) + F.col("n_tok") > _PACK_CAP).alias(
+            "straddles"
+        ),
+    )
+
+
 @query("sketch_mergeable_distinct")  # sketch estimates — rows-only check
 def sketch_mergeable_distinct(spark, sf_dir):
     """Mergeable distinct-count sketches (Apache DataSketches HLL): one

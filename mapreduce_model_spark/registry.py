@@ -86,6 +86,12 @@ def query(name: str, oracle: str | None = None):
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            # a silent overwrite means one of two queries vanishes from
+            # the driver-checkable surface with every gate still green —
+            # caught once in r6 (two modules both claiming
+            # 'sequence_packing'); fail at import instead
+            raise ValueError(f"duplicate query name: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle

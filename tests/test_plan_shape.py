@@ -607,3 +607,30 @@ def test_rfm_scaled_shares_per_user_frame(spark):
     the exact twin), so the pin is on the cache reads, not scan count."""
     p = plan(spark, "rfm_segments_scaled")
     assert p.count("InMemoryTableScan") >= 2
+
+
+def test_sequence_packing_global_never_single_partitions(spark):
+    """The packing layout's running token count must come from the
+    two-phase prefix-sum operator, never a global window: no Window, no
+    SinglePartition exchange; the un-materialized variant shows the one
+    range exchange (the registered query's plan is lineage-truncated at
+    the mandatory localCheckpoint, same as global_row_ids)."""
+    from pyspark.sql import functions as F
+
+    p = plan(spark, "sequence_packing_global")
+    assert "SinglePartition" not in p
+    assert "Window" not in p
+
+    from mapreduce_model_spark.functions.text import words_array
+    from mapreduce_model_spark.operators.ids import global_prefix_sums
+    from mapreduce_model_spark.registry import table as t
+
+    docs = t(spark, SF, "documents").select(
+        "doc_id", F.size(words_array("text")).cast("long").alias("n_tok")
+    )
+    full = global_prefix_sums(docs, ["doc_id"], "n_tok", materialize=False)
+    pf = spark._jvm.PythonSQLUtils.explainString(
+        full._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in pf
+    assert "rangepartitioning" in pf

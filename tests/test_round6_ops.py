@@ -226,3 +226,29 @@ def test_inverted_index_dfcap_both_branches_live(spark, sf_dir):
     for r in posted:
         assert full[r["word"]] == r["docs"]
     assert len(rows) == len(full)  # every word present either way
+
+
+def test_global_prefix_sums_matches_window(spark, sf_dir):
+    """Operator pin: the two-phase exclusive prefix sum equals the global
+    window formulation on the same data, including across partition
+    boundaries (forced tiny partitions so several boundaries exist)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_model_spark.operators.ids import global_prefix_sums
+
+    df = spark.range(0, 997).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 13).cast("long").alias("v")
+    )
+    got = {
+        r["k"]: r["cum_before"]
+        for r in global_prefix_sums(df, ["k"], "v", num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    exp = {
+        r["k"]: r["c"]
+        for r in df.select(
+            "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert got == exp

@@ -182,8 +182,16 @@ def global_prefix_sums(
                         "materialize=True (see global_ordered_ids contract)"
                     )
                 base = bases[pid]
-            vals = b.column(value_col).to_numpy(zero_copy_only=False).astype(
-                np.int64
+            # nulls contribute 0 — matching F.sum's null-skip in the sums
+            # job AND the window twin's semantics. Without fill_null a
+            # null arrives as NaN and astype(int64) turns it into
+            # int64-min, corrupting every later offset in the partition
+            # (r6 review, reproduced).
+            vals = (
+                b.column(value_col)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
             cums = np.cumsum(vals) - vals  # exclusive prefix within batch
             yield b.select(out_names).append_column(

@@ -111,6 +111,30 @@ def _probe_sql(bits: int) -> str:
              || substr(bucket, j + 2, {bits}))"""
 
 
+def _near_dup_pairs_cte(probe: bool = False) -> str:
+    """Sign-bucket near-dup candidate pairs (id_a < id_b, cosine ≥
+    threshold) as a CTE fragment ending at ``prs`` — the ONE place the
+    blocking rule and threshold live for embedding_near_dup, its
+    multi-probe twin, and the pagerank oracle (r6 review: three hand-kept
+    copies risked silently checking different graphs)."""
+    frag = f"""
+, vb AS (
+    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
+)"""
+    if probe:
+        frag += f""", pr AS (
+    SELECT vec_id, ve, nrm, unnest({_probe_sql(ANN_BITS)}) AS bucket FROM vb
+)"""
+    left = "pr" if probe else "vb"
+    return frag + f""", prs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS cosine
+    FROM {left} a JOIN vb b ON a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
+)"""
+
+
 @query(
     "similarity_ann_lsh_multiprobe",
     oracle=_V
@@ -161,18 +185,8 @@ def similarity_ann_lsh_multiprobe(spark, sf_dir):
 
 @query(
     "embedding_near_dup_multiprobe",
-    oracle=_V
-    + f"""
-, vb AS (
-    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
-), pr AS (
-    SELECT vec_id, ve, nrm, unnest({_probe_sql(ANN_BITS)}) AS bucket FROM vb
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(1e-9 + list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6) AS cosine
-FROM pr a JOIN vb b USING (bucket)
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
+    oracle=_V + _near_dup_pairs_cte(probe=True) + """
+SELECT id_a, id_b, round(1e-9 + cosine, 6) AS cosine FROM prs
 """,
 )
 def q_embedding_near_dup_multiprobe(spark, sf_dir):
@@ -241,16 +255,8 @@ def similarity_ann_ivf(spark, sf_dir):
 
 @query(
     "embedding_near_dup",
-    oracle=_V
-    + f"""
-, vb AS (
-    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(1e-9 + list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm), 6) AS cosine
-FROM vb a JOIN vb b USING (bucket)
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
+    oracle=_V + _near_dup_pairs_cte() + """
+SELECT id_a, id_b, round(1e-9 + cosine, 6) AS cosine FROM prs
 """,
 )
 def q_embedding_near_dup(spark, sf_dir):
@@ -274,15 +280,8 @@ def _pagerank_oracle(n_iter: int = _PR_ITER, damping: float = _PR_DAMPING) -> st
     rank' = (1-d)/n + d·Σ rank/outdeg — the same double-precision
     expression Spark evaluates. Oracle scale only; the Spark side is the
     checkpointed one-job-per-iteration loop."""
-    head = _V + f"""
-, vb AS (
-    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
-), prs AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM vb a JOIN vb b USING (bucket)
-    WHERE a.vec_id < b.vec_id
-      AND list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
-), e AS (
+    head = _V + _near_dup_pairs_cte() + f"""
+, e AS (
     SELECT DISTINCT u, v FROM (
         SELECT id_a AS u, id_b AS v FROM prs
         UNION ALL SELECT id_b, id_a FROM prs

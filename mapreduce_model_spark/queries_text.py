@@ -807,7 +807,10 @@ def _near_pipeline_oracle() -> str:
     parameterized LSH pair pipeline run over the `exact` survivor subset,
     recursive-CTE connected components (min reachable label), keep-first
     survivors, then the split manifest."""
-    from mapreduce_model_spark.queries_dedup import LSH_THRESHOLD, lsh_cte
+    from mapreduce_model_spark.functions.dedup_sql import (
+        LSH_THRESHOLD,
+        lsh_cte,
+    )
 
     return (
         _CORPUS_EXACT_CTE
@@ -856,7 +859,7 @@ def corpus_build_pipeline_near(spark, sf_dir):
         minhash_signatures,
     )
     from mapreduce_model_spark.operators.graph import dedup_survivors
-    from mapreduce_model_spark.queries_dedup import (
+    from mapreduce_model_spark.functions.dedup_sql import (
         BANDS,
         K,
         LSH_THRESHOLD,

@@ -49,7 +49,11 @@ def test_rfm_scaled_matches_pandas_recompute(spark, sf_dir):
     assert set(got) == set(expected)
     for seg, vals in expected.items():
         assert got[seg]["n_users"] == len(vals)
-        assert abs(got[seg]["avg_monetary"] - sum(vals) / len(vals)) < 1e-6
+        # the query emits rnd(avg, 4): up to 5e-5 from the exact mean —
+        # the tolerance must cover the rounding step, not just float
+        # noise (r6 review: 1e-6 only passed because every sf0.001
+        # segment has <= 2 users, whose averages terminate early)
+        assert abs(got[seg]["avg_monetary"] - sum(vals) / len(vals)) < 5.1e-5
     # every axis score must be a real quintile label
     for seg in got:
         r, f, m = seg.split("-")

@@ -256,3 +256,21 @@ def test_global_prefix_sums_matches_window(spark, sf_dir):
         ).collect()
     }
     assert got == exp
+
+
+def test_global_prefix_sums_null_values_contribute_zero(spark):
+    """r6 review, reproduced: a null value used to become NaN→int64-min in
+    the Arrow pass, corrupting every later offset in its partition. Nulls
+    must contribute 0 — the window twin's null-skip semantics."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_model_spark.operators.ids import global_prefix_sums
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, 7), (5, 1)], "k long, v long"
+    )
+    got = {
+        r["k"]: r["cum_before"]
+        for r in global_prefix_sums(df, ["k"], "v", num_partitions=2).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 5, 4: 5, 5: 12}

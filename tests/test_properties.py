@@ -225,3 +225,80 @@ def test_sweep_line_matches_simulation(spark, starts):
         cur += d
         best = max(best, cur)
     assert got == best
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(0, 1000), st.none()), min_size=1, max_size=60
+    ),
+    parts=st.integers(1, 6),
+)
+def test_global_prefix_sums_property(spark, vals, parts):
+    """Two-phase exclusive prefix sum == a plain python running sum, for
+    arbitrary values (nulls contribute 0) and partition counts — the
+    partition-boundary bases and the Arrow cumsum have completely
+    independent recomputation here."""
+    from mapreduce_model_spark.operators.ids import global_prefix_sums
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    got = {
+        r["k"]: r["cum_before"]
+        for r in global_prefix_sums(
+            df, ["k"], "v", num_partitions=parts
+        ).collect()
+    }
+    acc, exp = 0, {}
+    for i, v in enumerate(vals):
+        exp[i] = acc
+        acc += v or 0
+    assert got == exp
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False), min_size=6, max_size=6
+    ),
+    radius=st.integers(1, 2),
+)
+def test_probe_buckets_is_exact_hamming_ball(spark, vec, radius):
+    """probe_buckets must emit EXACTLY the Hamming ball of the vector's
+    sign bucket: all distinct, every key within `radius` flips, every
+    such key present — checked against an independent itertools
+    enumeration."""
+    from itertools import combinations
+
+    from mapreduce_model_spark.operators.similarity import (
+        probe_buckets,
+        sign_bucket,
+    )
+
+    bits = 6
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    row = df.select(
+        sign_bucket(F.col("v"), bits).alias("b"),
+        probe_buckets(sign_bucket(F.col("v"), bits), bits, radius=radius).alias(
+            "probes"
+        ),
+    ).first()
+    bucket, probes = row["b"], row["probes"]
+    expected = {bucket}
+    for r in range(1, radius + 1):
+        for idxs in combinations(range(bits), r):
+            chars = list(bucket)
+            for i in idxs:
+                chars[i] = "0" if chars[i] == "1" else "1"
+            expected.add("".join(chars))
+    assert len(probes) == len(set(probes))  # distinct
+    assert set(probes) == expected

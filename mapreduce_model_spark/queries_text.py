@@ -510,24 +510,34 @@ def sequence_packing(spark, sf_dir):
     """Training-batch sequence packing: docs streamed in (source, doc_id)
     order are packed into 512-token bins — pack_id = which bin this doc
     STARTS in (docs may straddle bins; the splitter downstream handles
-    overflow). Cumulative sums run per source — every source packs in
-    parallel, no global window; at 100 TB sources are further split by the
-    global_row_ids two-phase pattern if one source dominates."""
+    overflow). Cumulative sums run per source.
+
+    Scale (r6 upgrade — this used to be a Window.partitionBy(source)
+    cumsum, which at a handful of sources funnels a fifth of a 100 TB
+    corpus through each window partition): the per-source running count
+    now DERIVES from ONE global two-phase prefix sum ordered by
+    (source, doc_id) — `per-source cumsum = global cumsum − the source's
+    first global cumsum` (that first value is exactly the total tokens
+    of all earlier sources). operators/ids.py global_prefix_sums spreads
+    the work over every range partition; the per-source starts are a
+    |sources|-row aggregate broadcast back. No window anywhere
+    (plan-pinned); the oracle's per-source OVER (PARTITION BY source) is
+    the semantic spec only — same hash as before the upgrade."""
+    from mapreduce_model_spark.operators.ids import global_prefix_sums
+
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.size(words_array("text")).alias("n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum("n_tokens").over(w)
-    return toks.select(
+    c = global_prefix_sums(toks, ["source", "doc_id"], "n_tokens", "cum_g")
+    starts = c.groupBy("source").agg(F.min("cum_g").alias("src_start"))
+    return c.join(F.broadcast(starts), "source").select(
         "doc_id",
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.floor((cum - F.col("n_tokens")) / 512).cast("long").alias("pack_id"),
+        F.floor((F.col("cum_g") - F.col("src_start")) / 512)
+        .cast("long")
+        .alias("pack_id"),
     )
 
 

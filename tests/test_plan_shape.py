@@ -634,3 +634,15 @@ def test_sequence_packing_global_never_single_partitions(spark):
     )
     assert "SinglePartition" not in pf
     assert "rangepartitioning" in pf
+
+
+def test_sequence_packing_by_source_has_no_window(spark):
+    """The per-source packing cumsum derives from the global two-phase
+    prefix sum (per-source = global − source start): no Window operator,
+    no SinglePartition; the source starts broadcast back (r6 upgrade —
+    the Window.partitionBy(source) form put a whole source in ONE window
+    partition)."""
+    p = plan(spark, "sequence_packing")
+    assert "Window" not in p
+    assert "SinglePartition" not in p
+    assert "BroadcastExchange" in p

@@ -87,3 +87,25 @@ def lsh_cte(src: str = "documents", sfx: str = "") -> str:
            / {K}.0 AS est_jaccard
     FROM pairs{sfx}
 )"""
+
+
+def components_cte(sfx: str = "") -> str:
+    """Recursive-CTE connected components over ``est{sfx}``'s near-dup
+    pairs (threshold filter → symmetrized edges → transitive closure →
+    min reachable label per node, ending at ``comp{sfx}``) — the single
+    SQL source of truth for component labeling, shared by the
+    dedup_clusters and corpus_build_pipeline_near oracles (hand-kept
+    copies would risk silently checking different graphs; same rationale
+    as lsh_cte). The enclosing WITH must be RECURSIVE. ``min(lbl)`` per
+    node is exactly the min-id component the distributed
+    forest-contraction loop computes; UNION-dedup terminates (≤ |V|²
+    pairs, tiny at oracle scale)."""
+    return f"""near{sfx} AS (SELECT id_a, id_b FROM est{sfx} WHERE est_jaccard >= {LSH_THRESHOLD}),
+sym{sfx} AS (SELECT id_a AS u, id_b AS v FROM near{sfx}
+        UNION SELECT id_b, id_a FROM near{sfx}),
+reach{sfx}(node, lbl) AS (
+    SELECT u, u FROM sym{sfx}
+    UNION
+    SELECT s.v, r.lbl FROM reach{sfx} r JOIN sym{sfx} s ON s.u = r.node
+),
+comp{sfx} AS (SELECT node, min(lbl) AS component FROM reach{sfx} GROUP BY node)"""

@@ -31,7 +31,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
 
 
 def global_ordered_ids(
@@ -136,7 +143,21 @@ def global_prefix_sums(
     partition — tiny at any scale), then a narrow Arrow pass computing
     each row's local exclusive cumsum plus its partition's base. This is
     the scan primitive behind sequence packing, byte-offset assignment in
-    concatenated shard files, and cumulative quota splits."""
+    concatenated shard files, and cumulative quota splits.
+
+    ``value_col`` must be integral: the driver bases sum whole partitions
+    while the Arrow pass truncates per row, so a fractional column would
+    drift across partition boundaries (truncate-the-total vs
+    truncate-each-value). Rejected loudly rather than silently corrupting
+    offsets."""
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"global_prefix_sums: value_col {value_col!r} must be an integral "
+            f"type, got {vtype.simpleString()} — cast explicitly (and decide "
+            "the rounding) before calling; per-row truncation in the cumsum "
+            "pass would not match the whole-partition sums the bases use"
+        )
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = (
         df.repartitionByRange(int(parts), *order_cols)

@@ -21,6 +21,7 @@ from mapreduce_model_spark.functions.dedup_sql import (  # noqa: F401 — consta
     SHINGLE_K,
     SIMHASH_BITS,
     SIG_SQL as _SIG_SQL,
+    components_cte,
     lsh_cte,
     shingle_cte,
 )
@@ -135,24 +136,14 @@ def q_simhash(spark, sf_dir):
     return simhash(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
-# Connected components as a DuckDB recursive CTE: `reach` enumerates every
-# (node, label) where `label` reaches `node` through the symmetrized dup
-# edges; UNION-dedup terminates (≤ |V|² pairs, tiny at oracle scale), and
-# min(label) per node is exactly the min-id component the distributed
-# forest-contraction loop computes. Oracle-scale only — the Spark side is
-# the O(log n)-phase algorithm that survives 100 TB.
+# Component labeling comes from the shared components_cte factory
+# (functions/dedup_sql.py) — oracle-scale only; the Spark side is the
+# O(log n)-phase forest contraction that survives 100 TB.
 _CLUSTERS_ORACLE = (
     _LSH_CORE
-    + f"""
-, near AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= {LSH_THRESHOLD}),
-sym AS (SELECT id_a AS u, id_b AS v FROM near
-        UNION SELECT id_b, id_a FROM near),
-reach(node, lbl) AS (
-    SELECT u, u FROM sym
-    UNION
-    SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node
-),
-comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+    + ", "
+    + components_cte()
+    + """
 SELECT d.doc_id,
        coalesce(c.component, d.doc_id) AS component,
        d.doc_id = coalesce(c.component, d.doc_id) AS is_survivor

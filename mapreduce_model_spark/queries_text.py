@@ -529,7 +529,10 @@ def sequence_packing(spark, sf_dir):
     toks = docs.select(
         "doc_id", "source", F.size(words_array("text")).alias("n_tokens")
     )
-    c = global_prefix_sums(toks, ["source", "doc_id"], "n_tokens", "cum_g")
+    # c feeds BOTH the per-source starts aggregate and the final join —
+    # persist so the range exchange + Arrow cumsum pass runs once, not
+    # twice (cache lifecycle: registry.py docstring)
+    c = global_prefix_sums(toks, ["source", "doc_id"], "n_tokens", "cum_g").persist()
     starts = c.groupBy("source").agg(F.min("cum_g").alias("src_start"))
     return c.join(F.broadcast(starts), "source").select(
         "doc_id",
@@ -818,7 +821,7 @@ def _near_pipeline_oracle() -> str:
     recursive-CTE connected components (min reachable label), keep-first
     survivors, then the split manifest."""
     from mapreduce_model_spark.functions.dedup_sql import (
-        LSH_THRESHOLD,
+        components_cte,
         lsh_cte,
     )
 
@@ -826,17 +829,10 @@ def _near_pipeline_oracle() -> str:
         _CORPUS_EXACT_CTE
         + ",\n"
         + lsh_cte("exact", "_l")
+        + ", "
+        + components_cte("_l")
         + f"""
-, near_l AS (SELECT id_a, id_b FROM est_l WHERE est_jaccard >= {LSH_THRESHOLD}),
-sym_l AS (SELECT id_a AS u, id_b AS v FROM near_l
-          UNION SELECT id_b, id_a FROM near_l),
-reach_l(node, lbl) AS (
-    SELECT u, u FROM sym_l
-    UNION
-    SELECT s.v, r.lbl FROM reach_l r JOIN sym_l s ON s.u = r.node
-),
-comp_l AS (SELECT node, min(lbl) AS component FROM reach_l GROUP BY node),
-final AS (
+, final AS (
     SELECT e.doc_id, e.source, e.n_chars, {_SPLIT_CASE} AS split
     FROM exact e LEFT JOIN comp_l c ON e.doc_id = c.node
     WHERE coalesce(c.component, e.doc_id) = e.doc_id

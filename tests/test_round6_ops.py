@@ -274,3 +274,16 @@ def test_global_prefix_sums_null_values_contribute_zero(spark):
         for r in global_prefix_sums(df, ["k"], "v", num_partitions=2).collect()
     }
     assert got == {1: 0, 2: 0, 3: 5, 4: 5, 5: 12}
+
+
+def test_global_prefix_sums_rejects_fractional_value_col(spark):
+    """r6 review: the driver bases truncate the partition TOTAL while the
+    Arrow pass truncates EACH value, so a double column would drift across
+    partition boundaries. The operator must reject it loudly instead."""
+    import pytest
+
+    from mapreduce_model_spark.operators.ids import global_prefix_sums
+
+    df = spark.createDataFrame([(1, 0.6), (2, 0.6), (3, 1.0)], "k long, v double")
+    with pytest.raises(TypeError, match="must be an integral type"):
+        global_prefix_sums(df, ["k"], "v")

@@ -125,6 +125,98 @@ def corpus_mix(spark, sf_dir):
     )
 
 
+_MIX_ALPHA = 0.7
+_MIX_BUDGET_FRAC = 0.2
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle=f"""
+WITH per AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+           sum(pow(n_docs, {_MIX_ALPHA})) AS z
+    FROM per
+), thr AS (
+    SELECT source, n_docs,
+           CAST(n_docs AS DOUBLE) / n_total AS p,
+           pow(n_docs, {_MIX_ALPHA}) / z AS q,
+           CAST(round(least(1.0, (pow(n_docs, {_MIX_ALPHA}) / z)
+                                 * floor(n_total * {_MIX_BUDGET_FRAC}) / n_docs)
+                      * 1000000 + 1e-3) AS BIGINT) AS sample_threshold
+    FROM per CROSS JOIN tot
+), sampled AS (
+    SELECT d.source, count(*) AS n_sampled
+    FROM documents d JOIN thr USING (source)
+    WHERE {sql_md5_int32("'tsample:' || CAST(doc_id AS VARCHAR)")} % 1000000
+          < sample_threshold
+    GROUP BY d.source
+)
+SELECT t.source, t.n_docs,
+       round(1e-9 + p, 6) AS doc_share,
+       round(1e-9 + q, 6) AS temp_share,
+       sample_threshold,
+       coalesce(n_sampled, 0) AS n_sampled
+FROM thr t LEFT JOIN sampled s ON s.source = t.source
+""",
+)
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing (the multilingual-LM recipe:
+    sample source s with probability ∝ share^α, α=0.7) plus the
+    deterministic doc-level sample it implies: per-source sampling
+    thresholds are integerized once (round(rate·1e6)), then membership is
+    a pure hash comparison — idempotent across reruns and cluster sizes,
+    no RNG state anywhere. Output is the reviewable mixing table: raw
+    share, temperature share, threshold, and the docs actually admitted.
+
+    Scale shape: the mixing math runs on the |sources|-row aggregate (one
+    corpus-scan groupBy with map-side combine, then a 1-row totals
+    broadcast); the admission pass re-scans the corpus ONCE with the
+    threshold table broadcast — narrow filter + algebraic count, no
+    shuffle of document rows, nothing driver-side."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.pow("n_docs", F.lit(_MIX_ALPHA))).alias("z"),
+    )
+    q = F.pow("n_docs", F.lit(_MIX_ALPHA)) / F.col("z")
+    rate = F.least(
+        F.lit(1.0),
+        q * F.floor(F.col("n_total") * _MIX_BUDGET_FRAC) / F.col("n_docs"),
+    )
+    # thr is |sources| rows and feeds both output branches — persist so
+    # the stats-side corpus scan runs once (cache lifecycle: registry.py)
+    thr = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias("p"),
+            q.alias("q"),
+            F.round(rate * 1000000 + 1e-3).cast("long").alias("sample_threshold"),
+        )
+        .persist()
+    )
+    h = md5_int32(F.concat(F.lit("tsample:"), F.col("doc_id").cast("string")))
+    sampled = (
+        docs.select("source", h.alias("_h"))
+        .join(F.broadcast(thr.select("source", "sample_threshold")), "source")
+        .filter(F.col("_h") % 1000000 < F.col("sample_threshold"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return thr.join(F.broadcast(sampled), "source", "left").select(
+        "source",
+        "n_docs",
+        rnd(F.col("p"), 6).alias("doc_share"),
+        rnd(F.col("q"), 6).alias("temp_share"),
+        "sample_threshold",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
 # --- PII scrubbing ---------------------------------------------------------
 
 _EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+[a-z]"

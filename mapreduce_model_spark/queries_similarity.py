@@ -662,3 +662,78 @@ def graph_bfs_depths(spark, sf_dir):
         _copurchase_edges(spark, sf_dir), src="u", dst="v",
         max_depth=_BFS_MAX_DEPTH,
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label,
+           embedding::DOUBLE[] AS ve,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS vec_id, c.label AS neg_label,
+           list_dot_product(q.ve, c.ve) / (q.nrm * c.nrm) AS cosine
+    FROM v q CROSS JOIN v c
+    WHERE q.vec_id < {N_QUERIES} AND c.label <> q.label
+)
+SELECT query_id, query_label,
+       vec_id AS hard_negative_id, neg_label,
+       round(1e-9 + cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+WHERE rk = 1
+""",
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the single most-similar vector carrying a DIFFERENT label —
+    the near-miss that makes the best training negative. Ranking uses the
+    unrounded cosine with a vec_id tie-break (total order, deterministic).
+
+    Scale shape: anchors broadcast, corpus scanned once; top-1 per anchor
+    is an algebraic max(struct(cosine, -vec_id, label)) aggregate — the
+    map-side partial collapses the anchors×corpus fan-out BEFORE any
+    exchange, and no window ever funnels corpus-sized data through
+    |anchors| partitions. The 100 TB variant swaps the broadcast scan for
+    the sign-LSH bucket join (similarity_ann_lsh_multiprobe's shape) with
+    the label-mismatch filter applied inside the bucket."""
+    from mapreduce_model_spark.operators.similarity import _as_double, dot, l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", _as_double("embedding").alias("ve")).withColumn(
+        "nrm", l2_norm(F.col("ve"))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("label") != F.col("query_label"))
+        .withColumn(
+            "cosine", dot(F.col("qv"), F.col("ve")) / (F.col("qn") * F.col("nrm"))
+        )
+    )
+    best = scored.groupBy("query_id", "query_label").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("cosine"),
+                (-F.col("vec_id")).alias("neg_id"),
+                F.col("label").alias("neg_label"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "query_id",
+        "query_label",
+        (-F.col("b.neg_id")).cast("long").alias("hard_negative_id"),
+        F.col("b.neg_label").alias("neg_label"),
+        rnd(F.col("b.cosine"), 6).alias("cosine"),
+    )

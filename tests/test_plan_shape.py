@@ -646,3 +646,25 @@ def test_sequence_packing_by_source_has_no_window(spark):
     assert "Window" not in p
     assert "SinglePartition" not in p
     assert "BroadcastExchange" in p
+
+
+def test_hard_negative_mining_no_window_partial_agg(spark):
+    """Top-1-per-anchor must be the algebraic max(struct) aggregate with
+    anchors broadcast — a window here would funnel the anchors×corpus
+    fan-out through |anchors| partitions."""
+    p = plan(spark, "hard_negative_mining")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # struct-max is sort-aggregated (complex-type max has no hash impl);
+    # what matters is the PARTIAL aggregate collapsing the fan-out before
+    # the exchange — two SortAggregate nodes (partial + final)
+    assert "HashAggregate" in p or p.count("SortAggregate") >= 2
+
+
+def test_corpus_mix_temperature_thresholds_broadcast(spark):
+    """The admission pass joins the |sources|-row threshold table by
+    broadcast — document rows never shuffle — and no window appears."""
+    p = plan(spark, "corpus_mix_temperature")
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p

@@ -698,9 +698,9 @@ def hard_negative_mining(spark, sf_dir):
     is an algebraic max(struct(cosine, -vec_id, label)) aggregate — the
     map-side partial collapses the anchors×corpus fan-out BEFORE any
     exchange, and no window ever funnels corpus-sized data through
-    |anchors| partitions. The 100 TB variant swaps the broadcast scan for
-    the sign-LSH bucket join (similarity_ann_lsh_multiprobe's shape) with
-    the label-mismatch filter applied inside the bucket."""
+    |anchors| partitions. The 100 TB variant — the sign-LSH bucket join
+    with the label-mismatch filter applied inside the bucket — ships as
+    hard_negative_mining_ann; this brute face is its recall baseline."""
     from mapreduce_model_spark.operators.similarity import _as_double, dot, l2_norm
 
     emb = table(spark, sf_dir, "embeddings")
@@ -716,6 +716,92 @@ def hard_negative_mining(spark, sf_dir):
     scored = (
         F.broadcast(q)
         .crossJoin(v)
+        .filter(F.col("label") != F.col("query_label"))
+        .withColumn(
+            "cosine", dot(F.col("qv"), F.col("ve")) / (F.col("qn") * F.col("nrm"))
+        )
+    )
+    best = scored.groupBy("query_id", "query_label").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("cosine"),
+                (-F.col("vec_id")).alias("neg_id"),
+                F.col("label").alias("neg_label"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "query_id",
+        "query_label",
+        (-F.col("b.neg_id")).cast("long").alias("hard_negative_id"),
+        F.col("b.neg_label").alias("neg_label"),
+        rnd(F.col("b.cosine"), 6).alias("cosine"),
+    )
+
+
+@query(
+    "hard_negative_mining_ann",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label,
+           embedding::DOUBLE[] AS ve,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), vb AS (
+    SELECT vec_id, label, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
+), pr AS (
+    SELECT vec_id, label, ve, nrm, unnest({_probe_sql(ANN_BITS)}) AS bucket
+    FROM vb WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS vec_id, c.label AS neg_label,
+           list_dot_product(q.ve, c.ve) / (q.nrm * c.nrm) AS cosine
+    FROM pr q JOIN vb c USING (bucket)
+    WHERE c.label <> q.label
+)
+SELECT query_id, query_label,
+       vec_id AS hard_negative_id, neg_label,
+       round(1e-9 + cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+WHERE rk = 1
+""",
+)
+def hard_negative_mining_ann(spark, sf_dir):
+    """hard_negative_mining's 100 TB formulation, shipped (not just
+    documented): candidates come from the anchor's sign-LSH Hamming-ball
+    (radius-1 multi-probe) bucket join instead of a broadcast corpus scan,
+    with the label-mismatch filter applied inside the bucket and the same
+    algebraic max(struct) top-1 — no window, no cross join. An anchor
+    whose probe ball holds no different-label vector is absent from the
+    output (the brute twin always finds one); at near-dup-grade similarity
+    the radius-1 recall contract is the one similarity_ann_lsh_multiprobe
+    pins. Candidate volume scales with probes × bucket occupancy, never
+    corpus size."""
+    from mapreduce_model_spark.operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+        probe_buckets,
+        sign_bucket,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = (
+        emb.select("vec_id", "label", _as_double("embedding").alias("ve"))
+        .withColumn("nrm", l2_norm(F.col("ve")))
+        .withColumn("bucket", sign_bucket(F.col("ve"), ANN_BITS))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.explode(probe_buckets(F.col("bucket"), ANN_BITS, radius=1)).alias("bucket"),
+    )
+    scored = (
+        q.join(v, on="bucket")
         .filter(F.col("label") != F.col("query_label"))
         .withColumn(
             "cosine", dot(F.col("qv"), F.col("ve")) / (F.col("qn") * F.col("nrm"))

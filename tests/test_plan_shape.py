@@ -668,3 +668,13 @@ def test_corpus_mix_temperature_thresholds_broadcast(spark):
     assert "Window" not in p
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
+
+
+def test_hard_negative_ann_bucket_join_no_window(spark):
+    """The ANN twin must stay bucket-equi-join-shaped: no cartesian
+    product, no window; top-1 stays the partial max(struct) aggregate."""
+    p = plan(spark, "hard_negative_mining_ann")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p or p.count("SortAggregate") >= 2

@@ -287,3 +287,48 @@ def test_global_prefix_sums_rejects_fractional_value_col(spark):
     df = spark.createDataFrame([(1, 0.6), (2, 0.6), (3, 1.0)], "k long, v double")
     with pytest.raises(TypeError, match="must be an integral type"):
         global_prefix_sums(df, ["k"], "v")
+
+
+def test_corpus_mix_temperature_flattens_shares(spark, sf_dir):
+    """The semantic point of α<1 temperature scaling: shares flatten toward
+    uniform — every below-average source gains share, every above-average
+    source loses it — while temp shares still sum to 1 and the sampled
+    count respects both the threshold math and the per-source population."""
+    from mapreduce_model_spark.registry import QUERIES
+
+    rows = QUERIES["corpus_mix_temperature"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-3
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if abs(r["doc_share"] - mean_share) < 1e-9:
+            continue
+        if r["doc_share"] < mean_share:
+            assert r["temp_share"] > r["doc_share"], r
+        else:
+            assert r["temp_share"] < r["doc_share"], r
+        assert 0 <= r["sample_threshold"] <= 1_000_000
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+
+
+def test_hard_negative_ann_bounded_by_brute(spark, sf_dir):
+    """The ANN twin can only ever find a weaker-or-equal negative than the
+    brute-force face (brute maximizes over the whole corpus), and both
+    must return a different-label negative for every anchor they emit."""
+    from mapreduce_model_spark.registry import QUERIES
+
+    brute = {
+        r["query_id"]: r for r in QUERIES["hard_negative_mining"](spark, sf_dir).collect()
+    }
+    ann = {
+        r["query_id"]: r
+        for r in QUERIES["hard_negative_mining_ann"](spark, sf_dir).collect()
+    }
+    assert brute, "brute face returned nothing"
+    for qid, r in brute.items():
+        assert r["neg_label"] != r["query_label"]
+    # every ANN anchor also exists in brute, with ANN cosine <= brute cosine
+    for qid, r in ann.items():
+        assert r["neg_label"] != r["query_label"]
+        assert qid in brute
+        assert r["cosine"] <= brute[qid]["cosine"] + 1e-9, (r, brute[qid])

@@ -272,6 +272,23 @@ COMMENTARY: dict[str, str] = {
         "plan is the 1-row boundary aggregate itself; the user-scale "
         "path has no window at all (plan-pinned)."
     ),
+    "corpus_mix_temperature": (
+        "Temperature-scaled source mixing (r6). All mixing math (share^0.7, "
+        "renormalize, integerize thresholds) happens on the |sources|-row "
+        "aggregate of ONE corpus scan; a 1-row totals frame and the "
+        "threshold table broadcast back, so the admission pass is a narrow "
+        "hash-compare filter plus an algebraic count — document rows never "
+        "shuffle, no window, nothing driver-side but the plan constants."
+    ),
+    "hard_negative_mining_ann": (
+        "Contrastive hard negatives at scale (r6). Candidates come from "
+        "the radius-1 multi-probe sign-LSH bucket equi-join (anchor side "
+        "explodes x(bits+1); corpus side untouched), the label-mismatch "
+        "filter runs inside the bucket, and top-1-per-anchor is a partial "
+        "max(struct) SortAggregate — fan-out collapses map-side before "
+        "the exchange. No window, no cross join (plan-pinned); candidate "
+        "volume scales with probes x bucket occupancy, never corpus size."
+    ),
 }
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "probe_buckets",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
+    "top1_hard_negative",
 ]
 
 
@@ -81,6 +82,33 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def top1_hard_negative(scored: DataFrame) -> DataFrame:
+    """Top-1 different-label candidate per anchor, the shared tail of
+    hard_negative_mining and its ANN twin: max(struct(cosine, -vec_id,
+    label)) per (query_id, query_label) — highest unrounded cosine, then
+    lowest vec_id, as an ALGEBRAIC aggregate (map-side partial collapses
+    the candidate fan-out before the exchange; no window). One home for
+    the tie-break/rounding so the twins can never drift apart.
+
+    ``scored`` must carry query_id, query_label, vec_id, label, cosine."""
+    best = scored.groupBy("query_id", "query_label").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("cosine"),
+                (-F.col("vec_id")).alias("neg_id"),
+                F.col("label").alias("neg_label"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "query_id",
+        "query_label",
+        (-F.col("b.neg_id")).cast("long").alias("hard_negative_id"),
+        F.col("b.neg_label").alias("neg_label"),
+        F.col("b.cosine").alias("cosine"),
     )
 
 

@@ -664,6 +664,21 @@ def graph_bfs_depths(spark, sf_dir):
     )
 
 
+# Shared oracle tail for the hard-negative twins: top-1 different-label
+# candidate per anchor (cosine DESC, vec_id ASC) over a `scored` CTE with
+# (query_id, query_label, vec_id, neg_label, cosine) — one home for the
+# tie-break/rounding, mirroring operators.similarity.top1_hard_negative.
+_HARD_NEG_SQL_TAIL = """
+SELECT query_id, query_label,
+       vec_id AS hard_negative_id, neg_label,
+       round(1e-9 + cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+WHERE rk = 1
+"""
+
+
 @query(
     "hard_negative_mining",
     oracle=f"""
@@ -678,15 +693,8 @@ WITH v AS (
            list_dot_product(q.ve, c.ve) / (q.nrm * c.nrm) AS cosine
     FROM v q CROSS JOIN v c
     WHERE q.vec_id < {N_QUERIES} AND c.label <> q.label
-)
-SELECT query_id, query_label,
-       vec_id AS hard_negative_id, neg_label,
-       round(1e-9 + cosine, 6) AS cosine
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, vec_id) AS rk
-      FROM scored)
-WHERE rk = 1
-""",
+)"""
+    + _HARD_NEG_SQL_TAIL,
 )
 def hard_negative_mining(spark, sf_dir):
     """Hard-negative mining for contrastive training: for each anchor
@@ -701,7 +709,12 @@ def hard_negative_mining(spark, sf_dir):
     |anchors| partitions. The 100 TB variant — the sign-LSH bucket join
     with the label-mismatch filter applied inside the bucket — ships as
     hard_negative_mining_ann; this brute face is its recall baseline."""
-    from mapreduce_model_spark.operators.similarity import _as_double, dot, l2_norm
+    from mapreduce_model_spark.operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+        top1_hard_negative,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", _as_double("embedding").alias("ve")).withColumn(
@@ -721,21 +734,8 @@ def hard_negative_mining(spark, sf_dir):
             "cosine", dot(F.col("qv"), F.col("ve")) / (F.col("qn") * F.col("nrm"))
         )
     )
-    best = scored.groupBy("query_id", "query_label").agg(
-        F.max(
-            F.struct(
-                F.col("cosine").alias("cosine"),
-                (-F.col("vec_id")).alias("neg_id"),
-                F.col("label").alias("neg_label"),
-            )
-        ).alias("b")
-    )
-    return best.select(
-        "query_id",
-        "query_label",
-        (-F.col("b.neg_id")).cast("long").alias("hard_negative_id"),
-        F.col("b.neg_label").alias("neg_label"),
-        rnd(F.col("b.cosine"), 6).alias("cosine"),
+    return top1_hard_negative(scored).withColumn(
+        "cosine", rnd(F.col("cosine"), 6)
     )
 
 
@@ -758,15 +758,8 @@ WITH v AS (
            list_dot_product(q.ve, c.ve) / (q.nrm * c.nrm) AS cosine
     FROM pr q JOIN vb c USING (bucket)
     WHERE c.label <> q.label
-)
-SELECT query_id, query_label,
-       vec_id AS hard_negative_id, neg_label,
-       round(1e-9 + cosine, 6) AS cosine
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, vec_id) AS rk
-      FROM scored)
-WHERE rk = 1
-""",
+)"""
+    + _HARD_NEG_SQL_TAIL,
 )
 def hard_negative_mining_ann(spark, sf_dir):
     """hard_negative_mining's 100 TB formulation, shipped (not just
@@ -785,6 +778,7 @@ def hard_negative_mining_ann(spark, sf_dir):
         l2_norm,
         probe_buckets,
         sign_bucket,
+        top1_hard_negative,
     )
 
     emb = table(spark, sf_dir, "embeddings")
@@ -807,19 +801,6 @@ def hard_negative_mining_ann(spark, sf_dir):
             "cosine", dot(F.col("qv"), F.col("ve")) / (F.col("qn") * F.col("nrm"))
         )
     )
-    best = scored.groupBy("query_id", "query_label").agg(
-        F.max(
-            F.struct(
-                F.col("cosine").alias("cosine"),
-                (-F.col("vec_id")).alias("neg_id"),
-                F.col("label").alias("neg_label"),
-            )
-        ).alias("b")
-    )
-    return best.select(
-        "query_id",
-        "query_label",
-        (-F.col("b.neg_id")).cast("long").alias("hard_negative_id"),
-        F.col("b.neg_label").alias("neg_label"),
-        rnd(F.col("b.cosine"), 6).alias("cosine"),
+    return top1_hard_negative(scored).withColumn(
+        "cosine", rnd(F.col("cosine"), 6)
     )

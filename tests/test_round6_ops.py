@@ -289,26 +289,44 @@ def test_global_prefix_sums_rejects_fractional_value_col(spark):
         global_prefix_sums(df, ["k"], "v")
 
 
-def test_corpus_mix_temperature_flattens_shares(spark, sf_dir):
-    """The semantic point of α<1 temperature scaling: shares flatten toward
-    uniform — every below-average source gains share, every above-average
-    source loses it — while temp shares still sum to 1 and the sampled
-    count respects both the threshold math and the per-source population."""
+def test_corpus_mix_temperature_flattens_shares(spark, tmp_path):
+    """The semantic point of α<1 temperature scaling, pinned on a
+    deliberately NON-uniform corpus (the shipped testdata has identical
+    per-source counts, which made the first version of this test vacuous —
+    r6 review): the gain ratio temp_share/doc_share is strictly decreasing
+    in source size (∝ n^(α-1)), so the smallest source gains share and the
+    largest loses it; temp shares sum to 1; thresholds and sampled counts
+    stay within their bounds on every row.
+
+    NOTE the true crossover where temp_share == doc_share is NOT the mean
+    count — it is (N/Σn^α)^(1/(1-α)) ≥ mean (Jensen) — so "every
+    above-average source loses" is false in general; only the monotone
+    ratio and the min/max endpoints are safe invariants.
+    """
     from mapreduce_model_spark.registry import QUERIES
 
-    rows = QUERIES["corpus_mix_temperature"](spark, sf_dir).collect()
-    assert rows
+    counts = {"srcA": 120, "srcB": 40, "srcC": 8, "srcD": 2}
+    rows_in = []
+    i = 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows_in.append((i, f"doc {i}", "en", src, 10))
+            i += 1
+    spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = QUERIES["corpus_mix_temperature"](spark, str(tmp_path)).collect()
+    assert len(rows) == len(counts)
     assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-3
-    mean_share = 1.0 / len(rows)
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    ratios = [r["temp_share"] / r["doc_share"] for r in by_n]
+    assert all(a > b for a, b in zip(ratios, ratios[1:])), ratios
+    assert ratios[0] > 1.0, "smallest source must gain share"
+    assert ratios[-1] < 1.0, "largest source must lose share"
     for r in rows:
-        if abs(r["doc_share"] - mean_share) < 1e-9:
-            continue
-        if r["doc_share"] < mean_share:
-            assert r["temp_share"] > r["doc_share"], r
-        else:
-            assert r["temp_share"] < r["doc_share"], r
-        assert 0 <= r["sample_threshold"] <= 1_000_000
-        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        assert 0 <= r["sample_threshold"] <= 1_000_000, r
+        assert 0 <= r["n_sampled"] <= r["n_docs"], r
 
 
 def test_hard_negative_ann_bounded_by_brute(spark, sf_dir):
@@ -325,6 +343,10 @@ def test_hard_negative_ann_bounded_by_brute(spark, sf_dir):
         for r in QUERIES["hard_negative_mining_ann"](spark, sf_dir).collect()
     }
     assert brute, "brute face returned nothing"
+    # the bound below is vacuous if ANN collapses to nothing — pin coverage
+    # (measured 20/20 anchors at sf0.001 AND sf0.01; buckets only densify
+    # with corpus size, so half is a conservative floor)
+    assert len(ann) >= max(1, len(brute) // 2), (len(ann), len(brute))
     for qid, r in brute.items():
         assert r["neg_label"] != r["query_label"]
     # every ANN anchor also exists in brute, with ANN cosine <= brute cosine

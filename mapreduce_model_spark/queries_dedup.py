@@ -355,10 +355,11 @@ def q_dedup_cross_source(spark, sf_dir):
 
 CHUNK_WORDS = 16
 
-
-@query(
-    "chunk_dedup",
-    oracle=rf"""
+# Shared CTE fragment for the chunk-dedup family (chunk_dedup and
+# chunk_dedup_rebuild): normalized words + 16-word chunk hashes — one home
+# for the chunking rule so the report and the rebuild can never disagree
+# about what a chunk is.
+_CHUNKS_CTE = rf"""
 WITH wbase AS (
     SELECT doc_id,
            list_filter(
@@ -373,7 +374,36 @@ WITH wbase AS (
     FROM (SELECT doc_id, words,
                  unnest(range(1, 1 + CAST(ceil(len(words) / {CHUNK_WORDS}.0) AS INT))) AS i
           FROM wbase WHERE len(words) > 0)
-), ranked AS (
+)"""
+
+
+def _chunk_hashes(docs):
+    """(doc_id, chunk_idx 0-based, h) for every CHUNK_WORDS-word chunk of
+    the normalized word array — the Spark twin of _CHUNKS_CTE. Chunking +
+    hashing are NARROW (transform over a sequence in the scan stage);
+    downstream exchanges carry only (doc_id, chunk_idx, md5)."""
+    n = F.ceil(F.size("words") / CHUNK_WORDS).cast("int")
+    return docs.where(F.size("words") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice("words", (i - 1) * CHUNK_WORDS + 1, F.lit(CHUNK_WORDS)),
+                        " ",
+                    )
+                ),
+            )
+        ).alias("chunk_idx", "h"),
+    )
+
+
+@query(
+    "chunk_dedup",
+    oracle=_CHUNKS_CTE
+    + """
+, ranked AS (
     SELECT doc_id, chunk_idx,
            row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
     FROM chunks
@@ -407,26 +437,10 @@ def q_chunk_dedup(spark, sf_dir):
     from mapreduce_model_spark.functions.partitioning import spread_for_fanout
     from mapreduce_model_spark.functions.text import words_array
 
-    docs = (
-        spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
-        .select("doc_id", words_array("text").alias("words"))
-        .where(F.size("words") > 0)
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", words_array("text").alias("words")
     )
-    n = F.ceil(F.size("words") / CHUNK_WORDS).cast("int")
-    chunks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.md5(
-                    F.array_join(
-                        F.slice("words", (i - 1) * CHUNK_WORDS + 1, F.lit(CHUNK_WORDS)),
-                        " ",
-                    )
-                ),
-            )
-        ).alias("chunk_idx", "h"),
-    )
+    chunks = _chunk_hashes(docs)
     w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
     ranked = chunks.withColumn("rn", F.row_number().over(w))
     kept = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
@@ -434,6 +448,78 @@ def q_chunk_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         kept.alias("n_kept"),
         F.round(kept / F.count(F.lit(1)) + 1e-9, 4).alias("kept_frac"),
+    )
+
+
+@query(
+    "chunk_dedup_rebuild",
+    oracle=_CHUNKS_CTE
+    + f"""
+, ranked AS (
+    SELECT doc_id, chunk_idx,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+), kept AS (
+    SELECT doc_id, chunk_idx FROM ranked WHERE rn = 1
+), idxs AS (
+    SELECT doc_id, list_sort(list(chunk_idx)) AS idxs FROM kept GROUP BY doc_id
+), rebuilt AS (
+    SELECT w.doc_id,
+           flatten(list_transform(coalesce(i.idxs, CAST([] AS BIGINT[])),
+                   c -> w.words[c * {CHUNK_WORDS} + 1 : (c + 1) * {CHUNK_WORDS}]))
+               AS kw
+    FROM wbase w LEFT JOIN idxs i USING (doc_id)
+)
+SELECT doc_id, CAST(len(kw) AS BIGINT) AS n_kept_words,
+       -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+       -- array_join: normalize so fully-gutted docs hash identically
+       md5(coalesce(array_to_string(kw, ' '), '')) AS rebuilt_md5
+FROM rebuilt
+""",
+)
+def q_chunk_dedup_rebuild(spark, sf_dir):
+    """chunk_dedup's actual OUTPUT, not just its report: each document's
+    normalized text rebuilt from only its surviving chunks (first-writer-
+    wins corpus-wide, the C4 'discard duplicated spans, keep the rest of
+    the page' rule), emitted as (kept word count, md5 of the rebuilt
+    text) so the driver's value hash pins the full reconstruction without
+    hauling document bodies through the compare.
+
+    Scale shape: chunk hashing is narrow (shared _chunk_hashes); the
+    first-writer election is an ALGEBRAIC min(struct(doc_id, chunk_idx))
+    per hash — no window, map-side partial — and the kept positions
+    aggregate back to one int-array row per doc. Only the final doc_id
+    join co-locates each doc's words with its kept indices; every prior
+    exchange carries ids + 16-byte hashes + int arrays, never text. The
+    rebuild then SLICES the doc's own word array positionally — surviving
+    chunk text is re-derived locally, not shuffled."""
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+    from mapreduce_model_spark.functions.text import words_array
+
+    docs_all = table(spark, sf_dir, "documents").select(
+        "doc_id", words_array("text").alias("words")
+    )
+    chunks = _chunk_hashes(spread_for_fanout(docs_all, "doc_id"))
+    kept = chunks.groupBy("h").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("chunk_idx"))).alias("m")
+    )
+    idxs = kept.select("m.doc_id", "m.chunk_idx").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("chunk_idx")).alias("idxs")
+    )
+    kw = F.flatten(
+        F.transform(
+            F.coalesce("idxs", F.array().cast("array<int>")),
+            lambda c: F.slice("words", c * CHUNK_WORDS + 1, F.lit(CHUNK_WORDS)),
+        )
+    )
+    return (
+        docs_all.join(idxs, "doc_id", "left")
+        .select("doc_id", kw.alias("kw"))
+        .select(
+            "doc_id",
+            F.size("kw").cast("long").alias("n_kept_words"),
+            F.md5(F.array_join("kw", " ")).alias("rebuilt_md5"),
+        )
     )
 
 

@@ -678,3 +678,12 @@ def test_hard_negative_ann_bucket_join_no_window(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p or p.count("SortAggregate") >= 2
+
+
+def test_chunk_dedup_rebuild_no_window(spark):
+    """The rebuild's first-writer election must be the algebraic
+    min(struct) aggregate, not chunk_dedup's report-side window — at
+    100 TB the window form funnels every hash-partition through a sort."""
+    p = plan(spark, "chunk_dedup_rebuild")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

@@ -354,3 +354,37 @@ def test_hard_negative_ann_bounded_by_brute(spark, sf_dir):
         assert r["neg_label"] != r["query_label"]
         assert qid in brute
         assert r["cosine"] <= brute[qid]["cosine"] + 1e-9, (r, brute[qid])
+
+
+def test_chunk_dedup_rebuild_reconstruction(spark, tmp_path):
+    """First-writer-wins reconstruction on a constructed corpus: a chunk
+    duplicated across docs survives only in the lowest (doc_id, chunk_idx);
+    the rebuilt text is exactly the surviving chunks in document order, and
+    a fully-gutted doc rebuilds to the empty string's hash."""
+    import hashlib
+
+    from mapreduce_model_spark.registry import QUERIES
+
+    A = [f"alpha{chr(ord('a') + i)}" for i in range(16)]
+    B = [f"beta{chr(ord('a') + i)}" for i in range(16)]
+    C = [f"gamma{chr(ord('a') + i)}" for i in range(16)]
+    docs = [
+        (0, " ".join(A + B)),   # keeps A and B (first writer of both)
+        (1, " ".join(A + C)),   # loses A, keeps C
+        (2, " ".join(B)),       # loses B -> fully gutted
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_kept_words"], r["rebuilt_md5"])
+        for r in QUERIES["chunk_dedup_rebuild"](spark, str(tmp_path)).collect()
+    }
+    md5 = lambda ws: hashlib.md5(" ".join(ws).encode()).hexdigest()  # noqa: E731
+    assert got == {
+        0: (32, md5(A + B)),
+        1: (16, md5(C)),
+        2: (0, md5([])),
+    }

@@ -687,3 +687,35 @@ def test_chunk_dedup_rebuild_no_window(spark):
     p = plan(spark, "chunk_dedup_rebuild")
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+# Queries whose plans legitimately combine a Window with a SinglePartition
+# exchange, each vetted (r6): either the SinglePartition belongs to a 1-row
+# scalar aggregate BESIDE a properly partitioned window, or the global
+# window runs on a provably bounded frame / is the documented oracle face
+# of a shipped scale twin.
+_WINDOW_SINGLEPARTITION_ALLOWED = {
+    "class_rebalance",  # window partitioned by lang; SinglePartition is the 1-row min-count aggregate
+    "quantile_mergeable_histogram",  # cumsum over the merged few-dozen-bin histogram, not the fact table
+    "rfm_segments",  # documented exact/oracle face; rfm_segments_scaled is the windowless twin
+    "skyline_pareto",  # global pass runs on the bucket-pruned local-skyline survivors only
+    "tfidf_top5",  # window partitioned by doc_id; SinglePartition is the 1-row n_docs aggregate
+    "vocab_coverage_curve",  # global window over the top-max(_VOCAB_SIZES) rows (TakeOrdered first)
+}
+
+
+def test_no_undocumented_global_window_funnels(spark):
+    """Registry-wide guard for the canonical 100 TB anti-pattern: any query
+    whose physical plan contains BOTH a Window and a SinglePartition
+    exchange must be on the vetted allowlist above. A new query that
+    funnels corpus-sized data through an unpartitioned window trips this
+    and forces an explicit, documented decision (partition it, prune to a
+    bounded frame first, or justify an allowlist entry)."""
+    offenders = []
+    for name in sorted(QUERIES):
+        if name in _WINDOW_SINGLEPARTITION_ALLOWED:
+            continue
+        p = plan(spark, name)
+        if "Window" in p and "SinglePartition" in p:
+            offenders.append(name)
+    assert offenders == [], offenders

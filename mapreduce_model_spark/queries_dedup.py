@@ -376,6 +376,15 @@ WITH wbase AS (
           FROM wbase WHERE len(words) > 0)
 )"""
 
+# First-writer election shared by both chunk oracles: which duplicate of a
+# chunk hash survives is defined by this ORDER BY and nowhere else.
+_RANKED_CTE = """
+, ranked AS (
+    SELECT doc_id, chunk_idx,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+)"""
+
 
 def _chunk_hashes(docs):
     """(doc_id, chunk_idx 0-based, h) for every CHUNK_WORDS-word chunk of
@@ -402,12 +411,8 @@ def _chunk_hashes(docs):
 @query(
     "chunk_dedup",
     oracle=_CHUNKS_CTE
+    + _RANKED_CTE
     + """
-, ranked AS (
-    SELECT doc_id, chunk_idx,
-           row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
-    FROM chunks
-)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -454,12 +459,9 @@ def q_chunk_dedup(spark, sf_dir):
 @query(
     "chunk_dedup_rebuild",
     oracle=_CHUNKS_CTE
+    + _RANKED_CTE
     + f"""
-, ranked AS (
-    SELECT doc_id, chunk_idx,
-           row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
-    FROM chunks
-), kept AS (
+, kept AS (
     SELECT doc_id, chunk_idx FROM ranked WHERE rn = 1
 ), idxs AS (
     SELECT doc_id, list_sort(list(chunk_idx)) AS idxs FROM kept GROUP BY doc_id

@@ -15,11 +15,20 @@ from mapreduce_model_spark.registry import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+# Session-wide memo: three registry-wide guards (cartesian, global-window
+# funnel, row-at-a-time Python) each walk all ~190 plans; building and
+# explaining a plan is pure (same session, same SF), so cache by name —
+# saves ~2 min of identical work per suite run (r6 review).
+_PLAN_CACHE: dict[str, str] = {}
+
+
 def plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF)
-    return spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    if name not in _PLAN_CACHE:
+        df = QUERIES[name](spark, SF)
+        _PLAN_CACHE[name] = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    return _PLAN_CACHE[name]
 
 
 def test_join_multi_broadcasts_all_dims(spark):

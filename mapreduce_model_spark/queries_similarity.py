@@ -804,3 +804,96 @@ def hard_negative_mining_ann(spark, sf_dir):
     return top1_hard_negative(scored).withColumn(
         "cosine", rnd(F.col("cosine"), 6)
     )
+
+
+@query(
+    "contrastive_triplets",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label,
+           embedding::DOUBLE[] AS ve,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS vec_id, c.label AS c_label,
+           list_dot_product(q.ve, c.ve) / (q.nrm * c.nrm) AS cosine
+    FROM v q CROSS JOIN v c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+), pos AS (
+    SELECT query_id, query_label, vec_id AS pos_id, cosine AS pos_cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+          FROM scored WHERE c_label = query_label)
+    WHERE rk = 1
+), neg AS (
+    SELECT query_id, vec_id AS neg_id, cosine AS neg_cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+          FROM scored WHERE c_label <> query_label)
+    WHERE rk = 1
+)
+SELECT p.query_id, p.query_label, pos_id,
+       round(1e-9 + pos_cos, 6) AS pos_cosine,
+       neg_id,
+       round(1e-9 + neg_cos, 6) AS neg_cosine,
+       round(1e-9 + pos_cos - neg_cos, 6) AS margin
+FROM pos p JOIN neg n USING (query_id)
+""",
+)
+def contrastive_triplets(spark, sf_dir):
+    """Training triplets for contrastive embedding fine-tuning: per anchor,
+    the hardest POSITIVE (most-similar same-label vector, self excluded)
+    and the hardest NEGATIVE (most-similar different-label vector), plus
+    the margin pos−neg — margin ≤ 0 marks the hard cases a curriculum
+    samples first. Anchors lacking either side are dropped (inner join —
+    a triplet needs all three legs).
+
+    Scale shape: ONE broadcast corpus scan and ONE aggregate — both picks
+    are conditional max(struct(cosine, -vec_id)) branches of the same
+    groupBy (max skips nulls, so the same-/different-label WHEN filters
+    select the branch), halving the passes a naive two-query composition
+    would make. No window; map-side partials collapse the anchors×corpus
+    fan-out pre-exchange. The 100 TB candidate source swaps the broadcast
+    scan for the multi-probe bucket join (hard_negative_mining_ann's
+    shape) on both legs."""
+    from mapreduce_model_spark.operators.similarity import _as_double, dot, l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", _as_double("embedding").alias("ve")).withColumn(
+        "nrm", l2_norm(F.col("ve"))
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("ve").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", dot(F.col("qv"), F.col("ve")) / (F.col("qn") * F.col("nrm"))
+        )
+    )
+    pick = F.struct(
+        F.col("cosine").alias("cosine"), (-F.col("vec_id")).alias("nid")
+    )
+    same = F.col("label") == F.col("query_label")
+    best = scored.groupBy("query_id", "query_label").agg(
+        F.max(F.when(same, pick)).alias("p"),
+        F.max(F.when(~same, pick)).alias("n"),
+    )
+    return (
+        best.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
+        .select(
+            "query_id",
+            "query_label",
+            (-F.col("p.nid")).cast("long").alias("pos_id"),
+            rnd(F.col("p.cosine"), 6).alias("pos_cosine"),
+            (-F.col("n.nid")).cast("long").alias("neg_id"),
+            rnd(F.col("n.cosine"), 6).alias("neg_cosine"),
+            rnd(F.col("p.cosine") - F.col("n.cosine"), 6).alias("margin"),
+        )
+    )

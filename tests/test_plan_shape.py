@@ -744,3 +744,13 @@ def test_no_row_at_a_time_python_in_hot_paths(spark):
         if "BatchEvalPython" in p:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_contrastive_triplets_single_aggregate_no_window(spark):
+    """Both triplet legs must come from ONE aggregate over ONE broadcast
+    scan (conditional max(struct) branches) — not two passes, not a
+    window."""
+    p = plan(spark, "contrastive_triplets")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

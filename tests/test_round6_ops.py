@@ -388,3 +388,22 @@ def test_chunk_dedup_rebuild_reconstruction(spark, tmp_path):
         1: (16, md5(C)),
         2: (0, md5([])),
     }
+
+
+def test_contrastive_triplets_consistent_with_hard_negatives(spark, sf_dir):
+    """The triplet's negative leg must be exactly hard_negative_mining's
+    pick, its positive leg must share the anchor's label, and the margin
+    must equal pos_cosine - neg_cosine on every emitted row."""
+    from mapreduce_model_spark.registry import QUERIES
+
+    neg = {
+        r["query_id"]: r
+        for r in QUERIES["hard_negative_mining"](spark, sf_dir).collect()
+    }
+    trips = QUERIES["contrastive_triplets"](spark, sf_dir).collect()
+    assert trips
+    for t in trips:
+        assert t["query_id"] in neg
+        assert t["neg_id"] == neg[t["query_id"]]["hard_negative_id"]
+        assert abs(t["neg_cosine"] - neg[t["query_id"]]["cosine"]) < 1e-9
+        assert abs(t["margin"] - round(t["pos_cosine"] - t["neg_cosine"], 6)) < 2e-6

@@ -544,6 +544,122 @@ def sequence_packing(spark, sf_dir):
     )
 
 
+_CAP_ALPHA = 0.7
+_CAP_BUDGET_FRAC = 0.3
+
+
+@query(
+    "source_token_caps",
+    oracle=rf"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0)) AS n_tokens
+    FROM documents
+), tot AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+    FROM toks GROUP BY source
+), g AS (
+    SELECT CAST(sum(src_tokens) AS BIGINT) AS all_tokens,
+           sum(pow(src_tokens, {_CAP_ALPHA})) AS z
+    FROM tot
+), bud AS (
+    SELECT source, src_tokens,
+           CAST(round(floor(all_tokens * {_CAP_BUDGET_FRAC})
+                      * pow(src_tokens, {_CAP_ALPHA}) / z + 1e-3) AS BIGINT)
+               AS token_budget
+    FROM tot CROSS JOIN g
+), cum AS (
+    SELECT doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_src
+    FROM toks
+), kept AS (
+    SELECT c.source, count(*) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM cum c JOIN bud USING (source)
+    WHERE cum_src < token_budget
+    GROUP BY c.source
+)
+SELECT b.source, b.src_tokens, b.token_budget,
+       coalesce(n_docs_kept, 0) AS n_docs_kept,
+       coalesce(tokens_kept, 0) AS tokens_kept
+FROM bud b LEFT JOIN kept k ON k.source = b.source
+""",
+)
+def source_token_caps(spark, sf_dir):
+    """Source capping — the corpus-assembly cut that stops any one source
+    dominating the mix: each source gets a TOKEN budget proportional to
+    its temperature-scaled share (tokens^α / Σ tokens^α of a global
+    budget, α=0.7 — corpus_mix_temperature's math in token space), and
+    its doc stream is cut greedily in deterministic (doc_id) order: a doc
+    is kept iff it STARTS before the budget boundary (the straddling doc
+    is kept whole — same rule as sequence_packing's bin straddle), so
+    tokens_kept may exceed the budget by at most one document.
+
+    Scale shape: budgets come from the |sources|-row token-total aggregate
+    (one corpus scan, map-side combine) crossed with a 1-row broadcast;
+    the per-source running count DERIVES from ONE global two-phase prefix
+    sum ordered by (source, doc_id) (operators/ids.py global_prefix_sums
+    — no window anywhere, plan-pinned) exactly as in sequence_packing;
+    the cut itself is a narrow filter against two broadcast maps and the
+    output is an algebraic per-source aggregate. The oracle's per-source
+    OVER (PARTITION BY source) is the semantic spec only."""
+    from mapreduce_model_spark.operators.ids import global_prefix_sums
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(words_array("text")).alias("n_tokens")
+    )
+    tot = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    g = tot.agg(
+        F.sum("src_tokens").alias("all_tokens"),
+        F.sum(F.pow("src_tokens", F.lit(_CAP_ALPHA))).alias("z"),
+    )
+    bud = (
+        tot.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "src_tokens",
+            F.round(
+                F.floor(F.col("all_tokens") * _CAP_BUDGET_FRAC)
+                * F.pow("src_tokens", F.lit(_CAP_ALPHA))
+                / F.col("z")
+                + 1e-3
+            )
+            .cast("long")
+            .alias("token_budget"),
+        )
+        .persist()
+    )
+    # same derivation as sequence_packing: per-source cumsum = global
+    # cumsum − the source's first global cumsum; c feeds starts + the cut
+    c = global_prefix_sums(toks, ["source", "doc_id"], "n_tokens", "cum_g").persist()
+    starts = c.groupBy("source").agg(F.min("cum_g").alias("src_start"))
+    kept = (
+        c.join(F.broadcast(starts), "source")
+        .join(F.broadcast(bud.select("source", "token_budget")), "source")
+        .filter(F.col("cum_g") - F.col("src_start") < F.col("token_budget"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        )
+    )
+    return bud.join(kept, "source", "left").select(
+        "source",
+        "src_tokens",
+        "token_budget",
+        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+    )
+
+
 @query(
     "token_entropy",
     oracle=r"""

@@ -754,3 +754,12 @@ def test_contrastive_triplets_single_aggregate_no_window(spark):
     assert "Window" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_source_token_caps_no_window(spark):
+    """The per-source greedy cut must run on the two-phase prefix-sum
+    derivation (range exchange + narrow Arrow cumsum), never a per-source
+    window — same contract as sequence_packing."""
+    p = plan(spark, "source_token_caps")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

@@ -407,3 +407,21 @@ def test_contrastive_triplets_consistent_with_hard_negatives(spark, sf_dir):
         assert t["neg_id"] == neg[t["query_id"]]["hard_negative_id"]
         assert abs(t["neg_cosine"] - neg[t["query_id"]]["cosine"]) < 1e-9
         assert abs(t["margin"] - round(t["pos_cosine"] - t["neg_cosine"], 6)) < 2e-6
+
+
+def test_source_token_caps_budget_semantics(spark, sf_dir):
+    """Every source keeps a greedy doc prefix: tokens_kept >= min(budget,
+    src_tokens) when anything is kept (the straddler is kept whole), a
+    source never keeps more tokens than it has, and budgets sum to ~the
+    global budget fraction of all tokens."""
+    from mapreduce_model_spark.registry import QUERIES
+
+    rows = QUERIES["source_token_caps"](spark, sf_dir).collect()
+    assert rows
+    all_tokens = sum(r["src_tokens"] for r in rows)
+    assert sum(r["token_budget"] for r in rows) <= int(0.3 * all_tokens) + len(rows)
+    for r in rows:
+        assert r["tokens_kept"] <= r["src_tokens"], r
+        if r["token_budget"] > 0:
+            assert r["n_docs_kept"] >= 1, r
+            assert r["tokens_kept"] >= min(r["token_budget"], r["src_tokens"]), r

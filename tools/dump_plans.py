@@ -280,6 +280,24 @@ COMMENTARY: dict[str, str] = {
         "hash-compare filter plus an algebraic count — document rows never "
         "shuffle, no window, nothing driver-side but the plan constants."
     ),
+    "source_token_caps": (
+        "Source capping (r6). Temperature-scaled token budgets come from "
+        "the |sources|-row totals aggregate crossed with a 1-row broadcast; "
+        "the greedy per-source cut runs on the SAME two-phase prefix-sum "
+        "derivation as sequence_packing_global (range exchange + narrow "
+        "Arrow cumsum; per-source starts broadcast back) — no window, and "
+        "the cut is a narrow filter feeding an algebraic per-source "
+        "aggregate. The pattern composes two shipped primitives instead of "
+        "inventing a third."
+    ),
+    "contrastive_triplets": (
+        "Triplet assembly (r6). Hardest positive AND hardest negative per "
+        "anchor come from ONE aggregate over ONE broadcast corpus scan: "
+        "conditional max(struct) branches keyed by the label predicate "
+        "(max skips nulls), so the anchors x corpus fan-out collapses "
+        "map-side once — a naive composition would scan and aggregate "
+        "twice. No window (plan-pinned)."
+    ),
     "hard_negative_mining_ann": (
         "Contrastive hard negatives at scale (r6). Candidates come from "
         "the radius-1 multi-probe sign-LSH bucket equi-join (anchor side "

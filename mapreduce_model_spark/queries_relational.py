@@ -731,6 +731,43 @@ def sql_api_q3(spark, sf_dir):
     return spark.sql(_Q3_SQL)
 
 
+_SCRIPTED_ORACLE = """
+WITH thr AS (SELECT avg(o_totalprice) AS t FROM orders)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big,
+       round(1e-9 + avg(o_totalprice), 2) AS avg_big
+FROM orders CROSS JOIN thr
+WHERE o_totalprice > t
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_scripting_report", oracle=_SCRIPTED_ORACLE)
+def sql_scripting_report(spark, sf_dir):
+    """Spark 4 SQL scripting surface (BEGIN/DECLARE/SET compound
+    statements): a two-step scripted analysis — derive a data-driven
+    threshold (mean order value) into a session variable, then report
+    above-threshold orders per priority using it. The script executes as
+    ordinary Catalyst plans per statement (the variable re-enters as a
+    literal), so the reporting SELECT gets the same pushdown/partial-agg
+    plan the DataFrame form would; the DuckDB oracle is the equivalent
+    scalar-subquery query. Scale: step 1 is a 1-row aggregate; step 2 is
+    one scan + one group-key exchange — variables add driver-side
+    sequencing, never a data-path change."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE thr DOUBLE DEFAULT 0;
+  SET thr = (SELECT avg(o_totalprice) FROM orders);
+  SELECT o_orderpriority, count(*) AS n_big,
+         round(avg(o_totalprice) + 1e-9, 2) AS avg_big
+  FROM orders WHERE o_totalprice > thr GROUP BY o_orderpriority;
+END
+"""
+    )
+
+
 @query(
     "array_funcs",
     oracle="""

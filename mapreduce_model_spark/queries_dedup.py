@@ -607,3 +607,64 @@ def entity_match_names(spark, sf_dir):
         "n_parts_a",
         "n_parts_b",
     )
+
+
+@query(
+    "dup_span_merge",
+    oracle=_CHUNKS_CTE
+    + _RANKED_CTE
+    + """
+, dup AS (
+    SELECT doc_id, chunk_idx FROM ranked WHERE rn > 1
+), g AS (
+    SELECT doc_id, chunk_idx,
+           chunk_idx - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY chunk_idx) AS grp
+    FROM dup
+)
+SELECT doc_id,
+       CAST(min(chunk_idx) AS BIGINT) AS span_start,
+       CAST(max(chunk_idx) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS span_chunks
+FROM g GROUP BY doc_id, grp
+""",
+)
+def q_dup_span_merge(spark, sf_dir):
+    """Maximal duplicated-SPAN detection — the substring-dedup report shape
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): chunk_dedup marks individual 16-word chunks as corpus-wide
+    duplicates; this query merges RUNS of adjacent duplicated chunks into
+    maximal spans per document (gaps-and-islands on chunk_idx), because the
+    curation decision — cut the span, or drop the whole page — depends on
+    span LENGTH, not on isolated chunk hits. A doc whose duplicated chunks
+    are one long contiguous span is a near-clone; scattered singleton hits
+    are boilerplate.
+
+    Scale: reuses _chunk_hashes (narrow hashing, exchanges carry only
+    ids + 16-byte md5). The duplicate election is the same h-keyed window
+    as chunk_dedup; the islands window then runs doc_id-keyed over ONLY
+    the duplicated subset (a small fraction of the corpus by construction),
+    and span assembly is an algebraic min/max/count per (doc, island) —
+    map-side combinable, no text ever shuffled."""
+    from pyspark.sql import Window
+
+    from mapreduce_model_spark.functions.partitioning import spread_for_fanout
+    from mapreduce_model_spark.functions.text import words_array
+
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", words_array("text").alias("words")
+    )
+    chunks = _chunk_hashes(docs)
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    dup = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "chunk_idx")
+    )
+    wi = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    g = dup.withColumn("grp", F.col("chunk_idx") - F.row_number().over(wi))
+    return g.groupBy("doc_id", "grp").agg(
+        F.min("chunk_idx").cast("long").alias("span_start"),
+        F.max("chunk_idx").cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("span_chunks"),
+    ).drop("grp")

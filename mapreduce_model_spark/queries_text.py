@@ -1615,3 +1615,95 @@ def vocab_coverage_curve(spark, sf_dir):
             rnd(1 - F.col("cum_n") / F.col("total"), 4).alias("oov_rate"),
         )
     )
+
+
+_DSIR_B = 256  # hashed-feature buckets; collisions are part of the method
+_DSIR_TARGET = "src0"  # the "high-quality domain" proxy the sampler aims at
+
+
+@query(
+    "dsir_importance",
+    oracle=rf"""
+WITH sbase AS (
+    SELECT doc_id, source,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), f AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(bg), 1, 8))::BIGINT % {_DSIR_B} AS b
+    FROM (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i + 1])) AS bg
+          FROM sbase WHERE len(words) >= 2)
+), cnt AS (
+    SELECT b, count(*) AS r,
+           sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS t
+    FROM f GROUP BY b
+), tot AS (
+    SELECT CAST(sum(r) AS DOUBLE) AS tr, CAST(sum(t) AS DOUBLE) AS tt FROM cnt
+), lam AS (
+    SELECT b, ln((t + 1)::DOUBLE / (tt + {_DSIR_B}))
+             - ln((r + 1)::DOUBLE / (tr + {_DSIR_B})) AS lam
+    FROM cnt CROSS JOIN tot
+)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       round(avg(lam) + 1e-9, 4) AS dsir_logratio
+FROM f JOIN lam USING (b)
+GROUP BY f.doc_id
+""",
+)
+def dsir_importance(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how much more likely its hashed-bigram bag is
+    under the TARGET domain's feature distribution than under the raw
+    corpus's — avg over the doc's features of ln p_target(b) - ln p_raw(b),
+    add-1 smoothed over {_DSIR_B} md5 buckets. Sampling proportional to
+    this weight tilts a 100 TB crawl toward the target domain (here the
+    'src0' feed as the quality proxy) without training a classifier.
+
+    Scale: two passes over the corpus, both explode→partial-agg. Pass 1
+    builds the {_DSIR_B}-row bucket table — the exchange carries 256 keys
+    × task partials, nothing else; the totals are a 1-row agg over 256
+    rows. Pass 2 re-derives features narrowly in the scan stage and joins
+    the BROADCAST λ table (256 rows), so per-doc scoring is one doc_id
+    exchange of map-side-combined (sum, count) partials. The token-sized
+    exploded frame is deliberately NOT persisted — rescanning parquet is
+    cheaper than caching a row-per-token frame at scale."""
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    words = words_array("text")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # hash INSIDE the array (narrow, scan-stage), then explode ints only
+    buckets = F.transform(bigrams, lambda bg: F.pmod(md5_int32(bg), F.lit(_DSIR_B)))
+    feats = docs.select("doc_id", "source", F.explode(buckets).alias("b"))
+    cnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("t"),
+    )
+    tot = cnt.agg(
+        F.sum("r").cast("double").alias("tr"), F.sum("t").cast("double").alias("tt")
+    )
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("t") + 1).cast("double") / (F.col("tt") + _DSIR_B))
+            - F.log((F.col("r") + 1).cast("double") / (F.col("tr") + _DSIR_B))
+        ).alias("lam"),
+    )
+    return (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            rnd(F.avg("lam"), 4).alias("dsir_logratio"),
+        )
+    )

@@ -976,3 +976,77 @@ def jl_projection(spark, sf_dir):
         rnd("pn", 4).alias("proj_norm"),
         rnd(F.col("pn") / F.col("orig_norm"), 4).alias("norm_ratio"),
     )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+WITH x AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
+    FROM embeddings, unnest(range(1, 65)) AS t(i)
+)
+SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+       round(covar_pop(a.xi, b.xi) + 1e-9, 6) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+""",
+)
+def embedding_covariance(spark, sf_dir):
+    """One-pass covariance matrix of the embedding dimensions (64×64 upper
+    triangle = 2080 cells) — the moment matrix PCA / whitening / ZCA and
+    Mahalanobis outlier screens start from. cov(i,j) is assembled from
+    algebraic sufficient statistics (Σxᵢxⱼ, Σxᵢ, n), never from centering
+    the data, so the whole matrix costs ONE corpus pass however large the
+    corpus.
+
+    Scale: the d(d+1)/2 products are generated NARROWLY per row (nested
+    transform over sequence — no self-join keyed on vec_id, which would
+    shuffle the corpus twice), then one posexplode feeds a (i,j)-keyed
+    aggregation whose map-side partials collapse every task to ≤2080
+    rows — the exchange carries ~2080 × tasks tiny rows regardless of
+    corpus size. Per-dim means come from a second 64-key aggregate of the
+    same shape and broadcast back onto the 2080-row cell frame. The
+    DuckDB oracle's covar_pop runs the textbook two-sided formula; values
+    agree to well under the 1e-6 rounding grain."""
+    emb = table(spark, sf_dir, "embeddings")
+    ve = F.col("embedding").cast("array<double>")
+    # per-row upper-triangle products as struct(i, j, xy) — scan-stage only
+    prods = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(63)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.element_at(ve, i + 1) * F.element_at(ve, j + 1)).alias("xy"),
+                ),
+            ),
+        )
+    )
+    cells = (
+        emb.select(F.explode(prods).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("sxy"), F.count(F.lit(1)).alias("n"))
+    )
+    dims = (
+        emb.select(F.posexplode(ve).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum("x").alias("sx"))
+    )
+    mi = dims.select(F.col("d").alias("i"), F.col("sx").alias("sx_i"))
+    mj = dims.select(F.col("d").alias("j"), F.col("sx").alias("sx_j"))
+    return (
+        cells.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            rnd(
+                F.col("sxy") / F.col("n")
+                - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+    )

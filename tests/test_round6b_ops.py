@@ -1,0 +1,84 @@
+"""Round-6 second-wave operator pins: duplicated-span merging, DSIR
+importance weights, JL projection, and the one-pass covariance matrix.
+
+All four are oracle-checked in the registry sweep; these tests pin the
+ALGORITHMIC contracts the SQL hash can't express (span maximality, the
+KL-style direction of importance weights, JL norm concentration, agreement
+with numpy's covariance).
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.registry import QUERIES
+
+
+def test_dup_spans_contiguous_disjoint_maximal(spark, sf_dir):
+    """Every span is a contiguous run (span_chunks == end - start + 1);
+    spans of one doc never touch or overlap (maximality: touching spans
+    would have been merged); and the total duplicated-chunk mass equals
+    chunk_dedup's n_chunks - n_kept accounting exactly."""
+    spans = QUERIES["dup_span_merge"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        assert r["span_chunks"] == r["span_end"] - r["span_start"] + 1
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for doc, ivs in by_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert e1 + 1 < s2, f"doc {doc}: spans ({s1},{e1}) and ({s2},{e2}) touch"
+
+    dup_total = sum(r["span_chunks"] for r in spans)
+    acct = (
+        QUERIES["chunk_dedup"](spark, sf_dir)
+        .agg(F.sum(F.col("n_chunks") - F.col("n_kept")))
+        .first()[0]
+    )
+    assert dup_total == acct
+
+
+def test_dsir_scores_target_source_higher(spark, sf_dir):
+    """The importance weight is an estimated log-likelihood ratio toward
+    the target domain's feature distribution — so the target source's own
+    docs must average strictly higher than the rest of the corpus (the
+    non-negativity of KL divergence, in planted form). Deterministic data,
+    deterministic pin."""
+    from mapreduce_model_spark.queries_text import _DSIR_TARGET
+    from mapreduce_model_spark.registry import table
+
+    scored = QUERIES["dsir_importance"](spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    means = (
+        scored.join(docs, "doc_id")
+        .groupBy(F.col("source") == _DSIR_TARGET)
+        .agg(F.avg("dsir_logratio"))
+        .collect()
+    )
+    by_is_target = {r[0]: r[1] for r in means}
+    assert by_is_target[True] > by_is_target[False]
+
+
+def test_jl_norm_ratio_concentrates(spark, sf_dir):
+    """JL guarantee in aggregate: the projected/original norm ratio is
+    positive everywhere and its mean sits near 1 (16 output dims ⇒ sd of
+    the ratio ~1/sqrt(2·16) ≈ 0.18; the corpus mean is far tighter)."""
+    rows = QUERIES["jl_projection"](spark, sf_dir).collect()
+    ratios = [r["norm_ratio"] for r in rows]
+    assert all(x > 0 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15, mean
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    """The sufficient-statistics assembly equals numpy's population
+    covariance on the collected matrix, cell for cell."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    X = np.array(emb.select("embedding").toPandas()["embedding"].tolist(), dtype=np.float64)
+    expected = np.cov(X, rowvar=False, bias=True)
+
+    got = QUERIES["embedding_covariance"](spark, sf_dir).collect()
+    assert len(got) == 64 * 65 // 2
+    for r in got:
+        assert abs(r["cov"] - expected[r["i"], r["j"]]) < 2e-6, (r["i"], r["j"])
+        if r["i"] == r["j"]:
+            assert r["cov"] >= 0

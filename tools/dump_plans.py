@@ -307,6 +307,40 @@ COMMENTARY: dict[str, str] = {
         "the exchange. No window, no cross join (plan-pinned); candidate "
         "volume scales with probes x bucket occupancy, never corpus size."
     ),
+    "jl_projection": (
+        "JL sign random projection (r6). ZERO exchanges: the md5-derived "
+        "±1 matrix enters as a literal, all 16 multiply-accumulates fuse "
+        "into the parquet scan's codegen span, and the output is one "
+        "map-only pass. The 100 TB plan IS the sf0.01 plan — nothing to "
+        "shuffle, nothing to broadcast, nothing to skew."
+    ),
+    "dsir_importance": (
+        "DSIR importance weights (r6). Feature hashing is narrow (hash "
+        "inside the bigram array, explode ints only); the bucket "
+        "distribution table collapses map-side to 256 rows per task "
+        "before its exchange; the λ table re-enters as a BROADCAST onto "
+        "the second corpus pass, so per-doc scoring pays exactly one "
+        "doc_id-keyed exchange of (sum,count) partials. The token-sized "
+        "frame is never persisted — rescan beats caching a row-per-token "
+        "frame at 100 TB."
+    ),
+    "embedding_covariance": (
+        "One-pass covariance (r6). The d(d+1)/2 cross-products are "
+        "generated narrowly per row (nested transform, no vec_id-keyed "
+        "self-join that would shuffle the corpus twice); partial "
+        "aggregation collapses every task to ≤2080 cells, so the "
+        "exchange is O(tasks), not O(rows). Means broadcast back onto "
+        "the 2080-row cell frame. Corpus size only changes the scan "
+        "time, never the shuffle volume."
+    ),
+    "dup_span_merge": (
+        "Substring-dedup span report (r6). Chunk hashing is narrow "
+        "(shared _chunk_hashes); the duplicate election is the same "
+        "h-keyed window as chunk_dedup; the islands window then runs "
+        "doc_id-keyed over ONLY the duplicated subset, and span assembly "
+        "is algebraic min/max/count. Every exchange carries ids + 16-byte "
+        "hashes — document text never shuffles."
+    ),
 }
 
 

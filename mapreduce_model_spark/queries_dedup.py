@@ -668,3 +668,63 @@ def q_dup_span_merge(spark, sf_dir):
         F.max("chunk_idx").cast("long").alias("span_end"),
         F.count(F.lit(1)).alias("span_chunks"),
     ).drop("grp")
+
+
+_CLUSTER_QUALITY_ORACLE = (
+    _LSH_CORE
+    + ", "
+    + components_cte()
+    + """
+, lab AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), ranked AS (
+    SELECT doc_id, component, n_chars,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM lab
+)
+SELECT doc_id, component, n_chars, rn = 1 AS is_survivor FROM ranked
+"""
+).replace("WITH wbase", "WITH RECURSIVE wbase", 1)
+
+
+@query("dedup_cluster_quality", oracle=_CLUSTER_QUALITY_ORACLE)
+def q_dedup_cluster_quality(spark, sf_dir):
+    """Quality-aware survivor selection: same MinHash-LSH → connected
+    components clustering as dedup_clusters, but each cluster keeps its
+    LONGEST member (n_chars DESC, doc_id tie-break) instead of the lowest
+    id — the real curation rule (near-dup clusters usually contain one
+    complete page and several truncated scrapes; keep-first would keep
+    whichever was crawled first). Hash-checked against the same
+    recursive-CTE transitive-closure oracle.
+
+    Scale: component labels come from the O(log n)-phase forest
+    contraction (operators/graph.py); the election is an ALGEBRAIC
+    min(struct(-n_chars, doc_id)) per component — map-side combinable, no
+    window over the corpus — and the winner table joins back keyed on
+    component (co-partitioned with the label join's output, and NOT
+    broadcast: at 100 TB there are ~|docs| components)."""
+    from mapreduce_model_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sig = minhash_signatures(table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K)
+    pairs = lsh_near_dup_pairs(
+        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    lab = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    winner = lab.groupBy("component").agg(
+        F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d")))
+        .alias("w")
+    )
+    return lab.join(winner, "component").select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.col("doc_id") == F.col("w.d")).alias("is_survivor"),
+    )

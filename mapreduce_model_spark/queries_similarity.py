@@ -978,39 +978,14 @@ def jl_projection(spark, sf_dir):
     )
 
 
-@query(
-    "embedding_covariance",
-    oracle="""
-WITH x AS (
-    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
-    FROM embeddings, unnest(range(1, 65)) AS t(i)
-)
-SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
-       round(covar_pop(a.xi, b.xi) + 1e-9, 6) AS cov
-FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-GROUP BY a.i, b.i
-""",
-)
-def embedding_covariance(spark, sf_dir):
-    """One-pass covariance matrix of the embedding dimensions (64×64 upper
-    triangle = 2080 cells) — the moment matrix PCA / whitening / ZCA and
-    Mahalanobis outlier screens start from. cov(i,j) is assembled from
-    algebraic sufficient statistics (Σxᵢxⱼ, Σxᵢ, n), never from centering
-    the data, so the whole matrix costs ONE corpus pass however large the
-    corpus.
-
-    Scale: the d(d+1)/2 products are generated NARROWLY per row (nested
-    transform over sequence — no self-join keyed on vec_id, which would
-    shuffle the corpus twice), then one posexplode feeds a (i,j)-keyed
-    aggregation whose map-side partials collapse every task to ≤2080
-    rows — the exchange carries ~2080 × tasks tiny rows regardless of
-    corpus size. Per-dim means come from a second 64-key aggregate of the
-    same shape and broadcast back onto the 2080-row cell frame. The
-    DuckDB oracle's covar_pop runs the textbook two-sided formula; values
-    agree to well under the 1e-6 rounding grain."""
+def _cov_stats(spark, sf_dir):
+    """UNrounded covariance sufficient statistics: the 2080-cell upper
+    triangle (i, j, cov) plus n — shared by embedding_covariance (rounded,
+    oracle-checked) and embedding_pca (driver-side eigendecomposition).
+    All aggregation is algebraic; see embedding_covariance for the scale
+    contract."""
     emb = table(spark, sf_dir, "embeddings")
     ve = F.col("embedding").cast("array<double>")
-    # per-row upper-triangle products as struct(i, j, xy) — scan-stage only
     prods = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(63)),
@@ -1043,10 +1018,98 @@ def embedding_covariance(spark, sf_dir):
         .select(
             "i",
             "j",
-            rnd(
+            (
                 F.col("sxy") / F.col("n")
-                - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n")),
-                6,
+                - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n"))
             ).alias("cov"),
         )
     )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+WITH x AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS xi
+    FROM embeddings, unnest(range(1, 65)) AS t(i)
+)
+SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+       round(covar_pop(a.xi, b.xi) + 1e-9, 6) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+""",
+)
+def embedding_covariance(spark, sf_dir):
+    """One-pass covariance matrix of the embedding dimensions (64×64 upper
+    triangle = 2080 cells) — the moment matrix PCA / whitening / ZCA and
+    Mahalanobis outlier screens start from. cov(i,j) is assembled from
+    algebraic sufficient statistics (Σxᵢxⱼ, Σxᵢ, n), never from centering
+    the data, so the whole matrix costs ONE corpus pass however large the
+    corpus.
+
+    Scale: the d(d+1)/2 products are generated NARROWLY per row (nested
+    transform over sequence — no self-join keyed on vec_id, which would
+    shuffle the corpus twice), then one posexplode feeds a (i,j)-keyed
+    aggregation whose map-side partials collapse every task to ≤2080
+    rows — the exchange carries ~2080 × tasks tiny rows regardless of
+    corpus size. Per-dim means come from a second 64-key aggregate of the
+    same shape and broadcast back onto the 2080-row cell frame. The
+    DuckDB oracle's covar_pop runs the textbook two-sided formula; values
+    agree to well under the 1e-6 rounding grain."""
+    cells = _cov_stats(spark, sf_dir)
+    return cells.select("i", "j", rnd("cov", 6).alias("cov"))
+
+
+_PCA_Q = 8  # retained components
+
+
+@query("embedding_pca")  # driver-side eigh of the 64×64 moment matrix — rows-only
+def embedding_pca(spark, sf_dir):
+    """Two-phase distributed PCA — the standard shape at corpus scale:
+    phase 1 aggregates the covariance sufficient statistics (ONE pass,
+    exchange carries ≤2080 cells per task — _cov_stats); phase 2
+    eigendecomposes the 64×64 matrix DRIVER-SIDE (numpy eigh on 32 KB —
+    the only data that ever reaches the driver) and re-enters the top-8
+    principal axes as LITERALS, so the projection pass is as narrow as
+    jl_projection: fused multiply-accumulates in the scan stage, zero
+    exchanges, no broadcast variable, no UDF.
+
+    Eigenvector sign is canonicalized (largest-|loading| entry positive) so
+    reruns are bit-stable. Rows-only by design — no SQL engine exposes an
+    eigendecomposition; correctness is pinned vs numpy end to end in
+    tests/test_round6b_ops.py (per-coordinate variance == eigenvalue,
+    cross-coordinate covariance == 0, eigenvalues sorted)."""
+    import numpy as np
+
+    from mapreduce_model_spark.operators.similarity import dot
+
+    cells = _cov_stats(spark, sf_dir).collect()
+    C = np.zeros((64, 64))
+    for r in cells:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(vals)[::-1][:_PCA_Q]
+    axes = []
+    for q in order:
+        v = vecs[:, q]
+        if v[np.argmax(np.abs(v))] < 0:  # canonical sign
+            v = -v
+        axes.append([float(x) for x in v])
+
+    # phase-2 means for centering, re-entered as a literal 64-vector
+    emb = table(spark, sf_dir, "embeddings")
+    ve = F.col("embedding").cast("array<double>")
+    mean_row = (
+        emb.select(F.posexplode(ve).alias("d", "x"))
+        .groupBy("d")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("m"))
+        .orderBy("d")
+        .collect()
+    )
+    mu = F.lit([float(r["m"]) for r in mean_row]).cast("array<double>")
+    centered = F.zip_with(ve, mu, lambda x, m: x - m)
+    coords = [
+        F.round(dot(centered, F.lit(a).cast("array<double>")) + 1e-9, 4).alias(f"pc{q}")
+        for q, a in enumerate(axes)
+    ]
+    return emb.select("vec_id", *coords)

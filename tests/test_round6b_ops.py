@@ -82,3 +82,42 @@ def test_embedding_covariance_matches_numpy(spark, sf_dir):
         assert abs(r["cov"] - expected[r["i"], r["j"]]) < 2e-6, (r["i"], r["j"])
         if r["i"] == r["j"]:
             assert r["cov"] >= 0
+
+
+def test_embedding_pca_diagonalizes(spark, sf_dir):
+    """End-to-end PCA pin vs numpy: the emitted coordinates' variances
+    equal the top eigenvalues of the data covariance (descending), and
+    cross-coordinate covariances vanish — i.e. the distributed
+    moment-aggregation + driver eigh + literal re-entry pipeline computes
+    the same subspace numpy computes from the raw matrix."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    X = np.array(
+        emb.select("embedding").toPandas()["embedding"].tolist(), dtype=np.float64
+    )
+    lam = np.sort(np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True)))[::-1][:8]
+
+    rows = QUERIES["embedding_pca"](spark, sf_dir).toPandas().sort_values("vec_id")
+    P = rows[[f"pc{q}" for q in range(8)]].to_numpy()
+    got_cov = np.cov(P, rowvar=False, bias=True)
+    # rounding the coords at 1e-4 injects ~1e-8 variance noise; eigenvalues
+    # are O(1e-2) here
+    assert np.allclose(np.diag(got_cov), lam, atol=5e-4), (np.diag(got_cov), lam)
+    off = got_cov - np.diag(np.diag(got_cov))
+    assert np.abs(off).max() < 5e-4
+    # descending order
+    d = np.diag(got_cov)
+    assert all(d[k] >= d[k + 1] - 5e-4 for k in range(7))
+
+
+def test_dedup_cluster_quality_keeps_longest(spark, sf_dir):
+    """Exactly one survivor per component, and it is a maximal-n_chars
+    member (doc_id-min among ties)."""
+    rows = QUERIES["dedup_cluster_quality"](spark, sf_dir).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        surv = [r for r in members if r["is_survivor"]]
+        assert len(surv) == 1, comp
+        best = min(members, key=lambda r: (-r["n_chars"], r["doc_id"]))
+        assert surv[0]["doc_id"] == best["doc_id"]

@@ -471,16 +471,20 @@ def embedding_quantize(spark, sf_dir):
 _KM_K, _KM_ITER = 8, 5
 
 
-def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
-    """Lloyd's unrolled into chained CTEs (c0 → a1/m1/c1 → … → cN), the
-    pagerank-oracle move applied to k-means. Deterministic throughout:
+def _kmeans_cte(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    """Lloyd's unrolled into chained CTEs (c0 → a1/m1/c1 → … → cN → afin),
+    the pagerank-oracle move applied to k-means. Deterministic throughout:
     lowest-id seeding, cosine argmax with (score DESC, cid) tie-break,
     per-dimension means, empty-cell carry-forward via LEFT JOIN +
     coalesce — each step the exact SQL twin of kmeans_fit's iteration.
     Dot products are bit-identical across engines (left-to-right double
     MAC); per-dimension means can differ by summation order at ~1e-16,
     far below the 1e-6 output rounding and the measured ≥1e-4 assignment
-    decision gaps, so the unrolled recurrence stays hash-stable."""
+    decision gaps, so the unrolled recurrence stays hash-stable.
+
+    Ends at ``afin`` (final per-vector assignment) + ``c{n_iter}`` (final
+    centroids) so both the kmeans_embeddings and semantic_dedup oracles
+    share one source of truth for the whole recurrence."""
     sql = """
 WITH v AS (
     SELECT vec_id AS vid,
@@ -526,7 +530,14 @@ WITH v AS (
                             c.cid) AS rn
         FROM v CROSS JOIN c{n} c) t
     WHERE rn = 1
-), members AS (
+)""".format(n=n_iter)
+    return sql
+
+
+def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    """Final-centroid + member-count face of the shared recurrence."""
+    return _kmeans_cte(k, n_iter) + """
+, members AS (
     SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM afin GROUP BY cid
 )
 SELECT c{n}.cid,
@@ -534,7 +545,6 @@ SELECT c{n}.cid,
        coalesce(members.n_members, 0) AS n_members
 FROM c{n} LEFT JOIN members USING (cid)
 """.format(n=n_iter)
-    return sql
 
 
 @query("kmeans_embeddings", oracle=_kmeans_oracle())
@@ -1113,3 +1123,83 @@ def embedding_pca(spark, sf_dir):
         for q, a in enumerate(axes)
     ]
     return emb.select("vec_id", *coords)
+
+
+_SEM_TAU = 0.40
+
+
+@query(
+    "semantic_dedup",
+    oracle=_kmeans_cte()
+    + f"""
+, sem AS (
+    SELECT a.vid, max(list_dot_product(va.ve, vb.ve) / (va.nrm * vb.nrm)) AS mc
+    FROM afin a JOIN v va ON va.vid = a.vid
+    JOIN afin b ON b.cid = a.cid AND b.vid < a.vid
+    JOIN v vb ON vb.vid = b.vid
+    GROUP BY a.vid
+)
+SELECT f.vid AS vec_id, f.cid,
+       round(sem.mc + 1e-9, 6) AS sem_score,
+       coalesce(sem.mc < {_SEM_TAU}, TRUE) AS is_kept
+FROM afin f LEFT JOIN sem ON sem.vid = f.vid
+""",
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication in embedding
+    space — k-means clusters the corpus, then WITHIN each cluster a vector
+    is dropped when some lower-id member sits above cosine 0.40 (_SEM_TAU)
+    (paraphrases, re-renders, and templated rewrites that no lexical
+    near-dup pass catches). Emits per-vector cluster id, max cosine to any
+    lower-id cluster-mate (the semantic-novelty score; NULL for the
+    cluster's first member), and the keep flag. Fully hash-checked: the
+    oracle replays the SAME unrolled Lloyd's recurrence (_kmeans_cte) and
+    the same pair scoring — bit-identical dot products make the float
+    recurrence comparable.
+
+    Scale: clustering is kmeans_fit (broadcast assign + k×dim-key
+    shuffle); the pair join is keyed on cid, so candidate volume is
+    Σ|cluster|² — SemDeDup's own recipe is k ∝ √N to bound cluster sizes
+    (at 100 TB: ~100k clusters), and the max-cosine election is an
+    algebraic MAX that collapses the fan-out map-side before any
+    exchange. The second corpus pass re-assigns against the final
+    centroids rather than threading assignments out of the training loop
+    — one extra narrow pass, zero extra shuffles."""
+    from mapreduce_model_spark.operators.similarity import (
+        _as_double,
+        _rank_centroids,
+        dot,
+        kmeans_fit,
+        l2_norm,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER).select(
+        "cid", F.col("centroid").alias("ce")
+    ).withColumn("cn", l2_norm(F.col("ce")))
+    v = emb.select(
+        F.col("vec_id").alias("vid"), _as_double("embedding").alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    assign = _rank_centroids(v, cents, 1)  # vid, v, n, cid
+    a = assign.select(
+        "cid", F.col("vid").alias("vid_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = assign.select(
+        "cid", F.col("vid").alias("vid_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    mc = (
+        a.join(b, "cid")
+        .where(F.col("vid_b") < F.col("vid_a"))
+        .select(
+            "vid_a",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .groupBy("vid_a")
+        .agg(F.max("cos").alias("mc"))
+    )
+    return assign.join(mc, assign["vid"] == mc["vid_a"], "left").select(
+        F.col("vid").alias("vec_id"),
+        "cid",
+        rnd("mc", 6).alias("sem_score"),
+        F.coalesce(F.col("mc") < _SEM_TAU, F.lit(True)).alias("is_kept"),
+    )

@@ -763,3 +763,43 @@ def test_source_token_caps_no_window(spark):
     p = plan(spark, "source_token_caps")
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_jl_projection_is_pure_map(spark):
+    """The JL projection is a zero-exchange map-only pass: the ±1 matrix
+    enters as a literal, so nothing shuffles and nothing broadcasts."""
+    p = plan(spark, "jl_projection")
+    assert "Exchange" not in p
+
+
+def test_dsir_broadcasts_lambda_table(spark):
+    """DSIR's 256-row λ table re-enters as a broadcast — scoring must not
+    shuffle on the bucket key — and no window appears anywhere."""
+    p = plan(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_dup_span_merge_never_shuffles_text(spark):
+    """Every KEYED exchange in the span-merge plan carries only ids +
+    hashes — text may ride only the spread_for_fanout REPARTITION_BY_NUM
+    exchange (the small-input parallelism fix, a no-op on a real 100 TB
+    scan with thousands of splits)."""
+    p = plan(spark, "dup_span_merge")
+    for block in p.split("\n\n"):
+        if block.strip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            if "REPARTITION_BY_NUM" in block:
+                continue
+            assert "text#" not in block, block
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark):
+    """The SemDeDup pair join must be keyed on cid (candidate volume
+    Σ|cluster|²), never a cartesian; centroid assignment broadcasts."""
+    p = plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in p
+    # BroadcastNestedLoopJoin appears ONLY as the k-row centroid broadcast
+    # (corpus × 8 assign pass); the member-pair join itself must be an
+    # equi-join on cid
+    assert "cid" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or
+                           "BroadcastHashJoin" in p)

@@ -325,13 +325,37 @@ COMMENTARY: dict[str, str] = {
         "frame at 100 TB."
     ),
     "embedding_covariance": (
-        "One-pass covariance (r6). The d(d+1)/2 cross-products are "
-        "generated narrowly per row (nested transform, no vec_id-keyed "
-        "self-join that would shuffle the corpus twice); partial "
-        "aggregation collapses every task to ≤2080 cells, so the "
-        "exchange is O(tasks), not O(rows). Means broadcast back onto "
-        "the 2080-row cell frame. Corpus size only changes the scan "
-        "time, never the shuffle volume."
+        "One-pass covariance (r6). Moment partials come from an "
+        "Arrow-batched BLAS pass (X^T X per batch — the measured 10x "
+        "over the pure-SQL nested-transform cut, whose per-cell lambda "
+        "cost scaled with the corpus); each batch emits one 2-KB partial "
+        "row, two tiny element-wise aggregates reduce them, and the "
+        "2080-cell assembly is all-broadcast joins. Corpus size only "
+        "changes the scan time, never the shuffle volume."
+    ),
+    "semantic_dedup": (
+        "SemDeDup (r6). k-means via broadcast-assign + kxdim-key "
+        "shuffle per iteration; the pair join is keyed on cid so "
+        "candidate volume is sum(|cluster|^2) — k scales with sqrt(N) "
+        "at 100 TB to bound it — and the max-cosine election is an "
+        "algebraic MAX collapsing map-side. Hash-checked end to end by "
+        "extending the unrolled-Lloyd's oracle with the same pair "
+        "scoring (bit-identical dot products)."
+    ),
+    "embedding_pca": (
+        "Two-phase PCA (r6). Phase 1 = the covariance BLAS pass (only "
+        "per-batch partials move); phase 2 eigendecomposes 32 KB on the "
+        "driver and re-enters the top-8 axes as literals, so projection "
+        "is a zero-exchange codegen map pass like jl_projection. The "
+        "driver sees sufficient statistics, never data."
+    ),
+    "dedup_cluster_quality": (
+        "Keep-longest survivor election (r6). Component labels from the "
+        "O(log n)-phase forest contraction; the election is an algebraic "
+        "min(struct(-n_chars, doc_id)) per component (map-side "
+        "combinable, no corpus window), and the winner table joins back "
+        "keyed on component — NOT broadcast, since components ~ |docs| "
+        "at 100 TB."
     ),
     "dup_span_merge": (
         "Substring-dedup span report (r6). Chunk hashing is narrow "

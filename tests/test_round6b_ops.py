@@ -121,3 +121,19 @@ def test_dedup_cluster_quality_keeps_longest(spark, sf_dir):
         assert len(surv) == 1, comp
         best = min(members, key=lambda r: (-r["n_chars"], r["doc_id"]))
         assert surv[0]["doc_id"] == best["doc_id"]
+
+
+def test_semantic_dedup_keep_contract(spark, sf_dir):
+    """is_kept ⟺ (no lower-id cluster-mate above τ); each cluster's
+    minimum-id member has NULL score and is always kept."""
+    from mapreduce_model_spark.queries_similarity import _SEM_TAU
+
+    rows = QUERIES["semantic_dedup"](spark, sf_dir).collect()
+    by_cid: dict[int, list] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], []).append(r)
+        expect = r["sem_score"] is None or r["sem_score"] < _SEM_TAU
+        assert r["is_kept"] == expect, r
+    for cid, members in by_cid.items():
+        first = min(members, key=lambda r: r["vec_id"])
+        assert first["sem_score"] is None and first["is_kept"], first

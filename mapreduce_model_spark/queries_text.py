@@ -1707,3 +1707,148 @@ def dsir_importance(spark, sf_dir):
             rnd(F.avg("lam"), 4).alias("dsir_logratio"),
         )
     )
+
+
+_QC_B = 64  # hashed feature buckets (+1 bias term)
+_QC_ITERS = 10
+_QC_LR = 2.0
+
+
+def _qc_oracle() -> str:
+    """Batch gradient descent unrolled into chained CTEs — the kmeans
+    oracle move applied to logistic regression. Identical feature
+    construction (md5-bucket tf, l1-normalized, bias appended), identical
+    update rule; per-position gradient sums can differ across engines by
+    summation order at ~1e-16 per iteration, far below the 1e-4 output
+    rounding (exp/σ amplify linearly, not chaotically, over 10 steps)."""
+    sql = rf"""
+WITH wbase AS (
+    SELECT doc_id, source,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), tf AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(w), 1, 8))::BIGINT % {_QC_B} AS b,
+           count(*)::DOUBLE AS c
+    FROM (SELECT doc_id, source, unnest(words) AS w
+          FROM wbase WHERE len(words) > 0)
+    GROUP BY doc_id, source, b
+), nw AS (
+    SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id
+), dgrid AS (
+    SELECT d.doc_id, t.i
+    FROM (SELECT DISTINCT doc_id FROM tf) d, range(0, {_QC_B}) t(i)
+), dense AS (
+    SELECT g.doc_id, g.i, coalesce(tf.c, 0) / nw.n AS v
+    FROM dgrid g JOIN nw USING (doc_id)
+    LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.b = g.i
+), fx AS MATERIALIZED (
+    SELECT d.doc_id,
+           list(d.v ORDER BY d.i) || [1.0] AS x,
+           max(CASE WHEN s.source = 'src0' THEN 1.0 ELSE 0.0 END) AS y
+    FROM dense d JOIN (SELECT DISTINCT doc_id, source FROM tf) s USING (doc_id)
+    GROUP BY d.doc_id
+), nn AS (SELECT count(*)::DOUBLE AS n FROM fx),
+w0 AS (SELECT list_transform(range(0, {_QC_B + 1}), i -> 0.0) AS w)"""
+    for t in range(1, _QC_ITERS + 1):
+        sql += f"""
+, s{t} AS (
+    SELECT doc_id, x, y,
+           1 / (1 + exp(-list_dot_product(x, w.w))) AS sig
+    FROM fx CROSS JOIN w{t - 1} w
+), g{t} AS (
+    SELECT t.pos, sum(x[t.pos + 1] * (sig - y)) AS g
+    FROM s{t}, range(0, {_QC_B + 1}) t(pos)
+    GROUP BY t.pos
+), w{t} AS MATERIALIZED (
+    SELECT list(w.w[g.pos + 1] - {_QC_LR} * g.g / (SELECT n FROM nn)
+                ORDER BY g.pos) AS w
+    FROM g{t} g CROSS JOIN w{t - 1} w
+)"""
+    sql += f"""
+SELECT fx.doc_id, CAST(fx.y AS INTEGER) AS label,
+       round(1 / (1 + exp(-list_dot_product(fx.x, w.w))) + 1e-9, 4) AS prob,
+       1 / (1 + exp(-list_dot_product(fx.x, w.w))) >= 0.5 AS pred
+FROM fx CROSS JOIN w{_QC_ITERS} w
+"""
+    return sql
+
+
+@query("quality_classifier", oracle=_qc_oracle())
+def quality_classifier(spark, sf_dir):
+    """A fastText-style quality classifier TRAINED INSIDE THE ENGINE:
+    logistic regression over l1-normalized hashed-unigram counts (64 md5
+    buckets + bias), labels = "does this doc come from the target feed"
+    ('src0' as the high-quality proxy — the CCNet/GPT-3 quality-filter
+    recipe), 10 steps of full-batch gradient descent, then every document
+    scored with the final weights. Fully hash-checked: the oracle unrolls
+    the SAME feature construction and the SAME GD recurrence into chained
+    CTEs (the kmeans-oracle move — see _qc_oracle on float stability).
+
+    Scale: the feature frame is built once (explode → (doc,bucket) count
+    → dense 65-vector via map lookup) and persisted; each GD step is ONE
+    job — a narrow σ/residual pass over the cached features plus a
+    65-key element-wise gradient aggregate whose map-side partials
+    collapse the ×65 fan-out, with only the 65-double weight vector ever
+    reaching the driver (kmeans_fit's loop discipline). At 100 TB:
+    10 passes over a cached narrow frame, 65-row shuffles, 520-byte
+    driver traffic per step. Scoring re-enters weights as a literal —
+    zero exchanges, like jl_projection."""
+    docs = (
+        spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", "source", words_array("text").alias("words"))
+        .where(F.size("words") > 0)
+    )
+    buckets = F.transform(
+        "words", lambda w: F.pmod(md5_int32(w), F.lit(_QC_B)).cast("int")
+    )
+    tf = (
+        docs.select("doc_id", "source", F.explode(buckets).alias("b"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("b", "c")))
+    per_doc = tf.groupBy("doc_id", "source").agg(
+        m.alias("m"), F.sum("c").alias("n")
+    )
+    x = F.concat(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_QC_B - 1)),
+            lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)) / F.col("n"),
+        ),
+        F.array(F.lit(1.0)),
+    )
+    y = F.when(F.col("source") == "src0", 1.0).otherwise(0.0)
+    feats = per_doc.select("doc_id", x.alias("x"), y.alias("y")).persist()
+    n_docs = feats.count()
+
+    from mapreduce_model_spark.operators.similarity import dot
+
+    w = [0.0] * (_QC_B + 1)
+    for _ in range(_QC_ITERS):
+        wcol = F.lit(w).cast("array<double>")
+        sig = 1 / (1 + F.exp(-dot(F.col("x"), wcol)))
+        grad_rows = (
+            feats.select(
+                F.posexplode(
+                    F.transform(F.col("x"), lambda e: e * (sig - F.col("y")))
+                ).alias("pos", "g")
+            )
+            .groupBy("pos")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        gvec = {r["pos"]: r["g"] for r in grad_rows}
+        w = [w[i] - _QC_LR * gvec[i] / n_docs for i in range(_QC_B + 1)]
+
+    wfin = F.lit(w).cast("array<double>")
+    sig_fin = 1 / (1 + F.exp(-dot(F.col("x"), wfin)))
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        rnd(sig_fin, 4).alias("prob"),
+        (sig_fin >= 0.5).alias("pred"),
+    )

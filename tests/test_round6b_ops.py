@@ -137,3 +137,44 @@ def test_semantic_dedup_keep_contract(spark, sf_dir):
     for cid, members in by_cid.items():
         first = min(members, key=lambda r: r["vec_id"])
         assert first["sem_score"] is None and first["is_kept"], first
+
+
+def test_quality_classifier_matches_numpy_gd(spark, sf_dir):
+    """Defense in depth behind the unrolled-CTE oracle: rebuild the exact
+    features and run the same 10 GD steps in numpy; per-doc probabilities
+    must agree to the rounding grain."""
+    import hashlib
+
+    from mapreduce_model_spark.queries_text import _QC_B, _QC_ITERS, _QC_LR
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    import re
+
+    feats, ys, ids = [], [], []
+    for r in docs:
+        words = [
+            re.sub(r"[^a-z]", "", t.lower()) for t in r["text"].strip().split()
+        ]
+        words = [w for w in words if w]
+        if not words:
+            continue
+        x = np.zeros(_QC_B + 1)
+        for w_ in words:
+            b = int(hashlib.md5(w_.encode()).hexdigest()[:8], 16) % _QC_B
+            x[b] += 1
+        x[:_QC_B] /= len(words)
+        x[_QC_B] = 1.0
+        feats.append(x)
+        ys.append(1.0 if r["source"] == "src0" else 0.0)
+        ids.append(r["doc_id"])
+    X, Y = np.array(feats), np.array(ys)
+    w = np.zeros(_QC_B + 1)
+    for _ in range(_QC_ITERS):
+        sig = 1 / (1 + np.exp(-X @ w))
+        w = w - _QC_LR * (X.T @ (sig - Y)) / len(X)
+    probs = dict(zip(ids, 1 / (1 + np.exp(-X @ w))))
+
+    got = QUERIES["quality_classifier"](spark, sf_dir).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        assert abs(r["prob"] - probs[r["doc_id"]]) < 2e-4, r

@@ -349,6 +349,16 @@ COMMENTARY: dict[str, str] = {
         "is a zero-exchange codegen map pass like jl_projection. The "
         "driver sees sufficient statistics, never data."
     ),
+    "quality_classifier": (
+        "In-engine logistic regression (r6). Features build once "
+        "(explode -> (doc,bucket) count -> dense 65-vector) and persist; "
+        "each of the 10 GD steps is ONE job — narrow sigma/residual over "
+        "the cache plus a 65-key gradient aggregate with map-side "
+        "partials — and only 520 bytes of weights reach the driver per "
+        "step. Scoring re-enters the weights as a literal: zero "
+        "exchanges. The iterative floor is 10 jobs by construction, the "
+        "same honest floor as kmeans/pagerank."
+    ),
     "dedup_cluster_quality": (
         "Keep-longest survivor election (r6). Component labels from the "
         "O(log n)-phase forest contraction; the election is an algebraic "

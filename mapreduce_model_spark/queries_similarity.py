@@ -1239,3 +1239,65 @@ def semantic_dedup(spark, sf_dir):
         rnd("mc", 6).alias("sem_score"),
         F.coalesce(F.col("mc") < _SEM_TAU, F.lit(True)).alias("is_kept"),
     )
+
+
+_MAHA_CHI2_99 = 93.2169  # chi²(df=64) 99th percentile — flag threshold
+_MAHA_RIDGE = 1e-6
+
+
+@query("mahalanobis_outliers")  # driver-side matrix inverse — rows-only
+def mahalanobis_outliers(spark, sf_dir):
+    """Embedding-space outlier screen: squared Mahalanobis distance
+    (x-μ)ᵀ Σ⁻¹ (x-μ) per vector, flagged above the χ²(64) 99th
+    percentile — the covariance-aware complement of per-feature z-scores
+    (catches points that are unremarkable per-dimension but sit off the
+    data's correlation structure: encoder glitches, wrong-modality rows,
+    corrupted embeddings). Composes the covariance sufficient statistics
+    (_moment_frames — one Arrow/BLAS pass) with a DRIVER-SIDE ridge-
+    regularized inverse (64×64, numpy — no SQL engine inverts matrices,
+    hence rows-only; the whole pipeline is pinned vs a numpy recompute in
+    tests), and scores with a second Arrow/BLAS pass: X Σ⁻¹ ∘ X row-sums
+    per batch, the precision matrix riding the closure as 32 KB.
+
+    Scale: two map-shaped corpus passes + tiny-row aggregates; nothing
+    data-sized ever shuffles, the driver sees 2145 statistics and emits
+    one matrix."""
+    import numpy as np
+
+    cells_df, dims_df, n_df = _moment_frames(spark, sf_dir)
+    sxy = {r["k"]: r["sxy"] for r in cells_df.collect()}
+    sx = np.zeros(_D)
+    for r in dims_df.collect():
+        sx[r["d"]] = r["sx"]
+    n = n_df.first()["n"]
+    mean = sx / n
+    C = np.zeros((_D, _D))
+    for k, (i, j) in enumerate(_TRIU):
+        C[i, j] = C[j, i] = sxy[k] / n - mean[i] * mean[j]
+    Minv = np.linalg.inv(C + _MAHA_RIDGE * np.eye(_D))
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def score(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            ids = batch.column(0)
+            col = batch.column(1)
+            if len(col) == 0:
+                continue
+            X = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), _D)
+            Xc = X - mean
+            md2 = np.einsum("ij,ij->i", Xc @ Minv, Xc)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.round(md2 + 1e-9, 4))],
+                names=["vec_id", "md2"],
+            )
+
+    out = emb.mapInArrow(score, "vec_id bigint, md2 double")
+    return out.select(
+        "vec_id", "md2", (F.col("md2") > _MAHA_CHI2_99).alias("is_outlier")
+    )

@@ -178,3 +178,28 @@ def test_quality_classifier_matches_numpy_gd(spark, sf_dir):
     assert len(got) == len(ids)
     for r in got:
         assert abs(r["prob"] - probs[r["doc_id"]]) < 2e-4, r
+
+
+def test_mahalanobis_matches_numpy(spark, sf_dir):
+    """Full-pipeline pin: moment aggregation + ridge inverse + scoring
+    equals a straight numpy recompute; the synthetic corpus's clean
+    sub-gaussian tails mean zero flags at the χ²(64) 99th percentile —
+    asserted so a threshold regression can't hide."""
+    from mapreduce_model_spark.queries_similarity import _MAHA_RIDGE
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    X = np.array(
+        emb.select("embedding").toPandas()["embedding"].tolist(), dtype=np.float64
+    )
+    mean = X.mean(0)
+    C = np.cov(X, rowvar=False, bias=True)
+    Minv = np.linalg.inv(C + _MAHA_RIDGE * np.eye(64))
+    Xc = X - mean
+    md2 = np.einsum("ij,ij->i", Xc @ Minv, Xc)
+    expected = dict(zip(emb.select("vec_id").toPandas()["vec_id"], md2))
+
+    got = QUERIES["mahalanobis_outliers"](spark, sf_dir).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        assert abs(r["md2"] - expected[r["vec_id"]]) < 1e-3, r
+        assert not r["is_outlier"]

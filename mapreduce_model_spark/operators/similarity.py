@@ -350,6 +350,7 @@ def kmeans_fit(
     n_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    return_assign: bool = False,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) — the one-training-pass upgrade to
     ``ivf_cosine_topk``'s deterministic slice quantizer.
@@ -421,6 +422,11 @@ def kmeans_fit(
             )
         cents = new_cents
     final = _rank_centroids(v, cents, 1)
+    if return_assign:
+        # (vid, v, n, cid) — consumers like semantic_dedup score member
+        # pairs; handing the assignment out saves them re-running the
+        # broadcast assign pass against the returned centroids
+        return final
     counts = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         cents.select("cid", F.col("ce").alias("centroid"))

@@ -1198,25 +1198,15 @@ def semantic_dedup(spark, sf_dir):
     Σ|cluster|² — SemDeDup's own recipe is k ∝ √N to bound cluster sizes
     (at 100 TB: ~100k clusters), and the max-cosine election is an
     algebraic MAX that collapses the fan-out map-side before any
-    exchange. The second corpus pass re-assigns against the final
-    centroids rather than threading assignments out of the training loop
-    — one extra narrow pass, zero extra shuffles."""
-    from mapreduce_model_spark.operators.similarity import (
-        _as_double,
-        _rank_centroids,
-        dot,
-        kmeans_fit,
-        l2_norm,
-    )
+    exchange. Assignments come straight out of the training loop's own
+    final assign pass (kmeans_fit(return_assign=True)) — no re-assignment
+    pass, no extra shuffle."""
+    from mapreduce_model_spark.operators.similarity import dot, kmeans_fit
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER).select(
-        "cid", F.col("centroid").alias("ce")
-    ).withColumn("cn", l2_norm(F.col("ce")))
-    v = emb.select(
-        F.col("vec_id").alias("vid"), _as_double("embedding").alias("v")
-    ).withColumn("n", l2_norm(F.col("v")))
-    assign = _rank_centroids(v, cents, 1)  # vid, v, n, cid
+    assign = kmeans_fit(
+        emb, k=_KM_K, n_iter=_KM_ITER, return_assign=True
+    )  # vid, v, n, cid — the training loop's own final assign pass
     a = assign.select(
         "cid", F.col("vid").alias("vid_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )

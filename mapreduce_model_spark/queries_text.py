@@ -1852,3 +1852,44 @@ def quality_classifier(spark, sf_dir):
         rnd(sig_fin, 4).alias("prob"),
         (sig_fin >= 0.5).alias("pred"),
     )
+
+
+@query(
+    "text_normalize",
+    oracle=r"""
+WITH norm AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                                     '\s+', ' ', 'g'))) AS norm
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS n_norm_chars,
+       md5(norm) AS norm_md5
+FROM norm
+""",
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization — the pass that runs before ANY
+    hashing/dedup so byte-level noise (control chars, non-ASCII
+    artifacts, runs of whitespace, case) can't split otherwise-identical
+    content into distinct hashes: strip non-printables, collapse
+    whitespace, trim, casefold. Emitted as (length, md5) so the driver
+    hash pins the exact cleaned string without hauling bodies through
+    the compare.
+
+    Scale: pure narrow regexp/casefold expressions fused into the parquet
+    scan — zero exchanges, the same map-only contract as pii_scrub
+    (plan-pinned)."""
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), "[^ -~]", ""), r"\s+", " "
+            )
+        )
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_norm_chars"),
+        F.md5(norm).alias("norm_md5"),
+    )

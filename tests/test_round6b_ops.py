@@ -203,3 +203,54 @@ def test_mahalanobis_matches_numpy(spark, sf_dir):
     for r in got:
         assert abs(r["md2"] - expected[r["vec_id"]]) < 1e-3, r
         assert not r["is_outlier"]
+
+
+def test_bpe_train_matches_python_recompute(spark, sf_dir):
+    """The whole greedy training trajectory equals a reference python BPE
+    (greedy left-to-right merge on symbol lists — the same semantics the
+    sentinel-space string rewrite implements); and the winning-pair count
+    sequence is non-increasing (merges only ever shrink pair mass)."""
+    import re
+    from collections import Counter
+
+    from mapreduce_model_spark.queries_text import _BPE_STEPS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wc: Counter = Counter()
+    for r in docs:
+        for t in r["text"].strip().split():
+            w = re.sub(r"[^a-z]", "", t.lower())
+            if w:
+                wc[w] += 1
+    segs = {w: list(w) for w in wc}
+
+    def merge(sym, pair):
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                out.append(sym[i] + sym[i + 1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return out
+
+    expected = []
+    for step in range(1, _BPE_STEPS + 1):
+        pc: Counter = Counter()
+        for w, sym in segs.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        expected.append((step, f"{a} {b}", a + b, cnt))
+        segs = {w: merge(sym, (a, b)) for w, sym in segs.items()}
+
+    got = sorted(
+        QUERIES["bpe_train"](spark, sf_dir).collect(), key=lambda r: r["step"]
+    )
+    assert [(r["step"], r["pair"], r["merged"], r["cnt"]) for r in got] == expected
+    cnts = [r["cnt"] for r in got]
+    assert all(x >= y for x, y in zip(cnts, cnts[1:]))

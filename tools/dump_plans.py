@@ -359,6 +359,14 @@ COMMENTARY: dict[str, str] = {
         "exchanges. The iterative floor is 10 jobs by construction, the "
         "same honest floor as kmeans/pagerank."
     ),
+    "bpe_train": (
+        "Full BPE training (r6). The ONE corpus-sized stage is the word "
+        "count (explode -> partial agg); all 10 merge iterations run on "
+        "the vocabulary-sized dictionary (Zipf: one executor's worth at "
+        "100 TB), localCheckpoint-ed per step, 1-row argmax to the "
+        "driver per step. The plan shows the dictionary loop, not a "
+        "corpus loop — which is the whole point."
+    ),
     "dedup_cluster_quality": (
         "Keep-longest survivor election (r6). Component labels from the "
         "O(log n)-phase forest contraction; the election is an algebraic "

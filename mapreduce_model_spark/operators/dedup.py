@@ -395,3 +395,45 @@ def containment_pairs(
             F.round(F.col("c_ba") + 1e-9, 4).alias("cont_b_in_a"),
         )
     )
+
+
+def oph_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One-permutation-hashing MinHash (Li et al. 2012) with rotation
+    densification (Shrivastava & Li 2014): ``(id, h0..h{k-1})``.
+
+    The 100 TB refinement of :func:`minhash_signatures`: instead of k
+    permutations (k multiply-mod expressions per shingle), each shingle is
+    hashed ONCE and routed to bin ``x % k``; the signature is the per-bin
+    min. Empty bins (short docs) are densified by borrowing from the next
+    non-empty bin clockwise, offset by ``d * P`` so borrowed values never
+    collide with owned ones — without densification two docs would spuriously
+    "agree" on every mutually-empty bin. Same one-explode + one-groupBy
+    plan shape as minhash_signatures but the per-shingle CPU drops k-fold
+    (one md5 instead of k linear congruences feeding the aggregate): at
+    100 TB the map-side hash work is the dominant cost and this is the
+    standard production trick for it. Collision behavior per bin is the
+    same min-hash estimator (agreement rate ≈ Jaccard), pinned in tests.
+
+    Every value is md5-derived; DuckDB reproduces the identical integers,
+    so unlike classic sketches this one is fully hash-checkable.
+    """
+    sh = doc_shingle_hashes(df, text_col, id_col, shingle_k)
+    bins = [
+        F.min(F.when(F.col("x") % k == i, F.col("x"))).alias(f"b{i}")
+        for i in range(k)
+    ]
+    g = sh.groupBy(id_col).agg(*bins)
+    dens = []
+    for i in range(k):
+        terms = [F.col(f"b{i}")]
+        for d in range(1, k):
+            j = (i + d) % k
+            terms.append(F.col(f"b{j}") + F.lit(d * MERSENNE_P))
+        dens.append(F.coalesce(*terms).alias(f"h{i}"))
+    return g.select(F.col(id_col), *dens)

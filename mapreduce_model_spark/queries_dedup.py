@@ -26,10 +26,12 @@ from mapreduce_model_spark.functions.dedup_sql import (  # noqa: F401 — consta
     shingle_cte,
 )
 from mapreduce_model_spark.operators.dedup import (
+    MERSENNE_P,
     dedup_exact,
     lsh_near_dup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    oph_signatures,
     simhash,
 )
 from mapreduce_model_spark.registry import query, table
@@ -96,6 +98,49 @@ def q_near_minhash(spark, sf_dir):
     )
     return lsh_near_dup_pairs(
         sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+    )
+
+
+def _oph_oracle() -> str:
+    """Bin-min + rotation-densification unrolled as generated SQL — the
+    same constants (K bins, d·P offsets) as operators.dedup.oph_signatures,
+    one source of truth."""
+    bins = ",\n           ".join(
+        f"min(CASE WHEN x % {K} = {i} THEN x END) AS b{i}" for i in range(K)
+    )
+    dens = []
+    for i in range(K):
+        terms = [f"b{i}"] + [
+            f"b{(i + d) % K} + {d * MERSENNE_P}" for d in range(1, K)
+        ]
+        dens.append("coalesce(" + ", ".join(terms) + ")::VARCHAR")
+    sig = "concat_ws(',', " + ",\n       ".join(dens) + ")"
+    return _SHX + f""", bins AS (
+    SELECT doc_id,
+           {bins}
+    FROM shx GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS sig FROM bins
+"""
+
+
+@query("dedup_minhash_oph", oracle=_oph_oracle())
+def q_minhash_oph(spark, sf_dir):
+    """One-permutation-hashing MinHash signature (k=32 bins, rotation
+    densification) — the production-scale MinHash: ONE md5 per shingle
+    instead of k=32 linear congruences, cutting the map-side hash CPU
+    k-fold while keeping the same explode+groupBy plan shape and the same
+    per-bin collision estimator (agreement ≈ Jaccard, pinned in tests).
+    Fully hash-checked — every densified value is md5-derived arithmetic
+    DuckDB reproduces bit-identically, empty-bin borrowing included."""
+    sig = oph_signatures(
+        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+    )
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", *[F.col(f"h{i}").cast("string") for i in range(K)]
+        ).alias("sig"),
     )
 
 

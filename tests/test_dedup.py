@@ -121,3 +121,31 @@ def test_lsh_recall_and_estimate_vs_exact_jaccard(spark, sf_dir):
     assert set(lsh) <= hi, f"LSH false candidates {set(lsh) - hi}"
     for k in hi:
         assert abs(lsh[k] - exact[k]) <= 0.25, (k, lsh[k], exact[k])
+
+
+def test_oph_signature_properties(spark, corpus):
+    """One-permutation hashing: identical docs → identical signatures;
+    per-bin agreement tracks Jaccard (near-dup high, unrelated low); and
+    rotation densification fills every bin even for short docs."""
+    from mapreduce_model_spark.operators.dedup import MERSENNE_P, oph_signatures
+
+    rows = oph_signatures(corpus).collect()
+    sigs = {r.doc_id: tuple(r[f"h{i}"] for i in range(32)) for r in rows}
+    assert sigs[1] == sigs[2] == sigs[3]
+    near = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    far = sum(a == b for a, b in zip(sigs[1], sigs[5]))
+    assert near > 16, f"near-dup only matched {near}/32 OPH bins"
+    assert far < 8, f"unrelated matched {far}/32 OPH bins"
+    # every bin is filled (no nulls survive densification)...
+    for did, s in sigs.items():
+        assert all(v is not None for v in s), f"doc {did} has an empty bin"
+    # ...and a SHORT doc (few shingles << 32 bins) really exercises the
+    # borrow path: borrowed values are offset by d*P, so they exceed P
+    short = spark.createDataFrame(
+        [(9, "alpha beta gamma delta")], "doc_id: long, text: string"
+    )
+    srow = oph_signatures(short).collect()[0]
+    svals = [srow[f"h{i}"] for i in range(32)]
+    assert all(v is not None for v in svals)
+    assert sum(v >= MERSENNE_P for v in svals) >= 28  # 2 shingles, ≥28 borrowed
+    assert sum(v < MERSENNE_P for v in svals) >= 1    # the owned bins remain

@@ -2449,3 +2449,48 @@ def wau_hll_sliding(spark, sf_dir):
         )
         .select(F.col("day_end").alias("day"), "wau_approx")
     )
+
+
+@query(
+    "skew_audit",
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id
+), tot AS (
+    SELECT sum(cnt)::DOUBLE AS total, avg(cnt) AS avg_cnt FROM per_key
+), top AS (
+    SELECT user_id, cnt FROM per_key ORDER BY cnt DESC, user_id LIMIT 20
+)
+SELECT user_id, cnt,
+       round(100.0 * cnt / total + 1e-9, 4) AS share_pct,
+       round(cnt / avg_cnt + 1e-9, 4) AS x_avg
+FROM top CROSS JOIN tot
+""",
+)
+def skew_audit(spark, sf_dir):
+    """Hot-key audit for a shuffle key (events.user_id) — the diagnostic
+    you run BEFORE a big join/groupBy to decide whether it needs salting
+    (operators/skew.py) or AQE skew handling: the 20 heaviest keys with
+    their share of all rows and their multiple of the mean key load.
+
+    Scale: one map-side-combining aggregate over the fact scan builds the
+    |keys| frame once (persisted — the totals and the top-k are two
+    consumers); the top-k is TakeOrderedAndProject (no global sort, no
+    window), and only the 1-row totals frame is broadcast back. Nothing
+    driver-side beyond 20+1 rows, however large the fact table."""
+    per_key = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("double").alias("total"), F.avg("cnt").alias("avg_cnt")
+    )
+    top = per_key.orderBy(F.col("cnt").desc(), "user_id").limit(20)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "cnt",
+        rnd(F.lit(100.0) * F.col("cnt") / F.col("total"), 4).alias("share_pct"),
+        rnd(F.col("cnt") / F.col("avg_cnt"), 4).alias("x_avg"),
+    )

@@ -1898,13 +1898,15 @@ def text_normalize(spark, sf_dir):
 _BPE_STEPS = 10
 
 
-def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
+def _bpe_chain(steps: int = _BPE_STEPS) -> str:
     """BPE training unrolled into chained MATERIALIZED CTEs: s{t} is the
-    segmented word dictionary after t merges, b{t} the t-th winning pair
-    (count DESC, pair ASC — byte-wise ASCII tie-break, identical in both
-    engines). Merging rewrites the space-joined symbol string wrapped in
-    sentinel spaces, so a pair can only match on symbol boundaries and
-    replacement is left-to-right non-overlapping in both engines."""
+    segmented word dictionary after t merges (carrying the word so the
+    encode face can emit per-word segmentations), b{t} the t-th winning
+    pair (count DESC, pair ASC — byte-wise ASCII tie-break, identical in
+    both engines). Merging rewrites the space-joined symbol string wrapped
+    in sentinel spaces, so a pair can only match on symbol boundaries and
+    replacement is left-to-right non-overlapping in both engines. The ONE
+    recurrence shared by the bpe_train and bpe_encode oracles."""
     sql = r"""
 WITH wbase AS (
     SELECT doc_id,
@@ -1917,7 +1919,7 @@ WITH wbase AS (
     SELECT w AS word, count(*)::BIGINT AS c
     FROM (SELECT unnest(words) AS w FROM wbase) GROUP BY w
 ), s0 AS MATERIALIZED (
-    SELECT c, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg FROM dic
+    SELECT word, c, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg FROM dic
 )"""
     for t in range(1, steps + 1):
         p = t - 1
@@ -1932,19 +1934,80 @@ WITH wbase AS (
 ), b{t} AS MATERIALIZED (
     SELECT pr, cnt FROM p{t} ORDER BY cnt DESC, pr LIMIT 1
 ), s{t} AS MATERIALIZED (
-    SELECT c,
+    SELECT word, c,
            trim(replace(' ' || seg || ' ',
                         ' ' || (SELECT pr FROM b{t}) || ' ',
                         ' ' || (SELECT replace(pr, ' ', '') FROM b{t}) || ' '))
                AS seg
     FROM s{p}
 )"""
+    return sql
+
+
+def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
+    """Merge-table face of the shared recurrence."""
+    sql = _bpe_chain(steps)
     selects = [
         f"SELECT CAST({t} AS BIGINT) AS step, pr AS pair, "
         f"replace(pr, ' ', '') AS merged, cnt FROM b{t}"
         for t in range(1, steps + 1)
     ]
     return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_run(spark, sf_dir, steps: int = _BPE_STEPS):
+    """The shared greedy-BPE training loop: returns (merge list, final
+    segmented word dictionary). The dictionary frame carries the word so
+    bpe_encode can emit per-word segmentations; bpe_train reads only the
+    merge list. See bpe_train's docstring for the scale argument."""
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    dic = (
+        docs.select(F.explode(words_array("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cur = dic.select(
+        "word",
+        "c",
+        F.trim(F.regexp_replace("word", "(.)", r"$1 ")).alias("seg"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(1, steps + 1):
+        arr = F.split("seg", " ")
+        prs = F.when(
+            F.size(arr) >= 2,
+            F.zip_with(
+                F.slice(arr, 1, F.size(arr) - 1),
+                F.slice(arr, 2, F.size(arr) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            cur.select(F.explode(prs).alias("pr"), "c")
+            .groupBy("pr")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pr")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pr, cnt = best[0]["pr"], best[0]["cnt"]
+        merged = pr.replace(" ", "")
+        merges.append((step, pr, merged, int(cnt)))
+        cur = cur.select(
+            "word",
+            "c",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seg"), F.lit(" ")),
+                    F.lit(f" {pr} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("seg"),
+        ).localCheckpoint(eager=True)
+    return merges, cur
 
 
 @query("bpe_train", oracle=_bpe_oracle())
@@ -1969,52 +2032,42 @@ def bpe_train(spark, sf_dir):
     boundaries; no end-of-word marker (the synthetic corpus has no
     morphology worth separating — noted deviation from the GPT-2
     recipe)."""
-    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
-    dic = (
-        docs.select(F.explode(words_array("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    cur = dic.select(
-        "c",
-        F.trim(F.regexp_replace("word", "(.)", r"$1 ")).alias("seg"),
-    ).localCheckpoint(eager=True)
-
-    merges = []
-    for step in range(1, _BPE_STEPS + 1):
-        arr = F.split("seg", " ")
-        prs = F.when(
-            F.size(arr) >= 2,
-            F.zip_with(
-                F.slice(arr, 1, F.size(arr) - 1),
-                F.slice(arr, 2, F.size(arr) - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        best = (
-            cur.select(F.explode(prs).alias("pr"), "c")
-            .groupBy("pr")
-            .agg(F.sum("c").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "pr")
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        pr, cnt = best[0]["pr"], best[0]["cnt"]
-        merged = pr.replace(" ", "")
-        merges.append((step, pr, merged, int(cnt)))
-        cur = cur.select(
-            "c",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("seg"), F.lit(" ")),
-                    F.lit(f" {pr} "),
-                    F.lit(f" {merged} "),
-                )
-            ).alias("seg"),
-        ).localCheckpoint(eager=True)
-
+    merges, _ = _bpe_run(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step bigint, pair string, merged string, cnt bigint"
+    )
+
+
+def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:
+    """Segmented-dictionary face of the shared recurrence."""
+    return _bpe_chain(steps) + f"""
+SELECT word, seg,
+       CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_tokens,
+       c
+FROM s{steps}
+"""
+
+
+@query("bpe_encode", oracle=_bpe_encode_oracle())
+def bpe_encode(spark, sf_dir):
+    """ENCODE under the trained tokenizer: the per-word segmentation after
+    bpe_train's 10 merges — (word, space-joined subword symbols, token
+    count, corpus frequency). This is the artifact a training pipeline
+    actually applies to text: documents tokenize by dictionary lookup
+    (join words to this table), never by re-running the merge fold per
+    occurrence. Hash-checked end to end: the oracle is the SAME unrolled
+    chained-CTE recurrence as bpe_train's (one source of truth,
+    _bpe_chain), read at its final segmented-dictionary state instead of
+    at the winning pairs.
+
+    Scale: identical to bpe_train — one corpus-sized word-count pass,
+    then every merge rewrite runs on the |vocab|-row dictionary; the
+    output is vocabulary-sized and (Zipf) joins back to the corpus as a
+    broadcast or a word-keyed shuffle, both standard."""
+    _, cur = _bpe_run(spark, sf_dir)
+    return cur.select(
+        "word",
+        "seg",
+        F.size(F.split("seg", " ")).cast("long").alias("n_tokens"),
+        "c",
     )

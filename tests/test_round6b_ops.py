@@ -205,11 +205,10 @@ def test_mahalanobis_matches_numpy(spark, sf_dir):
         assert not r["is_outlier"]
 
 
-def test_bpe_train_matches_python_recompute(spark, sf_dir):
-    """The whole greedy training trajectory equals a reference python BPE
-    (greedy left-to-right merge on symbol lists — the same semantics the
-    sentinel-space string rewrite implements); and the winning-pair count
-    sequence is non-increasing (merges only ever shrink pair mass)."""
+def _py_bpe(spark, sf_dir):
+    """Reference python BPE (greedy left-to-right merge on symbol lists —
+    the same semantics the sentinel-space string rewrite implements):
+    returns (merge trajectory, final word→symbols segmentation, counts)."""
     import re
     from collections import Counter
 
@@ -247,10 +246,33 @@ def test_bpe_train_matches_python_recompute(spark, sf_dir):
         (a, b), cnt = best
         expected.append((step, f"{a} {b}", a + b, cnt))
         segs = {w: merge(sym, (a, b)) for w, sym in segs.items()}
+    return expected, segs, wc
 
+
+def test_bpe_train_matches_python_recompute(spark, sf_dir):
+    """The whole greedy training trajectory equals the reference python
+    BPE; and the winning-pair count sequence is non-increasing (merges
+    only ever shrink pair mass)."""
+    expected, _, _ = _py_bpe(spark, sf_dir)
     got = sorted(
         QUERIES["bpe_train"](spark, sf_dir).collect(), key=lambda r: r["step"]
     )
     assert [(r["step"], r["pair"], r["merged"], r["cnt"]) for r in got] == expected
     cnts = [r["cnt"] for r in got]
     assert all(x >= y for x, y in zip(cnts, cnts[1:]))
+
+
+def test_bpe_encode_matches_python_recompute(spark, sf_dir):
+    """bpe_encode's final segmented dictionary equals the reference python
+    BPE's end state for EVERY word: same symbols, same token counts, same
+    corpus frequencies; and concatenating a word's symbols reconstructs
+    the word exactly (segmentation never drops or reorders bytes)."""
+    _, segs, wc = _py_bpe(spark, sf_dir)
+    got = QUERIES["bpe_encode"](spark, sf_dir).collect()
+    assert len(got) == len(segs)
+    for r in got:
+        sym = segs[r["word"]]
+        assert r["seg"].split(" ") == sym, r["word"]
+        assert r["n_tokens"] == len(sym)
+        assert r["c"] == wc[r["word"]]
+        assert "".join(sym) == r["word"]

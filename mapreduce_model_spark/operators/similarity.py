@@ -435,3 +435,99 @@ def kmeans_fit(
             "cid", "centroid", F.coalesce("n_members", F.lit(0)).alias("n_members")
         )
     )
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subspaces of ``dim/m`` dims, train a k-codeword L2 codebook per
+    subspace (Lloyd's, deterministic lowest-id seeding), and emit every
+    vector's code tuple + reconstruction MSE — the 8-byte-per-vector ANN
+    compression (vs 64 for int8 ``embedding_quantize``, 256 for floats).
+
+    All ``m`` sub-quantizers train in ONE plan per iteration: subspace is
+    a key, not a loop. Assignment is fully narrow — the m×k×(dim/m)
+    codebook re-enters as a nested literal (~8 KB), each (vector,
+    subspace) row picks ``array_min`` over k (dist², cid) structs, so the
+    corpus never shuffles; the update is a (s, cid, pos)-keyed mean whose
+    map-side partials collapse the fan-out to m·k·(dim/m)=1024 rows per
+    exchange, and only those 1024 doubles reach the driver per iteration
+    (kmeans_fit's loop discipline with quality_classifier's literal
+    re-entry). dist² = v·v − 2·v·c + c·c with the same left-to-right MACs
+    as DuckDB's list_dot_product, so the whole recurrence is
+    hash-checkable; empty cells carry forward (Lloyd's degeneracy).
+
+    Returns (vec_id, codes array<int> length m, mse double).
+    """
+    d_sub = dim // m
+    ve = _as_double(vec_col)
+    chunks = F.array(*[F.slice(ve, s * d_sub + 1, d_sub) for s in range(m)])
+    sub = vectors.select(
+        F.col(id_col).alias("vid"), F.posexplode(chunks).alias("s", "sve")
+    ).persist()
+
+    seed_rows = vectors.select(id_col, ve.alias("v")).orderBy(id_col).limit(k).collect()
+    # cents[s][cid] -> list of d_sub floats
+    cents = [
+        [list(r["v"][s * d_sub : (s + 1) * d_sub]) for r in seed_rows]
+        for s in range(m)
+    ]
+
+    def assign_best(cents):
+        clit = F.lit(cents)  # array<array<array<double>>>, indexed [s+1][cid+1]
+        cc = [[sum(x * x for x in ce) for ce in row] for row in cents]
+        cclit = F.lit(cc)
+        vv = dot(F.col("sve"), F.col("sve"))
+        cand = F.array(
+            *[
+                F.struct(
+                    (
+                        vv
+                        - F.lit(2.0)
+                        * dot(
+                            F.col("sve"),
+                            F.element_at(F.element_at(clit, F.col("s") + 1), c + 1),
+                        )
+                        + F.element_at(F.element_at(cclit, F.col("s") + 1), c + 1)
+                    ).alias("d"),
+                    F.lit(c).cast("int").alias("cid"),
+                )
+                for c in range(k)
+            ]
+        )
+        return sub.select("vid", "s", "sve", F.array_min(cand).alias("best"))
+
+    for _ in range(n_iter):
+        means = (
+            assign_best(cents)
+            .select("s", F.col("best.cid").alias("cid"), F.posexplode("sve").alias("pos", "x"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault((r["s"], r["cid"]), [0.0] * d_sub)[r["pos"]] = r["mu"]
+        cents = [
+            [new.get((s, c), cents[s][c]) for c in range(k)] for s in range(m)
+        ]
+
+    fin = assign_best(cents)
+    return (
+        fin.groupBy("vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", F.col("best.cid").alias("cid")))),
+                lambda t: t["cid"],
+            ).alias("codes"),
+            (F.sum("best.d") / F.lit(float(dim))).alias("mse"),
+        )
+        .select(F.col("vid").alias(id_col), "codes", "mse")
+    )

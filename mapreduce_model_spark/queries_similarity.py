@@ -1395,3 +1395,98 @@ def ann_recall_report(spark, sf_dir):
         rnd(n_hit_s / n, 4).alias("recall_single"),
         rnd(n_hit_m / n, 4).alias("recall_multi"),
     )
+
+
+_PQ_M, _PQ_K, _PQ_ITER, _PQ_D = 8, 16, 3, 64
+
+
+def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+    """Per-subspace Lloyd's unrolled into chained CTEs — _kmeans_cte's
+    move with subspace as a key (one recurrence covers all m codebooks).
+    dist² = v·v − 2·v·c + c·c with left-to-right MACs in both engines;
+    empty-cell carry-forward via LEFT JOIN + coalesce."""
+    d_sub = _PQ_D // m
+    dist = (
+        "list_dot_product(v.sve, v.sve) - 2 * list_dot_product(v.sve, c.ce) "
+        "+ list_dot_product(c.ce, c.ce)"
+    )
+    sql = f"""
+WITH v AS (
+    SELECT vec_id AS vid, t.s::INTEGER AS s,
+           (embedding::DOUBLE[])[t.s*{d_sub}+1 : t.s*{d_sub}+{d_sub}] AS sve
+    FROM embeddings CROSS JOIN range(0, {m}) t(s)
+), sv AS (
+    SELECT vec_id AS vid FROM embeddings ORDER BY vec_id LIMIT {k}
+), c0 AS (
+    SELECT v.s,
+           CAST(row_number() OVER (PARTITION BY v.s ORDER BY v.vid) - 1
+                AS INTEGER) AS cid,
+           v.sve AS ce
+    FROM v JOIN sv USING (vid)
+)"""
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        sql += f"""
+, a{t} AS (
+    SELECT vid, s, sve, cid FROM (
+        SELECT v.vid, v.s, v.sve, c.cid,
+               row_number() OVER (PARTITION BY v.vid, v.s
+                   ORDER BY {dist} ASC, c.cid) AS rn
+        FROM v JOIN c{p} c ON v.s = c.s) t
+    WHERE rn = 1
+), p{t} AS (
+    SELECT s, cid, unnest(range(0, {d_sub})) AS pos, sve FROM a{t}
+), m{t} AS (
+    SELECT s, cid, pos, avg(sve[pos + 1]) AS mu FROM p{t} GROUP BY s, cid, pos
+), n{t} AS (
+    SELECT s, cid, list(mu ORDER BY pos) AS ce FROM m{t} GROUP BY s, cid
+), c{t} AS (
+    SELECT c{p}.s, c{p}.cid, coalesce(n{t}.ce, c{p}.ce) AS ce
+    FROM c{p} LEFT JOIN n{t} USING (s, cid)
+)"""
+    sql += f"""
+, afin AS (
+    SELECT vid, s, cid, d FROM (
+        SELECT v.vid, v.s, c.cid, {dist} AS d,
+               row_number() OVER (PARTITION BY v.vid, v.s
+                   ORDER BY {dist} ASC, c.cid) AS rn
+        FROM v JOIN c{n_iter} c ON v.s = c.s) t
+    WHERE rn = 1
+)
+SELECT vid AS vec_id,
+       array_to_string(list(cid ORDER BY s), ',') AS codes,
+       round(sum(d) / 64.0 + 1e-9, 6) AS mse
+FROM afin GROUP BY vid
+"""
+    return sql
+
+
+@query("embedding_pq", oracle=_pq_oracle())
+def embedding_pq(spark, sf_dir):
+    """Product quantization (operators/similarity.py pq_fit): 8 subspaces
+    × 16 codewords × 3 Lloyd iterations → every vector as 8 one-byte
+    codes + reconstruction MSE. The 32× ANN memory lever beyond
+    embedding_quantize's int8 (8 B vs 256 B per vector), and the codebook
+    layout IVF-PQ engines build on. FULLY hash-checked against the
+    unrolled per-subspace-Lloyd's oracle (_pq_oracle; the _kmeans_cte
+    float-stability argument applies — decision gaps are measured orders
+    of magnitude above cross-engine 1e-16 mean noise, pinned in tests
+    with a numpy recompute).
+
+    Scale: all 8 sub-quantizers train in ONE plan per iteration —
+    subspace is a key, not a loop; assignment is narrow (8 KB codebook
+    literal re-enters, corpus never shuffles), each update exchange
+    carries 1024 map-side-combined partial means, and 1024 doubles reach
+    the driver per iteration."""
+    from mapreduce_model_spark.operators.similarity import pq_fit
+
+    out = pq_fit(
+        table(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER
+    )
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        rnd(F.col("mse"), 6).alias("mse"),
+    )

@@ -276,3 +276,59 @@ def test_bpe_encode_matches_python_recompute(spark, sf_dir):
         assert r["n_tokens"] == len(sym)
         assert r["c"] == wc[r["word"]]
         assert "".join(sym) == r["word"]
+
+
+def test_embedding_pq_matches_numpy_recompute(spark, sf_dir):
+    """PQ codes and MSE equal an independent numpy recompute (same
+    seeding, same L2 recurrence), and the final-assignment decision gap
+    (runner-up dist² − best dist²) is orders of magnitude above the
+    ~1e-16 cross-engine float noise — the hash-stability argument for
+    the unrolled oracle, measured."""
+    import numpy as np
+
+    from mapreduce_model_spark.queries_similarity import (
+        _PQ_ITER,
+        _PQ_K,
+        _PQ_M,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vids = pdf["vec_id"].to_numpy()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    n, d = X.shape
+    ds = d // _PQ_M
+    sub = X.reshape(n, _PQ_M, ds)  # row order == vec_id order
+    cents = sub[:_PQ_K].transpose(1, 0, 2).copy()  # (m, k, ds)
+
+    def assign(cents):
+        # dist² (n, m, k); argmin ties broken by lowest cid (np argmin does)
+        d2 = (
+            np.einsum("nmd,nmd->nm", sub, sub)[:, :, None]
+            - 2 * np.einsum("nmd,mkd->nmk", sub, cents)
+            + np.einsum("mkd,mkd->mk", cents, cents)[None, :, :]
+        )
+        return d2, d2.argmin(axis=2)
+
+    for _ in range(_PQ_ITER):
+        _, a = assign(cents)
+        for m in range(_PQ_M):
+            for c in range(_PQ_K):
+                mask = a[:, m] == c
+                if mask.any():
+                    cents[m, c] = sub[mask, m].mean(axis=0)
+    d2, a = assign(cents)
+    srt = np.sort(d2, axis=2)
+    gap = float((srt[:, :, 1] - srt[:, :, 0]).min())
+    assert gap > 1e-8, f"decision gap {gap} too close to float noise"
+
+    exp_codes = {int(v): ",".join(str(c) for c in row) for v, row in zip(vids, a)}
+    exp_mse = {
+        int(v): float(np.take_along_axis(d2[i], a[i][:, None], 1).sum() / d)
+        for i, v in enumerate(vids)
+    }
+    got = QUERIES["embedding_pq"](spark, sf_dir).collect()
+    assert len(got) == n
+    for r in got:
+        assert r["codes"] == exp_codes[r["vec_id"]], r["vec_id"]
+        assert abs(r["mse"] - exp_mse[r["vec_id"]]) < 1e-5

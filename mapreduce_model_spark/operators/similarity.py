@@ -445,6 +445,7 @@ def pq_fit(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    return_codebook: bool = False,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each vector into
     ``m`` subspaces of ``dim/m`` dims, train a k-codeword L2 codebook per
@@ -464,7 +465,9 @@ def pq_fit(
     as DuckDB's list_dot_product, so the whole recurrence is
     hash-checkable; empty cells carry forward (Lloyd's degeneracy).
 
-    Returns (vec_id, codes array<int> length m, mse double).
+    Returns (vec_id, codes array<int> length m, mse double); with
+    ``return_codebook`` also the trained ``cents[s][cid] -> d_sub floats``
+    (similarity_pq_adc turns it into per-query ADC lookup tables).
     """
     d_sub = dim // m
     ve = _as_double(vec_col)
@@ -520,7 +523,7 @@ def pq_fit(
         ]
 
     fin = assign_best(cents)
-    return (
+    out = (
         fin.groupBy("vid")
         .agg(
             F.transform(
@@ -531,3 +534,4 @@ def pq_fit(
         )
         .select(F.col("vid").alias(id_col), "codes", "mse")
     )
+    return (out, cents) if return_codebook else out

@@ -1400,11 +1400,14 @@ def ann_recall_report(spark, sf_dir):
 _PQ_M, _PQ_K, _PQ_ITER, _PQ_D = 8, 16, 3, 64
 
 
-def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+def _pq_chain(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
     """Per-subspace Lloyd's unrolled into chained CTEs — _kmeans_cte's
     move with subspace as a key (one recurrence covers all m codebooks).
     dist² = v·v − 2·v·c + c·c with left-to-right MACs in both engines;
-    empty-cell carry-forward via LEFT JOIN + coalesce."""
+    empty-cell carry-forward via LEFT JOIN + coalesce. Ends at ``afin``
+    (final per-(vector, subspace) code + its dist²) + ``c{n_iter}`` (final
+    codebook) — the ONE recurrence shared by the embedding_pq and
+    similarity_pq_adc oracles."""
     d_sub = _PQ_D // m
     dist = (
         "list_dot_product(v.sve, v.sve) - 2 * list_dot_product(v.sve, c.ce) "
@@ -1452,13 +1455,18 @@ WITH v AS (
                    ORDER BY {dist} ASC, c.cid) AS rn
         FROM v JOIN c{n_iter} c ON v.s = c.s) t
     WHERE rn = 1
-)
+)"""
+    return sql
+
+
+def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+    """Code-tuple + reconstruction-MSE face of the shared recurrence."""
+    return _pq_chain(m, k, n_iter) + """
 SELECT vid AS vec_id,
        array_to_string(list(cid ORDER BY s), ',') AS codes,
        round(sum(d) / 64.0 + 1e-9, 6) AS mse
 FROM afin GROUP BY vid
 """
-    return sql
 
 
 @query("embedding_pq", oracle=_pq_oracle())
@@ -1489,4 +1497,115 @@ def embedding_pq(spark, sf_dir):
             F.transform("codes", lambda c: c.cast("string")), ","
         ).alias("codes"),
         rnd(F.col("mse"), 6).alias("mse"),
+    )
+
+
+_PQ_NQ, _PQ_TOPK = 5, 3
+
+
+def _pq_adc_oracle() -> str:
+    """ADC face of the shared PQ recurrence: per (query, subspace) the
+    dist² table row is the SAME v·v − 2·v·c + c·c expression, summed over
+    the stored codes — the oracle scores codes exactly like the engine."""
+    d_sub = _PQ_D // _PQ_M
+    return _pq_chain() + f"""
+, qv AS (
+    SELECT vec_id AS query_id, t.s::INTEGER AS s,
+           (embedding::DOUBLE[])[t.s*{d_sub}+1 : t.s*{d_sub}+{d_sub}] AS qsve
+    FROM embeddings CROSS JOIN range(0, {_PQ_M}) t(s)
+    WHERE vec_id < {_PQ_NQ}
+), adc AS (
+    SELECT q.query_id, a.vid AS vec_id,
+           sum(list_dot_product(q.qsve, q.qsve)
+               - 2 * list_dot_product(q.qsve, c.ce)
+               + list_dot_product(c.ce, c.ce)) AS adc
+    FROM afin a
+    JOIN c{_PQ_ITER} c ON c.s = a.s AND c.cid = a.cid
+    JOIN qv q ON q.s = a.s
+    WHERE a.vid <> q.query_id
+    GROUP BY q.query_id, a.vid
+)
+SELECT query_id, vec_id, round(adc + 1e-9, 6) AS adc, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, vec_id) AS rank
+      FROM adc)
+WHERE rank <= {_PQ_TOPK}
+"""
+
+
+@query("similarity_pq_adc", oracle=_pq_adc_oracle())
+def similarity_pq_adc(spark, sf_dir):
+    """Asymmetric-distance top-k over the PQ-compressed corpus (the IVF-PQ
+    search half): each query precomputes an 8×16 lookup table of dist²(q
+    subvector, codeword), and every corpus vector is scored from its
+    8-byte code by EIGHT TABLE LOOKUPS — the corpus embeddings are never
+    touched again after encoding. Self excluded; ascending ADC with id
+    tie-break. Hash-checked end to end via the shared _pq_chain recurrence
+    (training AND scoring reproduced in SQL).
+
+    Scale: the scored frame is codes-only (8 B/vector — a 32× smaller
+    scan than the float corpus); the per-query tables re-enter as a
+    broadcast |Q|-row frame, scoring is fully narrow, and the only
+    exchange is the per-query top-k window keyed by query_id. This is the
+    memory-bound regime ADC exists for: at 100 TB of vectors the float
+    corpus doesn't fit the cluster's RAM, the code table does."""
+    from mapreduce_model_spark.operators.similarity import pq_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes_df, cents = pq_fit(
+        emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, return_codebook=True
+    )
+    d_sub = _PQ_D // _PQ_M
+
+    def ldot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qrows = (
+        emb.filter(F.col("vec_id") < _PQ_NQ)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    tbl_rows = []
+    for r in qrows:
+        tbl = []
+        for s in range(_PQ_M):
+            qs = list(r["v"][s * d_sub : (s + 1) * d_sub])
+            qq = ldot(qs, qs)
+            tbl.append(
+                [qq - 2 * ldot(qs, ce) + ldot(ce, ce) for ce in cents[s]]
+            )
+        tbl_rows.append((r["vec_id"], tbl))
+    q = spark.createDataFrame(tbl_rows, "query_id long, tbl array<array<double>>")
+
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda s: F.element_at(
+                F.element_at("tbl", s + 1),
+                F.element_at("codes", s + 1) + 1,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes_df.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            rnd(F.col("adc"), 6).alias("adc"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

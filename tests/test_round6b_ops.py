@@ -278,19 +278,11 @@ def test_bpe_encode_matches_python_recompute(spark, sf_dir):
         assert "".join(sym) == r["word"]
 
 
-def test_embedding_pq_matches_numpy_recompute(spark, sf_dir):
-    """PQ codes and MSE equal an independent numpy recompute (same
-    seeding, same L2 recurrence), and the final-assignment decision gap
-    (runner-up dist² − best dist²) is orders of magnitude above the
-    ~1e-16 cross-engine float noise — the hash-stability argument for
-    the unrolled oracle, measured."""
-    import numpy as np
-
-    from mapreduce_model_spark.queries_similarity import (
-        _PQ_ITER,
-        _PQ_K,
-        _PQ_M,
-    )
+def _np_pq(spark, sf_dir):
+    """Independent numpy PQ training (same seeding, same L2 recurrence):
+    returns (vids, per-subspace matrix, trained codebook, final dist²
+    tensor, final codes)."""
+    from mapreduce_model_spark.queries_similarity import _PQ_ITER, _PQ_K, _PQ_M
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
     pdf = emb.select("vec_id", "embedding").toPandas()
@@ -318,6 +310,17 @@ def test_embedding_pq_matches_numpy_recompute(spark, sf_dir):
                 if mask.any():
                     cents[m, c] = sub[mask, m].mean(axis=0)
     d2, a = assign(cents)
+    return vids, sub, cents, d2, a
+
+
+def test_embedding_pq_matches_numpy_recompute(spark, sf_dir):
+    """PQ codes and MSE equal an independent numpy recompute (same
+    seeding, same L2 recurrence), and the final-assignment decision gap
+    (runner-up dist² − best dist²) is orders of magnitude above the
+    ~1e-16 cross-engine float noise — the hash-stability argument for
+    the unrolled oracle, measured."""
+    vids, sub, cents, d2, a = _np_pq(spark, sf_dir)
+    n, d = len(vids), sub.shape[1] * sub.shape[2]
     srt = np.sort(d2, axis=2)
     gap = float((srt[:, :, 1] - srt[:, :, 0]).min())
     assert gap > 1e-8, f"decision gap {gap} too close to float noise"
@@ -332,3 +335,38 @@ def test_embedding_pq_matches_numpy_recompute(spark, sf_dir):
     for r in got:
         assert r["codes"] == exp_codes[r["vec_id"]], r["vec_id"]
         assert abs(r["mse"] - exp_mse[r["vec_id"]]) < 1e-5
+
+
+def test_similarity_pq_adc_matches_numpy(spark, sf_dir):
+    """The ADC ranking equals a numpy recompute (train → per-query dist²
+    tables → eight lookups per corpus vector → ascending sort with id
+    tie-break, self excluded) — pins the table construction AND the
+    lookup/ranking plumbing behind the oracle."""
+    from mapreduce_model_spark.queries_similarity import _PQ_NQ, _PQ_TOPK
+
+    vids, sub, cents, _, a = _np_pq(spark, sf_dir)
+    id2row = {int(v): i for i, v in enumerate(vids)}
+    expected = {}
+    for qid in sorted(id2row)[:_PQ_NQ]:
+        assert qid < _PQ_NQ  # query set is vec_id < _PQ_NQ by definition
+        qsub = sub[id2row[qid]]  # (m, ds)
+        # tables[s][c] = dist²(q subvector s, codeword c)
+        tbl = (
+            np.einsum("md,md->m", qsub, qsub)[:, None]
+            - 2 * np.einsum("md,mkd->mk", qsub, cents)
+            + np.einsum("mkd,mkd->mk", cents, cents)
+        )
+        scored = [
+            (float(tbl[np.arange(tbl.shape[0]), a[i]].sum()), int(v))
+            for i, v in enumerate(vids)
+            if int(v) != qid
+        ]
+        scored.sort()
+        expected[qid] = scored[:_PQ_TOPK]
+
+    got = QUERIES["similarity_pq_adc"](spark, sf_dir).collect()
+    assert len(got) == _PQ_NQ * _PQ_TOPK
+    for r in got:
+        exp_adc, exp_vid = expected[r["query_id"]][r["rank"] - 1]
+        assert r["vec_id"] == exp_vid, (r, expected[r["query_id"]])
+        assert abs(r["adc"] - exp_adc) < 1e-5

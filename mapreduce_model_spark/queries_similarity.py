@@ -1609,3 +1609,64 @@ def similarity_pq_adc(spark, sf_dir):
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "embedding_drift",
+    oracle="""
+WITH p AS (
+    SELECT label, t.pos::INTEGER AS pos,
+           (embedding::DOUBLE[])[t.pos + 1] AS x
+    FROM embeddings CROSS JOIN range(0, 64) t(pos)
+), stats AS (
+    SELECT label, pos, avg(x) AS mu, sqrt(var_pop(x)) AS sigma
+    FROM p GROUP BY label, pos
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sum((a.mu - b.mu) * (a.mu - b.mu)) + 1e-9, 6) AS mean_dist2,
+       round(sum((a.mu - b.mu) * (a.mu - b.mu)
+                 + (a.sigma - b.sigma) * (a.sigma - b.sigma)) + 1e-9, 6)
+           AS frechet_diag
+FROM stats a JOIN stats b ON a.pos = b.pos AND a.label < b.label
+GROUP BY a.label, b.label
+""",
+)
+def embedding_drift(spark, sf_dir):
+    """Distribution drift between embedding groups — the
+    Fréchet/FID-style distance with diagonal covariance: for every label
+    pair, ‖μ_a − μ_b‖² plus the per-dimension (σ_a − σ_b)² term. The
+    monitor a pipeline runs when a new crawl snapshot / encoder version
+    lands: "did the embedding distribution move?", per group, as a
+    number. Hash-checked (means/variances are algebraic; both engines
+    round at 1e-6, far above cross-engine 1e-15 summation noise).
+
+    Scale: ONE fact pass (posexplode → (label, pos)-keyed avg/var_pop
+    whose map-side partials collapse the ×64 fan-out); everything after
+    runs on the |labels|×64 stats frame — the pair join is
+    |labels|²-bounded and never touches vector data again."""
+    emb = table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("mu"), F.sqrt(F.var_pop("x")).alias("sigma"))
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    dmu = F.col("a.mu") - F.col("b.mu")
+    dsig = F.col("a.sigma") - F.col("b.sigma")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            rnd(F.sum(dmu * dmu), 6).alias("mean_dist2"),
+            rnd(F.sum(dmu * dmu + dsig * dsig), 6).alias("frechet_diag"),
+        )
+    )

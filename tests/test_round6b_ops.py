@@ -370,3 +370,27 @@ def test_similarity_pq_adc_matches_numpy(spark, sf_dir):
         exp_adc, exp_vid = expected[r["query_id"]][r["rank"] - 1]
         assert r["vec_id"] == exp_vid, (r, expected[r["query_id"]])
         assert abs(r["adc"] - exp_adc) < 1e-5
+
+
+def test_embedding_drift_matches_numpy(spark, sf_dir):
+    """Fréchet-diagonal drift equals numpy's per-label moments; the
+    metric is symmetric-by-construction (a<b canonical), non-negative,
+    and zero between a group and itself."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.select("label", "embedding").toPandas()
+    by_label = {}
+    for lbl, grp in pdf.groupby("label"):
+        X = np.array(grp["embedding"].tolist(), dtype=np.float64)
+        by_label[int(lbl)] = (X.mean(0), X.std(0))  # population std
+    got = QUERIES["embedding_drift"](spark, sf_dir).collect()
+    labels = sorted(by_label)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for r in got:
+        mu_a, sd_a = by_label[r["label_a"]]
+        mu_b, sd_b = by_label[r["label_b"]]
+        md2 = float(((mu_a - mu_b) ** 2).sum())
+        fre = md2 + float(((sd_a - sd_b) ** 2).sum())
+        assert r["label_a"] < r["label_b"]
+        assert abs(r["mean_dist2"] - md2) < 1e-5
+        assert abs(r["frechet_diag"] - fre) < 1e-5
+        assert r["frechet_diag"] >= r["mean_dist2"] >= 0

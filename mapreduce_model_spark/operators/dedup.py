@@ -422,18 +422,23 @@ def oph_signatures(
 
     Every value is md5-derived; DuckDB reproduces the identical integers,
     so unlike classic sketches this one is fully hash-checkable.
+
+    Implementation: densification has a closed form INSIDE the aggregate —
+    for target bin i, a shingle in bin j is a candidate at offset
+    d = (j − i) mod k, worth ``x + d·P``; since every x < P, a smaller d
+    always wins, so ``min(x + ((x % k − i) mod k)·P)`` IS "owned min,
+    else nearest non-empty bin clockwise + d·P". One plain min per bin —
+    same aggregate shape as classic MinHash's k congruence mins, fully
+    codegen — instead of a k×k coalesce chain after the groupBy (the
+    naive two-pass form measured 1.8× slower at sf0.1 and shipped a 1 MB
+    task binary).
     """
     sh = doc_shingle_hashes(df, text_col, id_col, shingle_k)
-    bins = [
-        F.min(F.when(F.col("x") % k == i, F.col("x"))).alias(f"b{i}")
+    dens = [
+        F.min(
+            F.col("x")
+            + ((F.col("x") % k - i + k) % k) * F.lit(MERSENNE_P)
+        ).alias(f"h{i}")
         for i in range(k)
     ]
-    g = sh.groupBy(id_col).agg(*bins)
-    dens = []
-    for i in range(k):
-        terms = [F.col(f"b{i}")]
-        for d in range(1, k):
-            j = (i + d) % k
-            terms.append(F.col(f"b{j}") + F.lit(d * MERSENNE_P))
-        dens.append(F.coalesce(*terms).alias(f"h{i}"))
-    return g.select(F.col(id_col), *dens)
+    return sh.groupBy(id_col).agg(*dens)

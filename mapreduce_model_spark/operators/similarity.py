@@ -454,16 +454,20 @@ def pq_fit(
     compression (vs 64 for int8 ``embedding_quantize``, 256 for floats).
 
     All ``m`` sub-quantizers train in ONE plan per iteration: subspace is
-    a key, not a loop. Assignment is fully narrow — the m×k×(dim/m)
-    codebook re-enters as a nested literal (~8 KB), each (vector,
-    subspace) row picks ``array_min`` over k (dist², cid) structs, so the
-    corpus never shuffles; the update is a (s, cid, pos)-keyed mean whose
-    map-side partials collapse the fan-out to m·k·(dim/m)=1024 rows per
-    exchange, and only those 1024 doubles reach the driver per iteration
-    (kmeans_fit's loop discipline with quality_classifier's literal
-    re-entry). dist² = v·v − 2·v·c + c·c with the same left-to-right MACs
-    as DuckDB's list_dot_product, so the whole recurrence is
-    hash-checkable; empty cells carry forward (Lloyd's degeneracy).
+    a key, not a loop. Assignment: the m×k×(dim/m) codebook re-enters as
+    a nested literal (~8 KB, no join), each (vector, subspace) row
+    explodes its k candidates and an ALGEBRAIC min(struct(rk, cid))
+    collapses them map-side, so the only exchange per pass carries one
+    partial-min row per (vector, subspace); the update is a
+    (s, cid, pos)-keyed mean whose map-side partials collapse the fan-out
+    to m·k·(dim/m)=1024 rows per exchange, and only those 1024 doubles
+    reach the driver per iteration (kmeans_fit's loop discipline with
+    quality_classifier's literal re-entry). The argmin key rk =
+    c·c − 2·v·c drops the per-row constant v·v (winner unchanged; full
+    dist² is reassembled as v·v + rk where MSE needs it), with the same
+    left-to-right MACs as DuckDB's list_dot_product, so the whole
+    recurrence is hash-checkable; empty cells carry forward (Lloyd's
+    degeneracy).
 
     Returns (vec_id, codes array<int> length m, mse double); with
     ``return_codebook`` also the trained ``cents[s][cid] -> d_sub floats``
@@ -483,29 +487,49 @@ def pq_fit(
         for s in range(m)
     ]
 
+    def udot(a, b):
+        # dot unrolled over the d_sub dims as explicit left-associated
+        # multiply-adds: bit-identical to the F.aggregate fold (and to
+        # DuckDB's list_dot_product) but stays inside whole-stage codegen
+        expr = F.lit(0.0)
+        for p in range(d_sub):
+            expr = expr + F.element_at(a, p + 1) * F.element_at(b, p + 1)
+        return expr
+
     def assign_best(cents):
+        # Explode the k candidate codewords per (vector, subspace) row and
+        # take the ALGEBRAIC min(struct(rk, cid)) — map-side partials
+        # collapse the ×k fan-out before the (vid, s) exchange, every
+        # expression stays k-independent and tiny (a k-wide array_min
+        # candidate expression measured 3-8× slower here: past ~16
+        # candidates the generated method overflows codegen limits and the
+        # whole projection falls back to interpreted eval). The comparison
+        # key drops the per-row constant v·v (argmin unchanged, ONE
+        # parenthesization shared with the oracle); the winner's full
+        # dist² is reassembled as v·v + rk only where mse needs it.
         clit = F.lit(cents)  # array<array<array<double>>>, indexed [s+1][cid+1]
         cc = [[sum(x * x for x in ce) for ce in row] for row in cents]
         cclit = F.lit(cc)
-        vv = dot(F.col("sve"), F.col("sve"))
-        cand = F.array(
-            *[
-                F.struct(
-                    (
-                        vv
-                        - F.lit(2.0)
-                        * dot(
-                            F.col("sve"),
-                            F.element_at(F.element_at(clit, F.col("s") + 1), c + 1),
-                        )
-                        + F.element_at(F.element_at(cclit, F.col("s") + 1), c + 1)
-                    ).alias("d"),
-                    F.lit(c).cast("int").alias("cid"),
-                )
-                for c in range(k)
-            ]
+        ex = sub.select(
+            "vid",
+            "s",
+            "sve",
+            F.posexplode(F.element_at(clit, F.col("s") + 1)).alias("cid", "ce"),
         )
-        return sub.select("vid", "s", "sve", F.array_min(cand).alias("best"))
+        rk = (
+            F.element_at(F.element_at(cclit, F.col("s") + 1), F.col("cid") + 1)
+            - F.lit(2.0) * udot(F.col("sve"), F.col("ce"))
+        )
+        return (
+            ex.select(
+                "vid",
+                "s",
+                "sve",
+                F.struct(rk.alias("rk"), F.col("cid").alias("cid")).alias("cand"),
+            )
+            .groupBy("vid", "s")
+            .agg(F.min("cand").alias("best"), F.min("sve").alias("sve"))
+        )
 
     for _ in range(n_iter):
         means = (
@@ -522,7 +546,9 @@ def pq_fit(
             [new.get((s, c), cents[s][c]) for c in range(k)] for s in range(m)
         ]
 
-    fin = assign_best(cents)
+    fin = assign_best(cents).withColumn(
+        "d", udot(F.col("sve"), F.col("sve")) + F.col("best.rk")
+    )
     out = (
         fin.groupBy("vid")
         .agg(
@@ -530,7 +556,7 @@ def pq_fit(
                 F.array_sort(F.collect_list(F.struct("s", F.col("best.cid").alias("cid")))),
                 lambda t: t["cid"],
             ).alias("codes"),
-            (F.sum("best.d") / F.lit(float(dim))).alias("mse"),
+            (F.sum("d") / F.lit(float(dim))).alias("mse"),
         )
         .select(F.col("vid").alias(id_col), "codes", "mse")
     )

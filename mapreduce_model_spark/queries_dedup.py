@@ -102,25 +102,17 @@ def q_near_minhash(spark, sf_dir):
 
 
 def _oph_oracle() -> str:
-    """Bin-min + rotation-densification unrolled as generated SQL — the
+    """Closed-form bin-min + rotation densification as generated SQL — the
     same constants (K bins, d·P offsets) as operators.dedup.oph_signatures,
-    one source of truth."""
-    bins = ",\n           ".join(
-        f"min(CASE WHEN x % {K} = {i} THEN x END) AS b{i}" for i in range(K)
-    )
-    dens = []
-    for i in range(K):
-        terms = [f"b{i}"] + [
-            f"b{(i + d) % K} + {d * MERSENNE_P}" for d in range(1, K)
-        ]
-        dens.append("coalesce(" + ", ".join(terms) + ")::VARCHAR")
-    sig = "concat_ws(',', " + ",\n       ".join(dens) + ")"
-    return _SHX + f""", bins AS (
-    SELECT doc_id,
-           {bins}
-    FROM shx GROUP BY doc_id
-)
-SELECT doc_id, {sig} AS sig FROM bins
+    one source of truth (see its docstring for why the min IS the
+    densification)."""
+    mins = [
+        f"min(x + ((x % {K} - {i} + {K}) % {K}) * {MERSENNE_P})::VARCHAR"
+        for i in range(K)
+    ]
+    sig = "concat_ws(',', " + ",\n       ".join(mins) + ")"
+    return _SHX + f"""SELECT doc_id, {sig} AS sig
+FROM shx GROUP BY doc_id
 """
 
 

@@ -1409,10 +1409,13 @@ def _pq_chain(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
     codebook) — the ONE recurrence shared by the embedding_pq and
     similarity_pq_adc oracles."""
     d_sub = _PQ_D // m
-    dist = (
-        "list_dot_product(v.sve, v.sve) - 2 * list_dot_product(v.sve, c.ce) "
-        "+ list_dot_product(c.ce, c.ce)"
+    # the argmin key drops the per-(vector, subspace) constant v·v — same
+    # reduced expression (ONE parenthesization) as the engine's rk; the
+    # winner's full dist² is reassembled as v·v + rk exactly like pq_fit
+    rk = (
+        "list_dot_product(c.ce, c.ce) - 2 * list_dot_product(v.sve, c.ce)"
     )
+    dist = f"list_dot_product(v.sve, v.sve) + ({rk})"
     sql = f"""
 WITH v AS (
     SELECT vec_id AS vid, t.s::INTEGER AS s,
@@ -1434,7 +1437,7 @@ WITH v AS (
     SELECT vid, s, sve, cid FROM (
         SELECT v.vid, v.s, v.sve, c.cid,
                row_number() OVER (PARTITION BY v.vid, v.s
-                   ORDER BY {dist} ASC, c.cid) AS rn
+                   ORDER BY {rk} ASC, c.cid) AS rn
         FROM v JOIN c{p} c ON v.s = c.s) t
     WHERE rn = 1
 ), p{t} AS (
@@ -1452,7 +1455,7 @@ WITH v AS (
     SELECT vid, s, cid, d FROM (
         SELECT v.vid, v.s, c.cid, {dist} AS d,
                row_number() OVER (PARTITION BY v.vid, v.s
-                   ORDER BY {dist} ASC, c.cid) AS rn
+                   ORDER BY {rk} ASC, c.cid) AS rn
         FROM v JOIN c{n_iter} c ON v.s = c.s) t
     WHERE rn = 1
 )"""
@@ -1482,10 +1485,11 @@ def embedding_pq(spark, sf_dir):
     with a numpy recompute).
 
     Scale: all 8 sub-quantizers train in ONE plan per iteration —
-    subspace is a key, not a loop; assignment is narrow (8 KB codebook
-    literal re-enters, corpus never shuffles), each update exchange
-    carries 1024 map-side-combined partial means, and 1024 doubles reach
-    the driver per iteration."""
+    subspace is a key, not a loop; the 8 KB codebook re-enters as a
+    literal (no join), the candidate fan-out collapses map-side into an
+    algebraic min so each assign exchange carries one row per (vector,
+    subspace), each update exchange carries 1024 map-side-combined
+    partial means, and 1024 doubles reach the driver per iteration."""
     from mapreduce_model_spark.operators.similarity import pq_fit
 
     out = pq_fit(

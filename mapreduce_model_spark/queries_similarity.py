@@ -1674,3 +1674,72 @@ def embedding_drift(spark, sf_dir):
             rnd(F.sum(dmu * dmu + dsig * dsig), 6).alias("frechet_diag"),
         )
     )
+
+
+_NEG_NQ, _NEG_K = 10, 4
+
+
+@query(
+    "negative_sample_uniform",
+    oracle=f"""
+WITH anchors AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label
+    FROM embeddings WHERE vec_id < {_NEG_NQ}
+), cand AS (
+    SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+           ('0x' || substr(md5(a.anchor_id::VARCHAR || ':' || e.vec_id::VARCHAR),
+                           1, 8))::BIGINT AS pri
+    FROM anchors a JOIN embeddings e ON e.label <> a.anchor_label
+)
+SELECT anchor_id, anchor_label, vec_id, label, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY pri, vec_id) AS rank
+      FROM cand)
+WHERE rank <= {_NEG_K}
+""",
+)
+def negative_sample_uniform(spark, sf_dir):
+    """Uniform negative sampling for contrastive training — per anchor,
+    four different-label negatives drawn pseudo-randomly but
+    DETERMINISTICALLY: candidates ranked by md5(anchor:candidate), so the
+    sample is uniform-ish over the negative pool yet identical on every
+    run/engine (the reproducibility contract RNG-based samplers break;
+    same move as weighted_sample/train_val_split). Complements
+    hard_negative_mining: real batches mix uniform and hard negatives.
+
+    Scale: the anchor set broadcasts; the corpus is scanned once and only
+    (anchor, candidate-id, 8-byte priority) rows flow into the per-anchor
+    top-k — no embedding payload moves, and the per-anchor window is
+    keyed by anchor_id (no single-partition funnel)."""
+    from mapreduce_model_spark.functions.text import md5_int32
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _NEG_NQ).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    pri = md5_int32(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    cand = (
+        F.broadcast(anchors)
+        .join(emb, F.col("label") != F.col("anchor_label"))
+        .select("anchor_id", "anchor_label", "vec_id", "label", pri.alias("pri"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy("pri", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

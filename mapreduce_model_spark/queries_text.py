@@ -1909,7 +1909,7 @@ def _bpe_chain(steps: int = _BPE_STEPS) -> str:
     recurrence shared by the bpe_train and bpe_encode oracles."""
     sql = r"""
 WITH wbase AS (
-    SELECT doc_id,
+    SELECT doc_id, source,
            list_filter(
                list_transform(regexp_split_to_array(trim(text), '\s+'),
                               t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
@@ -2070,4 +2070,66 @@ def bpe_encode(spark, sf_dir):
         "seg",
         F.size(F.split("seg", " ")).cast("long").alias("n_tokens"),
         "c",
+    )
+
+
+def _fertility_oracle(steps: int = _BPE_STEPS) -> str:
+    """Per-source corpus-statistics face of the shared recurrence. Every
+    float is a single division of exact BIGINT sums — bit-identical in
+    both engines by construction."""
+    return _bpe_chain(steps) + f"""
+, swc AS (
+    SELECT source, w AS word, count(*)::BIGINT AS n
+    FROM (SELECT source, unnest(words) AS w FROM wbase)
+    GROUP BY source, w
+)
+SELECT source,
+       sum(n) AS n_words,
+       sum(n * len(string_split(s.seg, ' '))) AS n_tokens,
+       round(sum(n * len(string_split(s.seg, ' ')))::DOUBLE / sum(n) + 1e-9, 4)
+           AS fertility,
+       round(sum(n * length(s.word))::DOUBLE
+             / sum(n * len(string_split(s.seg, ' '))) + 1e-9, 4)
+           AS chars_per_token
+FROM swc JOIN s{steps} s USING (word)
+GROUP BY source
+"""
+
+
+@query("tokenizer_fertility", oracle=_fertility_oracle())
+def tokenizer_fertility(spark, sf_dir):
+    """Tokenizer quality report under the trained BPE merges — per
+    source: token-per-word fertility and chars-per-token compression, the
+    two numbers a tokenizer review actually reads (high fertility on a
+    domain ⇒ the vocab underserves it ⇒ training/inference cost inflates
+    there). Closes the tokenizer loop: bpe_train (merge table) →
+    bpe_encode (segmented dictionary) → fertility (corpus-wide effect).
+    Hash-checked via the same _bpe_chain recurrence.
+
+    Scale: one corpus pass builds the (source, word) count frame; the
+    dictionary join is word-keyed (the vocabulary is NOT broadcastable at
+    100 TB — shuffle join on the word is the standard shape, same as
+    bigram_pmi); every sum is an exact BIGINT so the final divisions are
+    bit-identical across engines."""
+    _, cur = _bpe_run(spark, sf_dir)
+    dic = cur.select(
+        "word",
+        F.size(F.split("seg", " ")).cast("long").alias("nt"),
+        F.length("word").cast("long").alias("nc"),
+    )
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    swc = (
+        docs.select("source", F.explode(words_array("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = swc.join(dic, "word")
+    tokens = F.sum(F.col("n") * F.col("nt"))
+    return j.groupBy("source").agg(
+        F.sum("n").alias("n_words"),
+        tokens.alias("n_tokens"),
+        rnd(tokens.cast("double") / F.sum("n"), 4).alias("fertility"),
+        rnd(
+            F.sum(F.col("n") * F.col("nc")).cast("double") / tokens, 4
+        ).alias("chars_per_token"),
     )

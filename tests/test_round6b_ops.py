@@ -394,3 +394,32 @@ def test_embedding_drift_matches_numpy(spark, sf_dir):
         assert abs(r["mean_dist2"] - md2) < 1e-5
         assert abs(r["frechet_diag"] - fre) < 1e-5
         assert r["frechet_diag"] >= r["mean_dist2"] >= 0
+
+
+def test_negative_sample_uniform_contract(spark, sf_dir):
+    """Exactly K negatives per anchor, never sharing the anchor's label,
+    no repeats within an anchor, and the draw spreads across the corpus
+    (not a prefix artifact: the selected ids aren't simply the smallest)."""
+    from mapreduce_model_spark.queries_similarity import _NEG_K, _NEG_NQ
+
+    rows = QUERIES["negative_sample_uniform"](spark, sf_dir).collect()
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert r["label"] != r["anchor_label"]
+        by_anchor.setdefault(r["anchor_id"], []).append(r["vec_id"])
+    assert len(by_anchor) == _NEG_NQ
+    for a, negs in by_anchor.items():
+        assert len(negs) == _NEG_K and len(set(negs)) == _NEG_K
+    all_ids = [v for negs in by_anchor.values() for v in negs]
+    assert max(all_ids) > _NEG_NQ * _NEG_K  # md5 spread, not an id prefix
+
+
+def test_tokenizer_fertility_bounds(spark, sf_dir):
+    """Fertility sits in [1, max word length]; chars/token ≥ 1; and the
+    corpus-wide token total shrinks vs character count (merges happened)."""
+    rows = QUERIES["tokenizer_fertility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r["fertility"], r
+        assert r["chars_per_token"] >= 1.0, r
+        assert r["n_tokens"] >= r["n_words"]

@@ -58,21 +58,26 @@ def shingle_cte(src: str = "documents", sfx: str = "") -> str:
 )"""
 
 
-def lsh_cte(src: str = "documents", sfx: str = "") -> str:
-    """The full MinHash-LSH candidate-pair pipeline (signatures → band
-    keys → hot-bucket cap → same-band pairs → estimated Jaccard) as a
-    parameterized CTE fragment ending at ``est{sfx}`` — the single SQL
-    source of truth shared by dedup_near_minhash, the dedup_clusters
-    oracle, and the corpus_build_pipeline_near oracle (which runs it over
-    the quality+exact-dedup survivor subset, not the raw table)."""
-    return shingle_cte(src, sfx) + f"""
-, sig{sfx} AS (
-    SELECT doc_id, {SIG_SQL} AS sig FROM shx{sfx} GROUP BY doc_id
-), banded{sfx} AS (
+OPH_SIG_SQL = (
+    "["
+    + ", ".join(
+        f"min(x + ((x % {K} - {i} + {K}) % {K}) * {MERSENNE_P})" for i in range(K)
+    )
+    + "]"
+)
+
+
+def banding_cte(sig_src: str, sfx: str = "") -> str:
+    """Band keys → hot-bucket cap → same-band pairs → estimated Jaccard,
+    from ANY signature relation exposing (doc_id, sig array) — the
+    banding tail shared by the classic-MinHash pipeline (lsh_cte) and the
+    OPH pipeline (dedup_near_oph), so both run one band geometry by
+    construction. Ends at ``est{sfx}``."""
+    return f"""banded{sfx} AS (
     SELECT doc_id, sig,
            md5(concat(j::VARCHAR, ',',
                array_to_string(sig[j*{ROWS}+1 : j*{ROWS}+{ROWS}], ','))) AS band_key
-    FROM sig{sfx} CROSS JOIN range(0, {BANDS}) t(j)
+    FROM {sig_src} CROSS JOIN range(0, {BANDS}) t(j)
 ), capped{sfx} AS (
     SELECT *, count(*) OVER (PARTITION BY band_key) AS bn FROM banded{sfx}
     QUALIFY bn <= {MAX_BUCKET}
@@ -87,6 +92,19 @@ def lsh_cte(src: str = "documents", sfx: str = "") -> str:
            / {K}.0 AS est_jaccard
     FROM pairs{sfx}
 )"""
+
+
+def lsh_cte(src: str = "documents", sfx: str = "") -> str:
+    """The full MinHash-LSH candidate-pair pipeline (signatures → band
+    keys → hot-bucket cap → same-band pairs → estimated Jaccard) as a
+    parameterized CTE fragment ending at ``est{sfx}`` — the single SQL
+    source of truth shared by dedup_near_minhash, the dedup_clusters
+    oracle, and the corpus_build_pipeline_near oracle (which runs it over
+    the quality+exact-dedup survivor subset, not the raw table)."""
+    return shingle_cte(src, sfx) + f"""
+, sig{sfx} AS (
+    SELECT doc_id, {SIG_SQL} AS sig FROM shx{sfx} GROUP BY doc_id
+), """ + banding_cte(f"sig{sfx}", sfx)
 
 
 def components_cte(sfx: str = "") -> str:

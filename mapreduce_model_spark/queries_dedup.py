@@ -17,10 +17,12 @@ from mapreduce_model_spark.functions.dedup_sql import (  # noqa: F401 — consta
     LSH_THRESHOLD,
     MAX_BUCKET,
     MAX_SHINGLE_DF,
+    OPH_SIG_SQL,
     ROWS,
     SHINGLE_K,
     SIMHASH_BITS,
     SIG_SQL as _SIG_SQL,
+    banding_cte,
     components_cte,
     lsh_cte,
     shingle_cte,
@@ -102,16 +104,11 @@ def q_near_minhash(spark, sf_dir):
 
 
 def _oph_oracle() -> str:
-    """Closed-form bin-min + rotation densification as generated SQL — the
-    same constants (K bins, d·P offsets) as operators.dedup.oph_signatures,
-    one source of truth (see its docstring for why the min IS the
-    densification)."""
-    mins = [
-        f"min(x + ((x % {K} - {i} + {K}) % {K}) * {MERSENNE_P})::VARCHAR"
-        for i in range(K)
-    ]
-    sig = "concat_ws(',', " + ",\n       ".join(mins) + ")"
-    return _SHX + f"""SELECT doc_id, {sig} AS sig
+    """Closed-form bin-min + rotation densification as generated SQL
+    (functions.dedup_sql.OPH_SIG_SQL — the same constants as
+    operators.dedup.oph_signatures, one source of truth; see its
+    docstring for why the min IS the densification)."""
+    return _SHX + f"""SELECT doc_id, array_to_string({OPH_SIG_SQL}, ',') AS sig
 FROM shx GROUP BY doc_id
 """
 
@@ -133,6 +130,39 @@ def q_minhash_oph(spark, sf_dir):
         F.concat_ws(
             ",", *[F.col(f"h{i}").cast("string") for i in range(K)]
         ).alias("sig"),
+    )
+
+
+@query(
+    "dedup_near_oph",
+    oracle="\nWITH "
+    + shingle_cte()
+    + f"""
+, osig AS (
+    SELECT doc_id, {OPH_SIG_SQL} AS sig FROM shx GROUP BY doc_id
+), """
+    + banding_cte("osig")
+    + f"""
+SELECT id_a, id_b, round(1e-9 + est_jaccard, 4) AS est_jaccard
+FROM est WHERE est_jaccard >= {LSH_THRESHOLD}
+""",
+)
+def q_near_oph(spark, sf_dir):
+    """The full near-dup pair pipeline running on ONE-PERMUTATION
+    signatures — proof the k-fold-cheaper sketch is a drop-in for the
+    banded-LSH machinery: same band geometry, same hot-bucket cap, same
+    estimator (bin agreement ≈ Jaccard), via the same lsh_near_dup_pairs
+    operator and the shared banding_cte SQL tail. At 100 TB this is the
+    configuration you'd actually run: OPH signatures upstream, identical
+    candidate generation downstream."""
+    sig = oph_signatures(
+        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+    )
+    sig_arr = sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(K)]).alias("sig")
+    )
+    return lsh_near_dup_pairs(
+        sig_arr, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
     )
 
 

@@ -383,6 +383,60 @@ COMMENTARY: dict[str, str] = {
         "is algebraic min/max/count. Every exchange carries ids + 16-byte "
         "hashes — document text never shuffles."
     ),
+    "dedup_minhash_oph": (
+        "One-permutation MinHash (r6): ONE md5 per shingle routed to bin "
+        "x%k, with rotation densification expressed as a CLOSED FORM "
+        "inside the aggregate (min(x + ((x%k − i) mod k)·P) per bin — see "
+        "operators/dedup.py), so the plan is the same one-explode + "
+        "one-map-side-combining-groupBy as classic MinHash with the "
+        "k-fold per-shingle hash CPU removed. Benches 1.4-1.6 s vs the "
+        "classic signature's 2.6 s at sf0.1; the naive two-pass "
+        "densification (k×k coalesce chain after the groupBy) measured "
+        "1.8x slower with a 1 MB task binary and was rejected."
+    ),
+    "embedding_pq": (
+        "Product quantization (r6): all 8 sub-codebooks train in ONE plan "
+        "per Lloyd iteration — subspace is a key. Assignment explodes the "
+        "16 candidates per (vector, subspace) row and collapses them "
+        "MAP-SIDE via an algebraic min(struct(rk, cid)) (the 16-wide "
+        "array_min candidate expression overflowed codegen limits and ran "
+        "interpreted, 3-8x slower — measured and rejected); the codebook "
+        "re-enters as an 8 KB literal, so there is no centroid join. Each "
+        "update exchange carries 1024 map-side-combined partial means; "
+        "1024 doubles reach the driver per iteration. The argmin key "
+        "drops the per-row constant v·v, shared with the oracle."
+    ),
+    "similarity_pq_adc": (
+        "ADC search over PQ codes (r6): per-query 8×16 dist² tables are "
+        "built on the driver from the trained codebook and broadcast as a "
+        "5-row frame; each corpus vector is scored from its 8-byte code "
+        "by eight table lookups — the float corpus is never read again "
+        "after encoding. The only exchange after the (shared) training "
+        "loop is the query_id-keyed top-k window. At 100 TB this is the "
+        "memory-bound regime PQ exists for: the code table is 32x "
+        "smaller than the vectors."
+    ),
+    "skew_audit": (
+        "Hot-key diagnostic (r6): one map-side-combining aggregate builds "
+        "the |keys| frame (persisted — totals and top-k both read it), "
+        "top-20 via TakeOrderedAndProject (no global sort, no window), "
+        "1-row totals broadcast back. The pre-join report that decides "
+        "salting (operators/skew.py) vs AQE skew handling."
+    ),
+    "embedding_drift": (
+        "Distribution-drift monitor (r6): ONE fact pass (posexplode → "
+        "(label, pos)-keyed avg/var_pop with map-side partials); the "
+        "Fréchet-diagonal assembly runs on the |labels|×64 stats frame — "
+        "the pair join is |labels|²-bounded and never touches vectors."
+    ),
+    "tokenizer_fertility": (
+        "Tokenizer corpus report (r6): the BPE loop runs on the "
+        "vocabulary-sized dictionary (bpe_train's discipline), then one "
+        "corpus pass builds (source, word) counts and a WORD-KEYED "
+        "shuffle join applies the segmentation — the vocabulary is not "
+        "broadcastable at 100 TB (bigram_pmi's argument). All sums are "
+        "exact BIGINTs; the only floats are two final divisions."
+    ),
 }
 
 

@@ -2133,3 +2133,112 @@ def tokenizer_fertility(spark, sf_dir):
             F.sum(F.col("n") * F.col("nc")).cast("double") / tokens, 4
         ).alias("chars_per_token"),
     )
+
+
+_LEX_NQ, _LEX_TOPK = 10, 5
+
+
+@query(
+    "lexical_topk",
+    oracle=rf"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+), tf AS (
+    SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS x,
+           count(*)::BIGINT AS tf
+    FROM (SELECT doc_id, unnest(words) AS w FROM wbase)
+    GROUP BY doc_id, x
+), nrm AS (
+    SELECT doc_id, sqrt(sum(tf * tf)::DOUBLE) AS nrm FROM tf GROUP BY doc_id
+), qtf AS (
+    SELECT doc_id AS query_id, x, tf AS qtf FROM tf WHERE doc_id < {_LEX_NQ}
+), dots AS (
+    SELECT q.query_id, c.doc_id, sum(q.qtf * c.tf)::DOUBLE AS dot
+    FROM qtf q JOIN tf c USING (x)
+    WHERE c.doc_id <> q.query_id
+    GROUP BY q.query_id, c.doc_id
+), scored AS (
+    SELECT d.query_id, d.doc_id,
+           d.dot / (nq.nrm * nc.nrm) AS cosine
+    FROM dots d
+    JOIN nrm nq ON nq.doc_id = d.query_id
+    JOIN nrm nc ON nc.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, round(cosine + 1e-9, 4) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= {_LEX_TOPK}
+""",
+)
+def lexical_topk(spark, sf_dir):
+    """Lexical nearest documents — term-frequency cosine top-5 for each
+    of the 10 lowest-id docs: the "more-like-this" retrieval primitive
+    over the word space (the lexical complement of similarity_topk's
+    embedding cosine; catches overlap an out-of-domain encoder misses).
+    Hash-checked INCLUDING the ranking: every ranking input derives from
+    exact integers (tf dot products and squared norms), so sqrt/divide
+    produce bit-identical doubles in both engines (IEEE-exact ops on
+    identical operands) — no float ever differs across engines before
+    the rounded output. idf-weighting is deliberately absent from the
+    ranking: ln() is the one op libms may round differently (noted in
+    FIXTURES.md spirit), and this corpus's 31-word vocabulary makes tf
+    patterns, not rarity, the signal.
+
+    Scale: the query docs' term rows broadcast (|Q|·|vocab| rows); the
+    corpus term frame is scanned once through a broadcast join — the
+    corpus never shuffles on the (hot, 31-key) word dimension; dots and
+    norms are map-side-combining aggregates keyed by (query, doc) and
+    doc; the final top-k window is query-keyed."""
+    docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        docs.select("doc_id", F.explode(words_array("text")).alias("w"))
+        .select("doc_id", md5_int32(F.col("w")).alias("x"))
+        .groupBy("doc_id", "x")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # three consumers: norms, the query slice, the corpus side of the
+        # dot join — persist or the corpus re-tokenizes per branch
+        .persist()
+    )
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    qtf = tf.filter(F.col("doc_id") < _LEX_NQ).select(
+        F.col("doc_id").alias("query_id"), "x", F.col("tf").alias("qtf")
+    )
+    dots = (
+        F.broadcast(qtf)
+        .join(tf, "x")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("double").alias("dot"))
+    )
+    nq = nrm.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nc = nrm.select("doc_id", F.col("nrm").alias("nrm_c"))
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("dot") / (F.col("nrm_q") * F.col("nrm_c"))).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _LEX_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            rnd(F.col("cosine"), 4).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

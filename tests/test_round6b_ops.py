@@ -423,3 +423,47 @@ def test_tokenizer_fertility_bounds(spark, sf_dir):
         assert 1.0 <= r["fertility"], r
         assert r["chars_per_token"] >= 1.0, r
         assert r["n_tokens"] >= r["n_words"]
+
+
+def test_lexical_topk_matches_python_recompute(spark, sf_dir):
+    """The tf-cosine ranking equals an exact-arithmetic python recompute
+    (integer dots/norms², float only at the final sqrt/divide), including
+    rank order and id tie-breaks; self never appears."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from mapreduce_model_spark.queries_text import _LEX_NQ, _LEX_TOPK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tfs = {}
+    for r in docs:
+        words = [re.sub(r"[^a-z]", "", t.lower()) for t in r["text"].strip().split()]
+        words = [w for w in words if w]
+        if words:
+            c = Counter(
+                int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in words
+            )
+            tfs[r["doc_id"]] = c
+    norms = {d: math.sqrt(float(sum(v * v for v in c.values()))) for d, c in tfs.items()}
+    expected = {}
+    for q in sorted(tfs):
+        if q >= _LEX_NQ:
+            continue
+        scored = []
+        for d, c in tfs.items():
+            if d == q:
+                continue
+            dot = float(sum(v * c[k] for k, v in tfs[q].items() if k in c))
+            if dot > 0:
+                scored.append((-(dot / (norms[q] * norms[d])), d))
+        scored.sort()
+        expected[q] = [(d, -neg) for neg, d in scored[:_LEX_TOPK]]
+
+    got = QUERIES["lexical_topk"](spark, sf_dir).collect()
+    for r in got:
+        assert r["doc_id"] != r["query_id"]
+        exp_d, exp_cos = expected[r["query_id"]][r["rank"] - 1]
+        assert r["doc_id"] == exp_d, (r, expected[r["query_id"]])
+        assert abs(r["cosine"] - exp_cos) < 1e-4

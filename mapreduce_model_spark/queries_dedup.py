@@ -28,7 +28,6 @@ from mapreduce_model_spark.functions.dedup_sql import (  # noqa: F401 — consta
     shingle_cte,
 )
 from mapreduce_model_spark.operators.dedup import (
-    MERSENNE_P,
     dedup_exact,
     lsh_near_dup_pairs,
     minhash_signatures,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreduce_model_spark.functions.rounding import rnd
+from mapreduce_model_spark.functions.text import sql_md5_int32
 from mapreduce_model_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -1584,17 +1585,14 @@ def similarity_pq_adc(spark, sf_dir):
         tbl_rows.append((r["vec_id"], tbl))
     q = spark.createDataFrame(tbl_rows, "query_id long, tbl array<array<double>>")
 
-    adc = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-            lambda s: F.element_at(
-                F.element_at("tbl", s + 1),
-                F.element_at("codes", s + 1) + 1,
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # the 8 lookups unrolled as explicit left-associated adds — same IEEE
+    # order as the HOF fold but inside whole-stage codegen (HOFs are
+    # CodegenFallback; this is the per-(query, corpus-vector) hot path)
+    adc = F.lit(0.0)
+    for s in range(_PQ_M):
+        adc = adc + F.element_at(
+            F.element_at("tbl", s + 1), F.element_at("codes", s + 1) + 1
+        )
     scored = (
         codes_df.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1656,6 +1654,9 @@ def embedding_drift(spark, sf_dir):
         )
         .groupBy("label", "pos")
         .agg(F.avg("x").alias("mu"), F.sqrt(F.var_pop("x")).alias("sigma"))
+        # both sides of the self-join read this |labels|×64 frame — persist
+        # or the fact aggregation (and the parquet scan under it) runs 4×
+        .persist()
     )
     a, b = stats.alias("a"), stats.alias("b")
     dmu = F.col("a.mu") - F.col("b.mu")
@@ -1677,6 +1678,9 @@ def embedding_drift(spark, sf_dir):
 
 
 _NEG_NQ, _NEG_K = 10, 4
+# DuckDB twin of the engine's md5_int32 priority — via the shared helper so
+# a hash-derivation change can never silently diverge this oracle
+_NEG_PRI_SQL = sql_md5_int32("a.anchor_id::VARCHAR || ':' || e.vec_id::VARCHAR")
 
 
 @query(
@@ -1687,8 +1691,7 @@ WITH anchors AS (
     FROM embeddings WHERE vec_id < {_NEG_NQ}
 ), cand AS (
     SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
-           ('0x' || substr(md5(a.anchor_id::VARCHAR || ':' || e.vec_id::VARCHAR),
-                           1, 8))::BIGINT AS pri
+           {_NEG_PRI_SQL} AS pri
     FROM anchors a JOIN embeddings e ON e.label <> a.anchor_label
 )
 SELECT anchor_id, anchor_label, vec_id, label, rank

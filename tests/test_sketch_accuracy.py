@@ -37,3 +37,27 @@ def test_histogram_quantiles_within_one_bin(spark, sf_dir):
     assert set(got) == {0.25, 0.5, 0.75, 0.95, 0.99}
     for p, ex in zip([0.25, 0.5, 0.75, 0.95, 0.99], exact):
         assert abs(got[p] - ex) <= 5000, (p, got[p], ex)
+
+
+def test_oph_estimator_tracks_exact_jaccard(spark, sf_dir):
+    """The OPH bin-agreement estimator must track exact shingle Jaccard
+    like classic MinHash does: on every blocked pair with a known exact
+    J (ngram_jaccard's output), |OPH est − exact| stays within the
+    k=32 sketch's sampling error, and the mean absolute error is small —
+    the accuracy contract that justifies the k-fold-cheaper sketch."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert exact, "corpus has no blocked near-dup pairs to test against"
+    sigs = {
+        r.doc_id: r.sig.split(",")
+        for r in QUERIES["dedup_minhash_oph"](spark, sf_dir).collect()
+    }
+    errs = []
+    for (a, b), j in exact.items():
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 32
+        errs.append(abs(est - j))
+    # per-pair: 4 sigma of a Binomial(32, J≈0.5) proportion ≈ 0.35
+    assert max(errs) <= 0.35, max(errs)
+    assert sum(errs) / len(errs) <= 0.15, sum(errs) / len(errs)

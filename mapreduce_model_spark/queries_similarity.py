@@ -1401,15 +1401,24 @@ def ann_recall_report(spark, sf_dir):
 _PQ_M, _PQ_K, _PQ_ITER, _PQ_D = 8, 16, 3, 64
 
 
-def _pq_chain(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+def _pq_chain(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    sfx: str = "",
+    src: str = "(SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM embeddings)",
+    dim: int = _PQ_D,
+) -> str:
     """Per-subspace Lloyd's unrolled into chained CTEs — _kmeans_cte's
     move with subspace as a key (one recurrence covers all m codebooks).
     dist² = v·v − 2·v·c + c·c with left-to-right MACs in both engines;
-    empty-cell carry-forward via LEFT JOIN + coalesce. Ends at ``afin``
-    (final per-(vector, subspace) code + its dist²) + ``c{n_iter}`` (final
-    codebook) — the ONE recurrence shared by the embedding_pq and
-    similarity_pq_adc oracles."""
-    d_sub = _PQ_D // m
+    empty-cell carry-forward via LEFT JOIN + coalesce. Ends at
+    ``afin{sfx}`` (final per-(vector, subspace) code + its dist²) +
+    ``c{n_iter}{sfx}`` (final codebook) — the ONE recurrence shared by the
+    embedding_pq, similarity_pq_adc, and similarity_ann_ivfpq oracles
+    (the last composes TWO instances: ``src``/``sfx`` parameterize the
+    vector relation and the CTE namespace; the caller prepends WITH)."""
+    d_sub = dim // m
     # the argmin key drops the per-(vector, subspace) constant v·v — same
     # reduced expression (ONE parenthesization) as the engine's rk; the
     # winner's full dist² is reassembled as v·v + rk exactly like pq_fit
@@ -1417,47 +1426,46 @@ def _pq_chain(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
         "list_dot_product(c.ce, c.ce) - 2 * list_dot_product(v.sve, c.ce)"
     )
     dist = f"list_dot_product(v.sve, v.sve) + ({rk})"
-    sql = f"""
-WITH v AS (
-    SELECT vec_id AS vid, t.s::INTEGER AS s,
-           (embedding::DOUBLE[])[t.s*{d_sub}+1 : t.s*{d_sub}+{d_sub}] AS sve
-    FROM embeddings CROSS JOIN range(0, {m}) t(s)
-), sv AS (
-    SELECT vec_id AS vid FROM embeddings ORDER BY vec_id LIMIT {k}
-), c0 AS (
+    sql = f"""v{sfx} AS (
+    SELECT base.vid, t.s::INTEGER AS s,
+           (base.vec)[t.s*{d_sub}+1 : t.s*{d_sub}+{d_sub}] AS sve
+    FROM {src} base CROSS JOIN range(0, {m}) t(s)
+), sv{sfx} AS (
+    SELECT vid FROM {src} base ORDER BY vid LIMIT {k}
+), c0{sfx} AS (
     SELECT v.s,
            CAST(row_number() OVER (PARTITION BY v.s ORDER BY v.vid) - 1
                 AS INTEGER) AS cid,
            v.sve AS ce
-    FROM v JOIN sv USING (vid)
+    FROM v{sfx} v JOIN sv{sfx} USING (vid)
 )"""
     for t in range(1, n_iter + 1):
         p = t - 1
         sql += f"""
-, a{t} AS (
+, a{t}{sfx} AS (
     SELECT vid, s, sve, cid FROM (
         SELECT v.vid, v.s, v.sve, c.cid,
                row_number() OVER (PARTITION BY v.vid, v.s
                    ORDER BY {rk} ASC, c.cid) AS rn
-        FROM v JOIN c{p} c ON v.s = c.s) t
+        FROM v{sfx} v JOIN c{p}{sfx} c ON v.s = c.s) t
     WHERE rn = 1
-), p{t} AS (
-    SELECT s, cid, unnest(range(0, {d_sub})) AS pos, sve FROM a{t}
-), m{t} AS (
-    SELECT s, cid, pos, avg(sve[pos + 1]) AS mu FROM p{t} GROUP BY s, cid, pos
-), n{t} AS (
-    SELECT s, cid, list(mu ORDER BY pos) AS ce FROM m{t} GROUP BY s, cid
-), c{t} AS (
-    SELECT c{p}.s, c{p}.cid, coalesce(n{t}.ce, c{p}.ce) AS ce
-    FROM c{p} LEFT JOIN n{t} USING (s, cid)
+), p{t}{sfx} AS (
+    SELECT s, cid, unnest(range(0, {d_sub})) AS pos, sve FROM a{t}{sfx}
+), m{t}{sfx} AS (
+    SELECT s, cid, pos, avg(sve[pos + 1]) AS mu FROM p{t}{sfx} GROUP BY s, cid, pos
+), n{t}{sfx} AS (
+    SELECT s, cid, list(mu ORDER BY pos) AS ce FROM m{t}{sfx} GROUP BY s, cid
+), c{t}{sfx} AS (
+    SELECT cp.s, cp.cid, coalesce(n.ce, cp.ce) AS ce
+    FROM c{p}{sfx} cp LEFT JOIN n{t}{sfx} n USING (s, cid)
 )"""
     sql += f"""
-, afin AS (
+, afin{sfx} AS (
     SELECT vid, s, cid, d FROM (
         SELECT v.vid, v.s, c.cid, {dist} AS d,
                row_number() OVER (PARTITION BY v.vid, v.s
                    ORDER BY {rk} ASC, c.cid) AS rn
-        FROM v JOIN c{n_iter} c ON v.s = c.s) t
+        FROM v{sfx} v JOIN c{n_iter}{sfx} c ON v.s = c.s) t
     WHERE rn = 1
 )"""
     return sql
@@ -1465,7 +1473,7 @@ WITH v AS (
 
 def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
     """Code-tuple + reconstruction-MSE face of the shared recurrence."""
-    return _pq_chain(m, k, n_iter) + """
+    return "\nWITH " + _pq_chain(m, k, n_iter) + """
 SELECT vid AS vec_id,
        array_to_string(list(cid ORDER BY s), ',') AS codes,
        round(sum(d) / 64.0 + 1e-9, 6) AS mse
@@ -1513,7 +1521,7 @@ def _pq_adc_oracle() -> str:
     dist² table row is the SAME v·v − 2·v·c + c·c expression, summed over
     the stored codes — the oracle scores codes exactly like the engine."""
     d_sub = _PQ_D // _PQ_M
-    return _pq_chain() + f"""
+    return "\nWITH " + _pq_chain() + f"""
 , qv AS (
     SELECT vec_id AS query_id, t.s::INTEGER AS s,
            (embedding::DOUBLE[])[t.s*{d_sub}+1 : t.s*{d_sub}+{d_sub}] AS qsve
@@ -1743,6 +1751,199 @@ def negative_sample_uniform(spark, sf_dir):
             "anchor_label",
             "vec_id",
             "label",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_IVFPQ_KC, _IVFPQ_CI = 4, 1      # coarse cells, coarse Lloyd iterations
+_IVFPQ_PI = 2                    # residual-PQ Lloyd iterations
+_IVFPQ_NPROBE, _IVFPQ_NQ, _IVFPQ_TOPK = 2, 5, 3
+
+
+def _ivfpq_oracle() -> str:
+    """The full IVF-PQ recurrence composed from TWO _pq_chain instances:
+    a 1-subspace chain (= plain L2 Lloyd's) for the coarse quantizer and
+    an 8-subspace chain over the RESIDUAL relation, then probe-ranked
+    cells and the ADC tail — every engine float op mirrored."""
+    dsub = _PQ_D // _PQ_M
+    coarse = _pq_chain(
+        m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, sfx="cq", dim=_PQ_D
+    )
+    pq = _pq_chain(
+        m=_PQ_M,
+        k=_PQ_K,
+        n_iter=_IVFPQ_PI,
+        sfx="pq",
+        src="(SELECT vid, vec FROM residbase)",
+        dim=_PQ_D,
+    )
+    cdist = (
+        "list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.ce) "
+        "+ list_dot_product(c.ce, c.ce)"
+    )
+    return f"""
+WITH {coarse}
+, cells AS (
+    SELECT vid, cid AS cell FROM afincq
+), residbase AS (
+    SELECT e.vec_id AS vid,
+           list_transform(range(1, {_PQ_D + 1}),
+                          i -> (e.embedding::DOUBLE[])[i] - c.ce[i]) AS vec
+    FROM embeddings e
+    JOIN cells ON cells.vid = e.vec_id
+    JOIN c{_IVFPQ_CI}cq c ON c.cid = cells.cell AND c.s = 0
+)
+, {pq}
+, qsel AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_IVFPQ_NQ}
+), qcell AS (
+    SELECT query_id, cell, qv FROM (
+        SELECT q.query_id, c.cid AS cell, q.qv,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {cdist} ASC, c.cid) AS rn
+        FROM qsel q JOIN c{_IVFPQ_CI}cq c ON c.s = 0) t
+    WHERE rn <= {_IVFPQ_NPROBE}
+), qres AS (
+    SELECT query_id, cell,
+           list_transform(range(1, {_PQ_D + 1}),
+                          i -> qv[i] - c.ce[i]) AS qrv
+    FROM qcell JOIN c{_IVFPQ_CI}cq c ON c.cid = qcell.cell AND c.s = 0
+), adc AS (
+    SELECT q.query_id, a.vid AS vec_id, cells.cell,
+           sum(list_dot_product(q.qrv[a.s*{dsub}+1 : a.s*{dsub}+{dsub}],
+                                q.qrv[a.s*{dsub}+1 : a.s*{dsub}+{dsub}])
+               - 2 * list_dot_product(q.qrv[a.s*{dsub}+1 : a.s*{dsub}+{dsub}],
+                                      pc.ce)
+               + list_dot_product(pc.ce, pc.ce)) AS adc
+    FROM afinpq a
+    JOIN cells ON cells.vid = a.vid
+    JOIN qres q ON q.cell = cells.cell
+    JOIN c{_IVFPQ_PI}pq pc ON pc.s = a.s AND pc.cid = a.cid
+    WHERE a.vid <> q.query_id
+    GROUP BY q.query_id, a.vid, cells.cell
+)
+SELECT query_id, vec_id, cell, round(adc + 1e-9, 6) AS adc, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, vec_id) AS rank
+      FROM adc)
+WHERE rank <= {_IVFPQ_TOPK}
+"""
+
+
+@query("similarity_ann_ivfpq", oracle=_ivfpq_oracle())
+def similarity_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ — the production ANN architecture assembled end to end:
+    an L2 coarse quantizer (a 1-subspace run of the SAME pq_fit loop)
+    partitions the corpus into cells; each vector's RESIDUAL from its
+    cell centroid is product-quantized (8×16, 2 iterations); a query
+    probes its nprobe=2 nearest cells and scores ONLY those cells'
+    candidates from their 8-byte codes via per-(query, cell) ADC tables
+    built on the residuals. Residual encoding is why IVF-PQ beats plain
+    PQ: residual magnitudes are a fraction of vector magnitudes, so the
+    same 8 bytes quantize far finer. FULLY hash-checked: the oracle
+    composes two instances of the unrolled PQ recurrence (coarse +
+    residual) and mirrors probe ranking and the ADC tail.
+
+    Scale: both training loops are the pq_fit shape (explode +
+    algebraic-min assign, k×dim-key mean updates, literal re-entry); the
+    residual pass is one narrow map over the corpus; search touches
+    candidates of nprobe cells only (~nprobe/kc of the corpus) and
+    carries 8-byte codes, not vectors. The only search exchange is the
+    query-keyed top-k window. Measured floor: ~9 s FLAT across
+    sf0.001/0.01/0.1 (the vector table is 2000 rows at every sf) — the
+    wall time is whole-stage-codegen compilation of the wide unrolled
+    expressions plus ~7 job launches, zero of it data-dependent; at real
+    scale those fixed costs amortize to nothing while the per-row work
+    stays codegen."""
+    from mapreduce_model_spark.operators.similarity import pq_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    coarse_df, ccents = pq_fit(
+        emb, m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, return_codebook=True
+    )
+    cc = ccents[0]
+
+    def ldot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    ve = F.col("embedding").cast("array<double>")
+    cells = coarse_df.select("vec_id", F.element_at("codes", 1).alias("cell"))
+    celit = F.lit(cc)
+    ce = F.element_at(celit, F.col("cell") + 1)
+    resid = F.array(
+        *[
+            F.element_at(ve, p + 1) - F.element_at(ce, p + 1)
+            for p in range(_PQ_D)
+        ]
+    )
+    rdf = (
+        emb.join(cells, "vec_id")
+        .select("vec_id", "cell", resid.alias("vec"))
+        # read by the residual-PQ training loop (4 passes) and the final
+        # cell lookup — persist or the coarse plan re-executes each time
+        .persist()
+    )
+    codes_df, pcents = pq_fit(
+        rdf, m=_PQ_M, k=_PQ_K, n_iter=_IVFPQ_PI, vec_col="vec", return_codebook=True
+    )
+    cand = codes_df.join(rdf.select("vec_id", "cell"), "vec_id")
+
+    d_sub = _PQ_D // _PQ_M
+    qrows = (
+        emb.filter(F.col("vec_id") < _IVFPQ_NQ)
+        .select("vec_id", ve.alias("v"))
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        q = list(r["v"])
+        qq = ldot(q, q)
+        ranked = sorted(
+            (qq - 2 * ldot(q, c) + ldot(c, c), ci) for ci, c in enumerate(cc)
+        )
+        for _, ci in ranked[:_IVFPQ_NPROBE]:
+            qr = [q[p] - cc[ci][p] for p in range(_PQ_D)]
+            tbl = []
+            for s in range(_PQ_M):
+                qs = qr[s * d_sub : (s + 1) * d_sub]
+                qsqs = ldot(qs, qs)
+                tbl.append(
+                    [
+                        qsqs - 2 * ldot(qs, pce) + ldot(pce, pce)
+                        for pce in pcents[s]
+                    ]
+                )
+            probe_rows.append((r["vec_id"], ci, tbl))
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, tbl array<array<double>>"
+    )
+
+    adc = F.lit(0.0)
+    for s in range(_PQ_M):
+        adc = adc + F.element_at(
+            F.element_at("tbl", s + 1), F.element_at("codes", s + 1) + 1
+        )
+    scored = (
+        cand.join(F.broadcast(qdf), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell", adc.alias("adc"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVFPQ_TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            rnd(F.col("adc"), 6).alias("adc"),
             F.col("rank").cast("long").alias("rank"),
         )
     )

@@ -467,3 +467,57 @@ def test_lexical_topk_matches_python_recompute(spark, sf_dir):
         exp_d, exp_cos = expected[r["query_id"]][r["rank"] - 1]
         assert r["doc_id"] == exp_d, (r, expected[r["query_id"]])
         assert abs(r["cosine"] - exp_cos) < 1e-4
+
+
+def test_similarity_ann_ivfpq_contract(spark, sf_dir):
+    """IVF-PQ search contract: ≤ topk results per query ranked 1..n by
+    ascending ADC, every result's cell is one of the query's nprobe
+    probed cells (recomputed from the coarse codebook), and self never
+    appears."""
+    from mapreduce_model_spark.queries_similarity import (
+        _IVFPQ_CI,
+        _IVFPQ_KC,
+        _IVFPQ_NPROBE,
+        _IVFPQ_NQ,
+        _IVFPQ_TOPK,
+    )
+    from mapreduce_model_spark.operators.similarity import pq_fit
+    from mapreduce_model_spark.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    _, cc0 = pq_fit(emb, m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, return_codebook=True)
+    cc = cc0[0]
+    qrows = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.filter(F.col("vec_id") < _IVFPQ_NQ)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    }
+
+    def ldot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    probed = {}
+    for qid, q in qrows.items():
+        qq = ldot(q, q)
+        ranked = sorted(
+            (qq - 2 * ldot(q, c) + ldot(c, c), ci) for ci, c in enumerate(cc)
+        )
+        probed[qid] = {ci for _, ci in ranked[:_IVFPQ_NPROBE]}
+
+    rows = QUERIES["similarity_ann_ivfpq"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        assert r["cell"] in probed[r["query_id"]], r
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == _IVFPQ_NQ
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert len(rs) <= _IVFPQ_TOPK
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        adcs = [r["adc"] for r in rs]
+        assert adcs == sorted(adcs)

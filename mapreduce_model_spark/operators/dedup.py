@@ -160,6 +160,30 @@ def minhash_sig_expr(
     return F.when(F.size(xs) > 0, sig)
 
 
+def oph_sig_expr(text_col="text", k: int = 32, shingle_k: int = 3):
+    """Per-ROW one-permutation MinHash signature (array<bigint> length k)
+    — the streaming-safe twin of :func:`oph_signatures`, mirroring
+    minhash_sig_expr's contract: no explode, no groupBy (a readStream
+    plan can't absorb the aggregation), NULL for docs with < shingle_k
+    words, and identical values to the batch path by construction (the
+    same closed-form densification min — see oph_signatures — evaluated
+    per row instead of inside the aggregate; min over the multiset ==
+    min over the set, so the batch path's distinct is immaterial).
+    Interpreted HOF cost is fine at microbatch size; the batch path
+    keeps the codegen'd aggregate. Feed the result to band_keys_expr to
+    run the streaming admission gate on the k-fold-cheaper sketch."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    xs = F.transform(
+        shingles(words_array(c), shingle_k), lambda s: md5_int32(s) % MERSENNE_P
+    )
+
+    def dens(i):
+        return lambda x: x + ((x % k - i + k) % k) * F.lit(MERSENNE_P)
+
+    sig = F.array(*[F.array_min(F.transform(xs, dens(i))) for i in range(k)])
+    return F.when(F.size(xs) > 0, sig)
+
+
 def band_keys_expr(sig_col, bands: int = 8, rows: int = 4):
     """array<string> of LSH band keys for a signature column — md5 of
     ``"{band_index},{comma-joined band slice}"``. The ONE definition of the

@@ -149,3 +149,29 @@ def test_oph_signature_properties(spark, corpus):
     assert all(v is not None for v in svals)
     assert sum(v >= MERSENNE_P for v in svals) >= 28  # 2 shingles, ≥28 borrowed
     assert sum(v < MERSENNE_P for v in svals) >= 1    # the owned bins remain
+
+
+def test_oph_sig_expr_matches_batch(spark, corpus):
+    """The per-row (streaming-safe) OPH expression produces exactly the
+    batch aggregate's signatures doc for doc, and NULL only for docs too
+    short to shingle — the same parity contract minhash_sig_expr pins."""
+    from mapreduce_model_spark.operators.dedup import oph_sig_expr, oph_signatures
+
+    batch = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(32))
+        for r in oph_signatures(corpus).collect()
+    }
+    perrow = {
+        r.doc_id: (tuple(r.sig) if r.sig is not None else None)
+        for r in corpus.select(
+            "doc_id", oph_sig_expr("text").alias("sig")
+        ).collect()
+    }
+    assert set(batch) <= set(perrow)
+    for did, sig in perrow.items():
+        if did in batch:
+            assert sig == batch[did], did
+        else:
+            assert sig is None  # too short to shingle in both paths
+    short = spark.createDataFrame([(9, "one two")], "doc_id: long, text: string")
+    assert short.select(oph_sig_expr("text").alias("s")).collect()[0]["s"] is None

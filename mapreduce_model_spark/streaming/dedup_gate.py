@@ -89,6 +89,7 @@ def start_dedup_gate(
     bands: int = 8,
     rows: int = 4,
     shingle_k: int = 3,
+    sig_expr_fn=None,
 ) -> None:
     """Drain ``stream_docs`` (availableNow) through the admission gate.
 
@@ -97,11 +98,17 @@ def start_dedup_gate(
     the count of matched bands as triage signal), and ``index_path`` (the
     self-maintaining band-key state). Safe to re-run with the same
     checkpoint — replays converge (see module docstring).
+
+    ``sig_expr_fn`` swaps the per-row sketch (default classic
+    ``minhash_sig_expr``; pass ``operators.dedup.oph_sig_expr`` to run
+    the gate on the k-fold-cheaper one-permutation sketch — band keys
+    and geometry are sketch-agnostic, so nothing else changes).
     """
+    make_sig = sig_expr_fn or minhash_sig_expr
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         sig = batch.withColumn(
-            "_sig", minhash_sig_expr(text_col, k=k, shingle_k=shingle_k)
+            "_sig", make_sig(text_col, k=k, shingle_k=shingle_k)
         )
         keyed = sig.filter(F.col("_sig").isNotNull()).select(
             id_col, F.explode(band_keys_expr("_sig", bands, rows)).alias("band_key")

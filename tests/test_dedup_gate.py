@@ -129,3 +129,48 @@ def test_gate_catches_within_batch_contract_followup(spark, tmp_path):
     admitted, quar = _run_gate(spark, tmp_path, [(3, _LONG_A)])
     assert 3 not in admitted
     assert quar[3] == 8
+
+
+def test_gate_runs_on_oph_sketch(spark, tmp_path):
+    """The admission gate is sketch-agnostic: wired to oph_sig_expr it
+    must show the same behavior — admit distinct docs, flag an exact copy
+    on all 8 bands in a later batch (the index was built with OPH keys,
+    so a full-band match proves the swap is end-to-end consistent)."""
+    from mapreduce_model_spark.operators.dedup import oph_sig_expr
+    from mapreduce_model_spark.streaming.dedup_gate import start_dedup_gate
+
+    def run(rows):
+        src = tmp_path / "src"
+        batch_no = len(list(src.glob("batch*"))) if src.exists() else 0
+        spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / f"batch{batch_no}"))
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("basePath", str(src))
+            .parquet(str(src / "*"))
+        )
+        start_dedup_gate(
+            stream,
+            spark,
+            index_path=str(tmp_path / "index"),
+            admitted_path=str(tmp_path / "admitted"),
+            quarantine_path=str(tmp_path / "quarantine"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            sig_expr_fn=oph_sig_expr,
+        )
+        admitted = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+        }
+        try:
+            qrows = spark.read.parquet(str(tmp_path / "quarantine")).collect()
+        except Exception:
+            qrows = []
+        return admitted, {r["doc_id"]: r["n_bands_matched"] for r in qrows}
+
+    admitted, quar = run([(1, _LONG_A), (2, _LONG_B)])
+    assert admitted == {1, 2} and quar == {}
+    admitted, quar = run([(10, _LONG_A), (11, _LONG_C)])
+    assert 11 in admitted and 10 not in admitted
+    assert quar == {10: 8}

@@ -466,3 +466,67 @@ def oph_signatures(
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*dens)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_block: int = 500,
+) -> DataFrame:
+    """Near-dup pairs from SimHash — the downstream pairing step
+    :func:`simhash`'s docstring defers: ``(id_a, id_b, hamming)`` for all
+    pairs within ``max_hamming`` bits. Candidate generation is the
+    classic pigeonhole block join (Manku et al. 2007): split the hash
+    into ``max_hamming + 1`` byte blocks — two hashes within distance d
+    MUST agree on at least one block, so the equi-join on (block index,
+    block value) loses nothing while reducing the pairwise work to
+    same-block candidates. ``max_block`` drops degenerate hot blocks (the
+    LSH max_bucket argument) before the join. Every predicate is exact
+    integer arithmetic (shifts, xor, popcount) — no float anywhere, fully
+    hash-checkable including the selection."""
+    nb = max_hamming + 1
+    width = bits // nb
+    mask = (1 << width) - 1
+    h = simhash(df, text_col, id_col, bits)
+    blocks = h.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("simhash"), width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    sizes = blocks.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("n"))
+    capped = blocks.join(sizes.filter(F.col("n") <= max_block), ["bi", "bv"])
+    a, b = capped.alias("ba"), capped.alias("bb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("ba.bi") == F.col("bb.bi"))
+            & (F.col("ba.bv") == F.col("bb.bv"))
+            & (F.col(f"ba.{id_col}") < F.col(f"bb.{id_col}")),
+        )
+        .select(
+            F.col(f"ba.{id_col}").alias("id_a"),
+            F.col(f"bb.{id_col}").alias("id_b"),
+            F.col("ba.simhash").alias("h_a"),
+            F.col("bb.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

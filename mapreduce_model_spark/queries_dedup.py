@@ -202,6 +202,60 @@ def q_simhash(spark, sf_dir):
     return simhash(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
 
 
+_SIMHASH_MAX_HAM, _SIMHASH_MAX_BLOCK = 3, 500
+
+
+def _simhash_pairs_oracle() -> str:
+    """Pigeonhole block join + exact popcount over the nested simhash
+    CTE — every predicate is integer arithmetic, so even the SELECTION
+    hash-checks (no float anywhere)."""
+    nb = _SIMHASH_MAX_HAM + 1
+    width = SIMHASH_BITS // nb
+    mask = (1 << width) - 1
+    return f"""
+WITH sh AS ({_simhash_sql()}), blocks AS (
+    SELECT doc_id, simhash, t.i::INTEGER AS bi,
+           (simhash >> ({width} * t.i)) & {mask} AS bv
+    FROM sh CROSS JOIN range(0, {nb}) t(i)
+), sizes AS (
+    SELECT bi, bv, count(*) AS n FROM blocks GROUP BY bi, bv
+), capped AS (
+    SELECT b.* FROM blocks b JOIN sizes USING (bi, bv)
+    WHERE n <= {_SIMHASH_MAX_BLOCK}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS h_a, b.simhash AS h_b
+    FROM capped a JOIN capped b USING (bi, bv)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(h_a, h_b)) <= {_SIMHASH_MAX_HAM}
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def q_simhash_pairs(spark, sf_dir):
+    """The pairing step dedup_simhash's docstring defers — near-dup pairs
+    within hamming ≤ 3 of the 32-bit SimHash, candidates from the
+    pigeonhole byte-block equi-join (two hashes within d bits MUST agree
+    on one of d+1 blocks, so the block join is lossless; Manku et al.'s
+    web-dedup recipe). Every predicate is exact integer arithmetic
+    (shift/xor/popcount) — selection AND values hash-check.
+
+    Scale: no pair exists outside a shared (block index, value) key, so
+    the pairwise work is per-block-bounded and hot degenerate blocks are
+    dropped (max_block — the LSH max_bucket argument); the hash frame is
+    |docs|-sized, the join carries (id, 8-byte hash) only."""
+    from mapreduce_model_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        table(spark, sf_dir, "documents"),
+        bits=SIMHASH_BITS,
+        max_hamming=_SIMHASH_MAX_HAM,
+        max_block=_SIMHASH_MAX_BLOCK,
+    )
+
+
 # Component labeling comes from the shared components_cte factory
 # (functions/dedup_sql.py) — oracle-scale only; the Spark side is the
 # O(log n)-phase forest contraction that survives 100 TB.

@@ -175,3 +175,19 @@ def test_oph_sig_expr_matches_batch(spark, corpus):
             assert sig is None  # too short to shingle in both paths
     short = spark.createDataFrame([(9, "one two")], "doc_id: long, text: string")
     assert short.select(oph_sig_expr("text").alias("s")).collect()[0]["s"] is None
+
+
+def test_simhash_pairs_find_near_dups(spark, corpus):
+    """Exact dups pair at hamming 0; the one-word mutation stays within
+    the hamming-3 radius (it shares 3 of 4 pigeonhole blocks at minimum);
+    the unrelated doc never pairs with the BASE family."""
+    from mapreduce_model_spark.operators.dedup import simhash_hamming_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_hamming_pairs(corpus).collect()
+    }
+    assert pairs[(1, 2)] == 0          # exact dup
+    assert pairs[(1, 3)] == 0          # dup after normalization
+    assert (1, 4) in pairs and pairs[(1, 4)] <= 3   # one-word mutation
+    assert (1, 5) not in pairs and (4, 5) not in pairs

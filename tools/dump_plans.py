@@ -447,6 +447,15 @@ COMMENTARY: dict[str, str] = {
         "(idf deliberately excluded from ranking — ln() is the one op "
         "libms may round differently)."
     ),
+    "dedup_simhash_pairs": (
+        "SimHash pairing (r6): the pigeonhole block join — two 32-bit "
+        "hashes within hamming 3 MUST agree on one of 4 byte blocks, so "
+        "candidates come from an equi-join on (block index, value) with "
+        "a hot-block cap, never an all-pairs product; the verdict is "
+        "exact integer popcount(xor). The hash frame is |docs|-sized and "
+        "the join carries (id, 8-byte hash) only — selection AND values "
+        "hash-check because no float exists anywhere in the query."
+    ),
     "similarity_ann_ivfpq": (
         "The production ANN architecture end to end (r6): L2 coarse "
         "cells (1-subspace pq_fit), residual product quantization, "

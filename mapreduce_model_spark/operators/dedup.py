@@ -160,6 +160,23 @@ def minhash_sig_expr(
     return F.when(F.size(xs) > 0, sig)
 
 
+def oph_signatures_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """:func:`oph_signatures` with the k bin columns packed into one
+    ``sig`` array — the (id, sig) shape lsh_near_dup_pairs,
+    band_keys_expr, and build_band_index consume, so the OPH sketch
+    drops into every consumer of the classic-signature frame."""
+    sig = oph_signatures(df, text_col, id_col, k, shingle_k)
+    return sig.select(
+        F.col(id_col), F.array(*[f"h{i}" for i in range(k)]).alias("sig")
+    )
+
+
 def oph_sig_expr(text_col="text", k: int = 32, shingle_k: int = 3):
     """Per-ROW one-permutation MinHash signature (array<bigint> length k)
     — the streaming-safe twin of :func:`oph_signatures`, mirroring
@@ -508,6 +525,10 @@ def simhash_hamming_pairs(
             )
         ).alias("blk"),
     ).select(id_col, "simhash", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    # sizes + both self-join sides read the blocks frame — persist or the
+    # corpus-wide explode+TF+simhash aggregation re-runs 4x (same reason
+    # lsh_near_dup_pairs persists its signature frame)
+    blocks = blocks.persist()
     sizes = blocks.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("n"))
     capped = blocks.join(sizes.filter(F.col("n") <= max_block), ["bi", "bv"])
     a, b = capped.alias("ba"), capped.alias("bb")

@@ -437,6 +437,19 @@ def kmeans_fit(
     )
 
 
+def py_ldot(a, b):
+    """Driver-side dot product with the SAME left-to-right association as
+    pq_fit's udot fold and DuckDB's list_dot_product — load-bearing for
+    cross-engine bit parity wherever driver-built tables (ADC lookup
+    tables, probe rankings) re-enter plans as literals. Never replace
+    with sum()/math.fsum: both reassociate and silently break the
+    hash-check."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
 def pq_fit(
     vectors: DataFrame,
     m: int = 8,

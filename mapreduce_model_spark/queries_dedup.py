@@ -154,11 +154,10 @@ def q_near_oph(spark, sf_dir):
     operator and the shared banding_cte SQL tail. At 100 TB this is the
     configuration you'd actually run: OPH signatures upstream, identical
     candidate generation downstream."""
-    sig = oph_signatures(
+    from mapreduce_model_spark.operators.dedup import oph_signatures_array
+
+    sig_arr = oph_signatures_array(
         table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
-    )
-    sig_arr = sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(K)]).alias("sig")
     )
     return lsh_near_dup_pairs(
         sig_arr, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET

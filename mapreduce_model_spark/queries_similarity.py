@@ -1562,19 +1562,13 @@ def similarity_pq_adc(spark, sf_dir):
     exchange is the per-query top-k window keyed by query_id. This is the
     memory-bound regime ADC exists for: at 100 TB of vectors the float
     corpus doesn't fit the cluster's RAM, the code table does."""
-    from mapreduce_model_spark.operators.similarity import pq_fit
+    from mapreduce_model_spark.operators.similarity import pq_fit, py_ldot as ldot
 
     emb = table(spark, sf_dir, "embeddings")
     codes_df, cents = pq_fit(
         emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, return_codebook=True
     )
     d_sub = _PQ_D // _PQ_M
-
-    def ldot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
 
     qrows = (
         emb.filter(F.col("vec_id") < _PQ_NQ)
@@ -1857,19 +1851,13 @@ def similarity_ann_ivfpq(spark, sf_dir):
     expressions plus ~7 job launches, zero of it data-dependent; at real
     scale those fixed costs amortize to nothing while the per-row work
     stays codegen."""
-    from mapreduce_model_spark.operators.similarity import pq_fit
+    from mapreduce_model_spark.operators.similarity import pq_fit, py_ldot as ldot
 
     emb = table(spark, sf_dir, "embeddings")
     coarse_df, ccents = pq_fit(
         emb, m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, return_codebook=True
     )
     cc = ccents[0]
-
-    def ldot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
 
     ve = F.col("embedding").cast("array<double>")
     cells = coarse_df.select("vec_id", F.element_at("codes", 1).alias("cell"))

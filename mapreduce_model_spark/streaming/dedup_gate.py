@@ -57,11 +57,23 @@ __all__ = ["build_band_index", "start_dedup_gate"]
 
 
 def build_band_index(
-    docs: DataFrame, k: int = 32, bands: int = 8, rows: int = 4, shingle_k: int = 3
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    shingle_k: int = 3,
+    sig_fn=None,
 ) -> DataFrame:
     """Distinct band keys of an existing corpus — the gate's day-0 state,
-    built with the BATCH signature path (codegen'd explode+groupBy)."""
-    sig = minhash_signatures(docs, k=k, shingle_k=shingle_k)
+    built with the BATCH signature path (codegen'd explode+groupBy).
+
+    ``sig_fn`` must produce the (doc_id, sig array) frame and MUST match
+    the sketch the gate will run with (``sig_expr_fn``): band keys are
+    md5 of signature values, so a classic-MinHash index matched against
+    an OPH-keyed gate (or vice versa) joins NOTHING and silently admits
+    every near-dup. Default classic ``minhash_signatures``; pass
+    ``operators.dedup.oph_signatures_array`` for an OPH gate."""
+    sig = (sig_fn or minhash_signatures)(docs, k=k, shingle_k=shingle_k)
     return (
         sig.select(F.explode(band_keys_expr("sig", bands, rows)).alias("band_key"))
         .distinct()

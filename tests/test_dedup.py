@@ -178,9 +178,12 @@ def test_oph_sig_expr_matches_batch(spark, corpus):
 
 
 def test_simhash_pairs_find_near_dups(spark, corpus):
-    """Exact dups pair at hamming 0; the one-word mutation stays within
-    the hamming-3 radius (it shares 3 of 4 pigeonhole blocks at minimum);
-    the unrelated doc never pairs with the BASE family."""
+    """Exact dups pair at hamming 0; the one-word mutation lands within
+    the hamming-3 radius on THIS fixed md5-derived corpus (an empirical
+    fixture property, not a theorem — SimHash distance of a one-word edit
+    depends on the flipped word's hash bits; the pigeonhole guarantee is
+    only that any pair within d shares ≥1 of d+1 blocks); the unrelated
+    doc never pairs with the BASE family."""
     from mapreduce_model_spark.operators.dedup import simhash_hamming_pairs
 
     pairs = {

@@ -481,7 +481,7 @@ def test_similarity_ann_ivfpq_contract(spark, sf_dir):
         _IVFPQ_NQ,
         _IVFPQ_TOPK,
     )
-    from mapreduce_model_spark.operators.similarity import pq_fit
+    from mapreduce_model_spark.operators.similarity import pq_fit, py_ldot as ldot
     from mapreduce_model_spark.registry import table
 
     emb = table(spark, sf_dir, "embeddings")
@@ -493,12 +493,6 @@ def test_similarity_ann_ivfpq_contract(spark, sf_dir):
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .collect()
     }
-
-    def ldot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
 
     probed = {}
     for qid, q in qrows.items():

@@ -403,6 +403,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_decile_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Exact-Jaccard pairs ≥ 0.5 with an INTEGER-EXACT decile label:
+    ``j_decile = (10·|A∩B|) div |A∪B|`` (5..10), pairs kept iff
+    ``2·|A∩B| ≥ |A∪B|``. Both the threshold and the bucket are pure
+    integer arithmetic on the shingle-set sufficient statistics — no
+    float division anywhere near a bucket boundary, so the label is
+    bit-free-deterministic and any SQL engine reproduces it exactly.
+    This is the ground-truth side of the LSH recall audit
+    (``lsh_recall_report``); same rare-shingle blocking (recall contract)
+    and pair engine as :func:`ngram_jaccard_pairs`.
+    """
+    pairs = _blocked_pair_intersections(df, text_col, id_col, shingle_k, max_shingle_df)
+    u = F.col("n_a").cast("long") + F.col("n_b") - F.col("n_inter")
+    return (
+        pairs.withColumn("u", u)
+        .filter(2 * F.col("n_inter") >= F.col("u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(10 * CAST(n_inter AS BIGINT)) div u").alias("j_decile"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

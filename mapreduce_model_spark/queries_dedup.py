@@ -29,10 +29,12 @@ from mapreduce_model_spark.functions.dedup_sql import (  # noqa: F401 — consta
 )
 from mapreduce_model_spark.operators.dedup import (
     dedup_exact,
+    jaccard_decile_pairs,
     lsh_near_dup_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     oph_signatures,
+    oph_signatures_array,
     simhash,
 )
 from mapreduce_model_spark.registry import query, table
@@ -154,13 +156,116 @@ def q_near_oph(spark, sf_dir):
     operator and the shared banding_cte SQL tail. At 100 TB this is the
     configuration you'd actually run: OPH signatures upstream, identical
     candidate generation downstream."""
-    from mapreduce_model_spark.operators.dedup import oph_signatures_array
-
     sig_arr = oph_signatures_array(
         table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
     )
     return lsh_near_dup_pairs(
         sig_arr, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+    )
+
+
+_RECALL_ORACLE = (
+    "\nWITH "
+    + shingle_cte()
+    + f"""
+, sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+dfq AS (SELECT x, count(*) AS dfx FROM shx GROUP BY x),
+rare AS (SELECT shx.doc_id, shx.x FROM shx JOIN dfq USING (x) WHERE dfx <= {MAX_SHINGLE_DF}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM rare a JOIN rare b USING (x) WHERE a.doc_id < b.doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM shx a JOIN shx b USING (x) WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), truth AS (
+    SELECT cand.id_a, cand.id_b,
+           (10 * n_inter) // (sa.n_sh + sb.n_sh - n_inter) AS j_decile
+    FROM cand
+    JOIN inter USING (id_a, id_b)
+    JOIN sizes sa ON sa.doc_id = cand.id_a
+    JOIN sizes sb ON sb.doc_id = cand.id_b
+    WHERE 2 * n_inter >= sa.n_sh + sb.n_sh - n_inter
+), sig AS (
+    SELECT doc_id, {_SIG_SQL} AS sig FROM shx GROUP BY doc_id
+), """
+    + banding_cte("sig")
+    + f"""
+, mh AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= {LSH_THRESHOLD}),
+osig AS (SELECT doc_id, {OPH_SIG_SQL} AS sig FROM shx GROUP BY doc_id),
+"""
+    + banding_cte("osig", "o")
+    + f"""
+SELECT t.j_decile,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(mh.id_a) AS BIGINT) AS n_hit_minhash,
+       CAST(count(oph.id_a) AS BIGINT) AS n_hit_oph,
+       round(count(mh.id_a)::DOUBLE / count(*) + 1e-9, 4) AS recall_minhash,
+       round(count(oph.id_a)::DOUBLE / count(*) + 1e-9, 4) AS recall_oph
+FROM truth t
+LEFT JOIN mh ON mh.id_a = t.id_a AND mh.id_b = t.id_b
+LEFT JOIN (SELECT id_a, id_b FROM esto WHERE est_jaccard >= {LSH_THRESHOLD}) oph
+       ON oph.id_a = t.id_a AND oph.id_b = t.id_b
+GROUP BY t.j_decile
+"""
+)
+
+
+@query("lsh_recall_report", oracle=_RECALL_ORACLE)
+def q_lsh_recall_report(spark, sf_dir):
+    """Measure, don't guess — the DEDUP quality audit AS a query (the
+    minhash-side sibling of ann_recall_report): per-Jaccard-decile recall
+    of BOTH banded-LSH pair generators (classic 32-permutation MinHash
+    and one-permutation OPH) against the blocked exact-Jaccard ground
+    truth. This is the continuously-computed S-curve every dedup tuner
+    reasons from — it shows, with numbers, that recall climbs with true
+    Jaccard (the banding S-curve) and that the k-fold-cheaper OPH sketch
+    buys its CPU saving at measurable, bounded recall cost.
+
+    Hash-checked end to end because every input is integer-exact: the
+    truth-side threshold (2·|A∩B| ≥ |A∪B|) and decile label
+    ((10·|A∩B|) div |A∪B|) are integer arithmetic (operators.dedup.
+    jaccard_decile_pairs), both estimators are md5-derived integers, and
+    the recalls are count ratios.
+
+    Ground-truth contract: "exact" = rare-shingle-blocked exact Jaccard
+    (same recall caveat as dedup_ngram_jaccard — pairs sharing no rare
+    shingle are invisible to the truth side too, documented there).
+
+    Scale: all three pair generators are the bucket equi-joins audited
+    elsewhere (never all-pairs); the recall join runs on pair-table rows.
+    On a 100 TB corpus this runs over a sampled partition of the corpus —
+    the shape is already that."""
+    docs = table(spark, sf_dir, "documents")
+    truth = jaccard_decile_pairs(
+        docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF
+    )
+    mh = lsh_near_dup_pairs(
+        minhash_signatures(docs, k=K, shingle_k=SHINGLE_K),
+        bands=BANDS,
+        rows=ROWS,
+        threshold=LSH_THRESHOLD,
+        max_bucket=MAX_BUCKET,
+    ).select("id_a", "id_b", F.lit(1).alias("hit_mh"))
+    oph = lsh_near_dup_pairs(
+        oph_signatures_array(docs, k=K, shingle_k=SHINGLE_K),
+        bands=BANDS,
+        rows=ROWS,
+        threshold=LSH_THRESHOLD,
+        max_bucket=MAX_BUCKET,
+    ).select("id_a", "id_b", F.lit(1).alias("hit_oph"))
+    joined = truth.join(mh, ["id_a", "id_b"], "left").join(
+        oph, ["id_a", "id_b"], "left"
+    )
+    n = F.count(F.lit(1))
+    hm = F.sum(F.coalesce("hit_mh", F.lit(0)))
+    ho = F.sum(F.coalesce("hit_oph", F.lit(0)))
+    return joined.groupBy("j_decile").agg(
+        n.cast("long").alias("n_true"),
+        hm.cast("long").alias("n_hit_minhash"),
+        ho.cast("long").alias("n_hit_oph"),
+        F.round(hm / n + 1e-9, 4).alias("recall_minhash"),
+        F.round(ho / n + 1e-9, 4).alias("recall_oph"),
     )
 
 

@@ -1,0 +1,131 @@
+"""Round-6 third-wave pins: the LSH recall audit (lsh_recall_report).
+
+The registry sweep hash-checks the report against DuckDB on the shipped
+corpus; these tests pin the contracts the corpus can't exhibit — the
+banding S-curve needs pairs NEAR the threshold, and the shipped synthetic
+near-dups all sit at J ≥ 0.9 (where recall is ~1.0 and the report is
+trivially flat).
+"""
+
+from pyspark.sql import functions as F
+
+from mapreduce_model_spark.functions.dedup_sql import (
+    BANDS,
+    JACCARD_THRESHOLD,
+    K,
+    LSH_THRESHOLD,
+    MAX_BUCKET,
+    MAX_SHINGLE_DF,
+    ROWS,
+    SHINGLE_K,
+)
+from mapreduce_model_spark.operators.dedup import (
+    jaccard_decile_pairs,
+    lsh_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from mapreduce_model_spark.registry import QUERIES, table
+
+
+def _w(i: int) -> str:
+    """Unique pure-letter token (digits would be stripped by the
+    reference tokenizer's [^a-z] rule and collide)."""
+    out = []
+    i += 1
+    while i:
+        out.append(chr(97 + i % 26))
+        i //= 26
+    return "".join(out) * 2  # length ≥ 2 keeps tokens visually distinct
+
+
+def _planted_docs(spark):
+    """40 'low' pairs engineered to J ≈ 0.52 (decile 5 — the S-curve's
+    steep region, where 8×4 banding + est ≥ 0.5 must lose some pairs) and
+    15 'high' pairs at J ≈ 0.94 (decile 9 — where it must not). Each pair
+    draws from its own vocabulary so pairs can't cross-match and no
+    shingle approaches the df cap."""
+    rows = []
+    vid = 0
+
+    def fresh(n):
+        nonlocal vid
+        ws = [_w(vid * 1000 + j) for j in range(n)]
+        vid += 1
+        return ws
+
+    doc_id = 0
+    for _ in range(40):  # low: share 28 of 40 words ⇒ J = 26/50 = 0.52
+        ws = fresh(40 + 12)
+        a, b = ws[:40], ws[:28] + ws[40:]
+        rows.append((doc_id, " ".join(a)))
+        rows.append((doc_id + 1, " ".join(b)))
+        doc_id += 2
+    for _ in range(15):  # high: 100 words, last swapped ⇒ J = 95/101 ≈ .94
+        ws = fresh(101)
+        a, b = ws[:100], ws[:99] + ws[100:]
+        rows.append((doc_id, " ".join(a)))
+        rows.append((doc_id + 1, " ".join(b)))
+        doc_id += 2
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_recall_s_curve_on_planted_pairs(spark):
+    """The audit's reason to exist: recall at the threshold decile is
+    strictly below recall deep inside the S-curve, and near-exact pairs
+    are essentially never lost. Deterministic — every hash is md5-derived
+    and the corpus is fixed."""
+    docs = _planted_docs(spark)
+    truth = jaccard_decile_pairs(docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF)
+    mh = lsh_near_dup_pairs(
+        minhash_signatures(docs, k=K, shingle_k=SHINGLE_K),
+        bands=BANDS,
+        rows=ROWS,
+        threshold=LSH_THRESHOLD,
+        max_bucket=MAX_BUCKET,
+    )
+    t = {(r.id_a, r.id_b): r.j_decile for r in truth.collect()}
+    hits = {(r.id_a, r.id_b) for r in mh.collect()}
+
+    low = {p for p, d in t.items() if d <= 6}
+    high = {p for p, d in t.items() if d >= 9}
+    assert len(low) >= 30, f"planting failed: {sorted(t.values())}"
+    assert len(high) >= 10
+    recall_low = len(low & hits) / len(low)
+    recall_high = len(high & hits) / len(high)
+    assert recall_high >= 0.9
+    assert recall_low < recall_high, (recall_low, recall_high)
+    # the steep region genuinely loses pairs — if this ever reads 1.0 the
+    # planted J drifted out of the S-curve's knee and the test is vacuous
+    assert recall_low < 0.9, recall_low
+
+
+def test_decile_truth_consistent_with_float_threshold(spark, sf_dir):
+    """Integer-exact truth (2·inter ≥ union) selects EXACTLY the pairs the
+    float-threshold exact-Jaccard query keeps at 0.5 — the two faces of
+    the same ground truth never disagree, so the report's denominators
+    are the pairs dedup_ngram_jaccard ships."""
+    docs = table(spark, sf_dir, "documents")
+    dec = jaccard_decile_pairs(docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF)
+    flt = ngram_jaccard_pairs(
+        docs,
+        shingle_k=SHINGLE_K,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_df=MAX_SHINGLE_DF,
+    )
+    a = {(r.id_a, r.id_b) for r in dec.collect()}
+    b = {(r.id_a, r.id_b) for r in flt.collect()}
+    assert a == b
+
+
+def test_lsh_recall_report_invariants(spark, sf_dir):
+    """Registry-face sanity: hits never exceed truth, deciles live in
+    [5, 10], recalls are the advertised ratios."""
+    rows = QUERIES["lsh_recall_report"](spark, sf_dir).collect()
+    assert rows, "shipped corpus has planted near-dups; report can't be empty"
+    for r in rows:
+        assert 5 <= r.j_decile <= 10
+        assert 0 <= r.n_hit_minhash <= r.n_true
+        assert 0 <= r.n_hit_oph <= r.n_true
+        assert abs(r.recall_minhash - round(r.n_hit_minhash / r.n_true, 4)) <= 1e-4
+        assert abs(r.recall_oph - round(r.n_hit_oph / r.n_true, 4)) <= 1e-4

@@ -456,6 +456,20 @@ COMMENTARY: dict[str, str] = {
         "the join carries (id, 8-byte hash) only — selection AND values "
         "hash-check because no float exists anywhere in the query."
     ),
+    "lsh_recall_report": (
+        "The dedup audit AS a query (r6, ann_recall_report's minhash "
+        "sibling): blocked exact-Jaccard truth (integer-exact threshold "
+        "2·inter ≥ union and decile (10·inter) div union — no float near "
+        "a bucket boundary), left-joined against BOTH banded-LSH pair "
+        "generators (classic 32-perm MinHash and OPH). All three pair "
+        "sources are the bucket equi-joins audited elsewhere; the recall "
+        "join runs on pair-table rows and the output is ≤6 decile rows. "
+        "At 100 TB this runs over a sampled corpus partition — the shape "
+        "is already that. The planted-pair S-curve is pinned in "
+        "test_round6c_ops (measured at J≈0.52: recall 0.43 classic / "
+        "0.63 OPH; at J≈0.94: 1.0 both — the knee is real and the audit "
+        "sees it)."
+    ),
     "similarity_ann_ivfpq": (
         "The production ANN architecture end to end (r6): L2 coarse "
         "cells (1-subspace pq_fit), residual product quantization, "

@@ -236,6 +236,13 @@ def q_lsh_recall_report(spark, sf_dir):
     elsewhere (never all-pairs); the recall join runs on pair-table rows.
     On a 100 TB corpus this runs over a sampled partition of the corpus —
     the shape is already that."""
+    # Measured alternative, rejected: persisting ONE shared shingle-hash
+    # frame (doc_shingle_hashes) across the three pipelines benches 5.8 s
+    # vs 4.8 s for the independent form at sf0.1 — the cache write of the
+    # exploded |docs|×|shingles| frame costs more than the three
+    # codegen-fused tokenize+md5 scan stages it saves (same codegen-beats-
+    # sharing economics as minhash_signatures' rejected narrow form). The
+    # report deliberately costs the sum of its three audited parts.
     docs = table(spark, sf_dir, "documents")
     truth = jaccard_decile_pairs(
         docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF

@@ -18,18 +18,32 @@ reading runs on executors, one file per partition task. This is the
 pattern for wrapping ANY non-Spark-native format (proprietary archives,
 tar shards, API pages) as a parallel scan; Spark handles scheduling,
 retries, and downstream shuffle exactly as for built-in sources.
+
+The WRITE face (``letter_files``, :class:`LetterFilesWriter`) completes
+the plugin surface — batch read, stream read, and a two-phase-commit
+batch write of the reference's per-letter sink (A15):
+
+    df.write.format("letter_files").mode("overwrite").save(out_dir)
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "manifest_corpus"
+LETTER_FORMAT_NAME = "letter_files"
 
 
 class _FilePartition(InputPartition):
@@ -119,5 +133,98 @@ class ManifestDataSource(DataSource):
         return ManifestStreamReader(self.options)
 
 
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    """One task's staged output: (staged_path, final_relpath) pairs."""
+
+    pairs: list = field(default_factory=list)
+
+
+class LetterFilesWriter(DataSourceWriter):
+    """Two-phase-commit writer for the reference's per-letter text sink
+    (``letter=<c>/part-<task>.txt`` of ``word:[ids]`` lines, main.cc:
+    136-172 / A15) — the WRITE face of the pluggable-source surface.
+
+    Protocol (the part that matters at scale): each task streams its rows
+    into STAGING files named by a per-attempt uuid and returns the
+    (staged, final) manifest as its commit message; nothing under the
+    final layout is touched by executors. The driver publishes renames
+    only in ``commit()`` — so task retries and speculative duplicates
+    leave dead staging files, never half-written or duplicated visible
+    output, and a failed job publishes nothing (``abort()`` discards
+    staging). This is exactly the v1 FileOutputCommitter contract,
+    re-expressed through the Python DataSource API; on an object store
+    the same message flow carries multipart-upload ids instead of rename
+    paths. Assumes executors and driver share a filesystem (true in
+    local mode and on NFS/DBFS-style mounts).
+
+    Input contract: ``(letter string, line string)`` —
+    ``operators.inverted_index.format_output``'s shape; callers that need
+    the reference's in-file order repartition by letter and
+    sortWithinPartitions first, exactly as for ``write_letter_files``.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("letter_files requires a save path")
+        self.overwrite = overwrite
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        attempt = uuid.uuid4().hex  # retries/speculation never collide
+        handles: dict = {}
+        msg = _StagedFiles(pairs=[])
+        try:
+            for row in iterator:
+                letter, line = row[0], row[1]
+                fh = handles.get(letter)
+                if fh is None:
+                    os.makedirs(self.staging, exist_ok=True)
+                    staged = os.path.join(self.staging, f"{attempt}-{letter}.txt")
+                    fh = handles[letter] = open(staged, "w", encoding="utf-8")
+                    msg.pairs.append(
+                        (staged, os.path.join(f"letter={letter}", f"part-{pid:05d}.txt"))
+                    )
+                fh.write(line + "\n")
+        finally:
+            for fh in handles.values():
+                fh.close()
+        return msg
+
+    def commit(self, messages):
+        if self.overwrite and os.path.isdir(self.path):
+            for entry in os.listdir(self.path):
+                if entry.startswith("letter="):
+                    shutil.rmtree(os.path.join(self.path, entry))
+        for m in messages:
+            if m is None:
+                continue
+            for staged, rel in m.pairs:
+                final = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                os.replace(staged, final)
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages):
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class LetterFilesDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return LETTER_FORMAT_NAME
+
+    def schema(self):
+        return "letter string, line string"
+
+    def writer(self, schema, overwrite: bool):
+        return LetterFilesWriter(self.options, overwrite)
+
+
 def register(spark) -> None:
     spark.dataSource.register(ManifestDataSource)
+    spark.dataSource.register(LetterFilesDataSource)

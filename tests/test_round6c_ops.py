@@ -118,6 +118,59 @@ def test_decile_truth_consistent_with_float_threshold(spark, sf_dir):
     assert a == b
 
 
+def _read_letter_dirs(out: str) -> dict[str, list[str]]:
+    import os
+
+    got: dict[str, list[str]] = {}
+    for entry in sorted(os.listdir(out)):
+        if not entry.startswith("letter="):
+            continue
+        letter = entry.split("=", 1)[1]
+        lines: list[str] = []
+        d = os.path.join(out, entry)
+        for part in sorted(p for p in os.listdir(d) if p.startswith("part-")):
+            with open(os.path.join(d, part), encoding="utf-8") as fh:
+                lines.extend(fh.read().splitlines())
+        got[letter] = lines
+    return got
+
+
+def test_letter_files_datasource_matches_builtin_sink(spark, tmp_path):
+    """The v2 write path (letter_files DataSource, two-phase staged
+    commit) must publish byte-identical per-letter content, in-file order
+    included, to the built-in partitioned text sink — same index, same
+    layout contract (A15). Also: no _staging residue after commit, and
+    mode('overwrite') replaces prior contents instead of accreting."""
+    from mapreduce_model_spark.operators.inverted_index import (
+        format_output,
+        invert,
+        write_letter_files,
+    )
+    from mapreduce_model_spark.sources.manifest import read_corpus
+    from mapreduce_model_spark.sources.pyds import register
+
+    register(spark)
+    index = invert(read_corpus(spark, "/root/reference/checker/test_small.txt"))
+    builtin_dir, ds_dir = str(tmp_path / "builtin"), str(tmp_path / "ds")
+    write_letter_files(index, builtin_dir)
+
+    ordered = format_output(
+        index.repartition("letter").sortWithinPartitions(
+            "letter", F.col("n_docs").desc(), F.col("word").asc()
+        )
+    )
+    # write twice in overwrite mode: the second publish must fully replace
+    # the first (otherwise part files accrete and lines double)
+    for _ in range(2):
+        ordered.write.format("letter_files").mode("overwrite").save(ds_dir)
+
+    got, want = _read_letter_dirs(ds_dir), _read_letter_dirs(builtin_dir)
+    assert got == want and got, "v2 sink diverged from the built-in sink"
+    import os
+
+    assert not os.path.exists(os.path.join(ds_dir, "_staging"))
+
+
 def test_lsh_recall_report_invariants(spark, sf_dir):
     """Registry-face sanity: hits never exceed truth, deciles live in
     [5, 10], recalls are the advertised ratios."""

@@ -23,6 +23,11 @@ def spread_for_fanout(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition ``df`` up to the default parallelism — only if it is
     currently under-partitioned. ``cols`` (optional) hash-partition on those
     columns so downstream same-key ops can reuse the exchange."""
+    if df.isStreaming:
+        # .rdd force-plans a batch query (illegal on a stream), and the
+        # probe would be meaningless anyway: microbatch size is governed
+        # by the source's admission control, not by scan splits
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

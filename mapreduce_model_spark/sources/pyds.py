@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -135,9 +136,36 @@ class ManifestDataSource(DataSource):
 
 @dataclass
 class _StagedFiles(WriterCommitMessage):
-    """One task's staged output: (staged_path, final_relpath) pairs."""
+    """One task's staged output: (staged_path, letter, partition_id)
+    triples — the driver decides final names at commit time."""
 
     pairs: list = field(default_factory=list)
+
+
+def _stage_rows(staging: str, iterator) -> "_StagedFiles":
+    """Stream (letter, line) rows into per-(attempt, letter) staging files;
+    shared by the batch and streaming writers. The attempt uuid keeps
+    retries and speculative duplicates from ever colliding on a name."""
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    attempt = uuid.uuid4().hex
+    handles: dict = {}
+    msg = _StagedFiles(pairs=[])
+    try:
+        for row in iterator:
+            letter, line = row[0], row[1]
+            fh = handles.get(letter)
+            if fh is None:
+                os.makedirs(staging, exist_ok=True)
+                staged = os.path.join(staging, f"{attempt}-{letter}.txt")
+                fh = handles[letter] = open(staged, "w", encoding="utf-8")
+                msg.pairs.append((staged, letter, pid))
+            fh.write(line + "\n")
+    finally:
+        for fh in handles.values():
+            fh.close()
+    return msg
 
 
 class LetterFilesWriter(DataSourceWriter):
@@ -172,28 +200,7 @@ class LetterFilesWriter(DataSourceWriter):
         self.staging = os.path.join(self.path, "_staging")
 
     def write(self, iterator):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        attempt = uuid.uuid4().hex  # retries/speculation never collide
-        handles: dict = {}
-        msg = _StagedFiles(pairs=[])
-        try:
-            for row in iterator:
-                letter, line = row[0], row[1]
-                fh = handles.get(letter)
-                if fh is None:
-                    os.makedirs(self.staging, exist_ok=True)
-                    staged = os.path.join(self.staging, f"{attempt}-{letter}.txt")
-                    fh = handles[letter] = open(staged, "w", encoding="utf-8")
-                    msg.pairs.append(
-                        (staged, os.path.join(f"letter={letter}", f"part-{pid:05d}.txt"))
-                    )
-                fh.write(line + "\n")
-        finally:
-            for fh in handles.values():
-                fh.close()
-        return msg
+        return _stage_rows(self.staging, iterator)
 
     def commit(self, messages):
         if self.overwrite and os.path.isdir(self.path):
@@ -203,14 +210,62 @@ class LetterFilesWriter(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            for staged, rel in m.pairs:
-                final = os.path.join(self.path, rel)
+            for staged, letter, pid in m.pairs:
+                final = os.path.join(
+                    self.path, f"letter={letter}", f"part-{pid:05d}.txt"
+                )
                 os.makedirs(os.path.dirname(final), exist_ok=True)
                 os.replace(staged, final)
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages):
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class LetterFilesStreamWriter(DataSourceStreamWriter):
+    """Streaming face of the same sink — per-MICROBATCH two-phase commit.
+
+    ``write()`` stages exactly like the batch writer (a task doesn't know
+    its epoch); ``commit(messages, batchId)`` assigns the final names WITH
+    the epoch embedded (``letter=<c>/epoch-<batchId>-part-<task>.txt``).
+    That naming is the idempotence contract: after a failure, Structured
+    Streaming replays the same batchId from the checkpointed offsets, the
+    re-publish ``os.replace``s onto the SAME names, and the sink holds
+    exactly one copy per (epoch, task) — the file-name-by-epoch trick
+    every exactly-once file sink (including Spark's own FileStreamSink
+    manifest) is built on. ``abort`` deletes only this batch's staged
+    files; staging is shared across in-flight epochs so it is never
+    bulk-removed while the query runs."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("letter_files requires .option('path', <dir>)")
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, iterator):
+        return _stage_rows(self.staging, iterator)
+
+    def commit(self, messages, batchId: int):
+        for m in messages:
+            if m is None:
+                continue
+            for staged, letter, pid in m.pairs:
+                final = os.path.join(
+                    self.path,
+                    f"letter={letter}",
+                    f"epoch-{batchId:010d}-part-{pid:05d}.txt",
+                )
+                os.makedirs(os.path.dirname(final), exist_ok=True)
+                os.replace(staged, final)
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            if m is None:
+                continue
+            for staged, _letter, _pid in m.pairs:
+                if os.path.exists(staged):
+                    os.remove(staged)
 
 
 class LetterFilesDataSource(DataSource):
@@ -223,6 +278,9 @@ class LetterFilesDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return LetterFilesWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return LetterFilesStreamWriter(self.options)
 
 
 def register(spark) -> None:

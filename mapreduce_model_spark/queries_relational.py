@@ -269,6 +269,46 @@ def join_multi(spark, sf_dir):
 
 
 @query(
+    "join_salted",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       count(*) AS n_items,
+       round(1e-9 + sum(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+)
+def join_salted(spark, sf_dir):
+    """The skew-proof join AS a registered, hash-checked query: lineitem ⋈
+    orders through operators.skew.salted_join (fact rows deterministically
+    salted into 16 sub-keys, the other side replicated across all 16), then
+    the priority roll-up. The oracle is the PLAIN join — identical results
+    is salted_join's entire contract (each fact row lands in exactly one
+    sub-key: no drops, no duplicates), so the hash check proves the
+    rewrite's equivalence end to end, not just its plan shape.
+
+    When to reach for it at 100 TB: the non-fact side is too big to
+    broadcast AND single join keys are hot beyond AQE's skew splitting
+    (AQE splits oversized partitions; it cannot split one hot KEY feeding
+    a hash join). Cost is explicit: the replicated side shuffles ×16.
+    Plain-join row parity is also pinned in test_skew.py; the salting
+    exchange shape in test_plan_shape.py's registry walk."""
+    from mapreduce_model_spark.operators.skew import salted_join
+
+    fact = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    dim = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(fact, dim, key="l_orderkey", n_salts=16)
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        rnd(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
     "join_semi",
     oracle="""
 SELECT c_custkey, c_name FROM customer c

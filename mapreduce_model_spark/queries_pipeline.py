@@ -1393,6 +1393,68 @@ def doc_chunks_udtf(spark, sf_dir):
 
 
 @query(
+    "ngram_cols_udtf",
+    oracle=r"""
+WITH wbase AS (
+    SELECT doc_id,
+           list_filter(
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
+               w -> length(w) > 0) AS words
+    FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       words[i] AS w1, words[i + 1] AS w2, words[i + 2] AS w3
+FROM wbase, LATERAL unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+WHERE len(words) >= 3
+""",
+)
+def ngram_cols_udtf(spark, sf_dir):
+    """POLYMORPHIC Python UDTF — the output schema is decided at analysis
+    time by the UDTF's static ``analyze()`` from a constant argument
+    (n=3 ⇒ columns pos, w1..w3), the Spark 4 dynamic-schema face of the
+    table-function surface (doc_chunks_udtf covers the static-schema
+    face). The eval reproduces the reference tokenizer rule (whitespace
+    split, lower, strip [^a-z], drop empties — main.cc:33-42,73-75)
+    row-at-a-time in Python, and the oracle reproduces it in SQL, so the
+    hash check pins the Python/JVM/DuckDB tokenizer triple-parity.
+
+    Row-at-a-time Python is the documented slow path (test_plan_shape's
+    BatchEvalPython guard carries an annotated exception for exactly the
+    two UDTF demos): real pipelines derive n-gram columns from
+    words_array + slice, JVM-side. This query exists to verify the
+    analyze() contract end to end."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGramCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression or n.value is None:
+                raise ValueError("ngram_cols(text, n): n must be a non-null literal")
+            fields = [StructField("pos", IntegerType())] + [
+                StructField(f"w{i + 1}", StringType()) for i in range(int(n.value))
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text, n):
+            import re
+
+            toks = re.split(r"\s+", text.strip()) if text and text.strip() else []
+            ws = [w for w in (re.sub(r"[^a-z]", "", t.lower()) for t in toks) if w]
+            for i in range(len(ws) - n + 1):
+                yield (i, *ws[i : i + n])
+
+    spark.udtf.register("ngram_cols", NGramCols)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, g.* FROM documents d, LATERAL ngram_cols(d.text, 3) g"
+    )
+
+
+@query(
     "geo_mean_udaf",
     oracle="""
 SELECT event_type,

@@ -733,12 +733,13 @@ def test_no_undocumented_global_window_funnels(spark):
 def test_no_row_at_a_time_python_in_hot_paths(spark):
     """Registry-wide guard for the UDF slow path: row-at-a-time Python
     evaluation (BatchEvalPython — pickled per-row transfer, 10-100x slower
-    than Arrow) may appear ONLY in doc_chunks_udtf, the deliberate UDTF
-    surface demo (SURVEY A20). Everything else must stay JVM-side or go
+    than Arrow) may appear ONLY in the two deliberate UDTF surface demos
+    (SURVEY A20): doc_chunks_udtf (static schema) and ngram_cols_udtf
+    (polymorphic analyze()). Everything else must stay JVM-side or go
     through Arrow (pandas_udf / mapInPandas / mapInArrow)."""
     offenders = []
     for name in sorted(QUERIES):
-        if name == "doc_chunks_udtf":
+        if name in ("doc_chunks_udtf", "ngram_cols_udtf"):
             continue
         p = plan(spark, name)
         if "BatchEvalPython" in p:

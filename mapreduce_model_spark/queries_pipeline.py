@@ -1417,16 +1417,26 @@ def ngram_cols_udtf(spark, sf_dir):
     face). The eval reproduces the reference tokenizer rule (whitespace
     split, lower, strip [^a-z], drop empties — main.cc:33-42,73-75)
     row-at-a-time in Python, and the oracle reproduces it in SQL, so the
-    hash check pins the Python/JVM/DuckDB tokenizer triple-parity.
+    hash check pins the Python/JVM/DuckDB tokenizer triple-parity. The
+    split uses the explicit ASCII class [ \\t\\n\\x0b\\x0c\\r] — Python's
+    \\s is Unicode-aware (would split on U+00A0 etc.) while Java's and
+    RE2's \\s is ASCII-only; the explicit class makes all three engines
+    tokenize identical byte ranges on ANY corpus, not just ASCII ones
+    (the same class of fix as the multimodal byte-slice oracles).
 
     Row-at-a-time Python is the documented slow path (test_plan_shape's
     BatchEvalPython guard carries an annotated exception for exactly the
     two UDTF demos): real pipelines derive n-gram columns from
     words_array + slice, JVM-side. This query exists to verify the
     analyze() contract end to end."""
+    import re
+
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    split_ws = re.compile(r"[ \t\n\x0b\x0c\r]+")  # Java/RE2 \s, NOT Python's
+    strip_nonletter = re.compile(r"[^a-z]")
 
     @udtf
     class NGramCols:
@@ -1440,10 +1450,12 @@ def ngram_cols_udtf(spark, sf_dir):
             return AnalyzeResult(StructType(fields))
 
         def eval(self, text, n):
-            import re
-
-            toks = re.split(r"\s+", text.strip()) if text and text.strip() else []
-            ws = [w for w in (re.sub(r"[^a-z]", "", t.lower()) for t in toks) if w]
+            toks = split_ws.split(text) if text else []
+            ws = [
+                w
+                for w in (strip_nonletter.sub("", t.lower()) for t in toks)
+                if w
+            ]
             for i in range(len(ws) - n + 1):
                 yield (i, *ws[i : i + n])
 

@@ -145,7 +145,11 @@ class _StagedFiles(WriterCommitMessage):
 def _stage_rows(staging: str, iterator) -> "_StagedFiles":
     """Stream (letter, line) rows into per-(attempt, letter) staging files;
     shared by the batch and streaming writers. The attempt uuid keeps
-    retries and speculative duplicates from ever colliding on a name."""
+    retries and speculative duplicates from ever colliding on a name.
+
+    Rows are read BY NAME (a positionally-swapped frame fails loudly
+    instead of writing lines as directory names), and the letter value is
+    validated path-safe — it becomes a directory component at commit."""
     from pyspark import TaskContext
 
     pid = TaskContext.get().partitionId()
@@ -154,7 +158,11 @@ def _stage_rows(staging: str, iterator) -> "_StagedFiles":
     msg = _StagedFiles(pairs=[])
     try:
         for row in iterator:
-            letter, line = row[0], row[1]
+            letter, line = row["letter"], row["line"]
+            if letter is None or line is None:
+                raise ValueError("letter_files: letter/line must be non-null")
+            if "/" in letter or os.sep in letter or letter in ("", ".", ".."):
+                raise ValueError(f"letter_files: unsafe letter value {letter!r}")
             fh = handles.get(letter)
             if fh is None:
                 os.makedirs(staging, exist_ok=True)
@@ -179,12 +187,19 @@ class LetterFilesWriter(DataSourceWriter):
     final layout is touched by executors. The driver publishes renames
     only in ``commit()`` — so task retries and speculative duplicates
     leave dead staging files, never half-written or duplicated visible
-    output, and a failed job publishes nothing (``abort()`` discards
-    staging). This is exactly the v1 FileOutputCommitter contract,
-    re-expressed through the Python DataSource API; on an object store
-    the same message flow carries multipart-upload ids instead of rename
-    paths. Assumes executors and driver share a filesystem (true in
-    local mode and on NFS/DBFS-style mounts).
+    output, and a failed JOB publishes nothing (``abort()`` discards
+    staging). Final names carry a job-unique id
+    (``part-<task>-<job>.txt``) so ``mode('append')`` accretes instead of
+    silently replacing a prior job's same-numbered parts, and overwrite
+    publishes ALL new files BEFORE deleting prior-job files: a driver
+    crash mid-commit leaves a mix of two complete file sets
+    distinguishable by job id — never a half-written file, and never a
+    window with neither dataset present. This is the v1
+    FileOutputCommitter contract, re-expressed through the Python
+    DataSource API; on an object store the same message flow carries
+    multipart-upload ids instead of rename paths. Assumes executors and
+    driver share a filesystem (true in local mode and on NFS/DBFS-style
+    mounts).
 
     Input contract: ``(letter string, line string)`` —
     ``operators.inverted_index.format_output``'s shape; callers that need
@@ -198,24 +213,40 @@ class LetterFilesWriter(DataSourceWriter):
             raise ValueError("letter_files requires a save path")
         self.overwrite = overwrite
         self.staging = os.path.join(self.path, "_staging")
+        # driver-generated, pickled to executors with the writer: stable
+        # for the job, distinct across jobs (append-safety + the
+        # publish-before-delete overwrite below key off it)
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         return _stage_rows(self.staging, iterator)
 
     def commit(self, messages):
-        if self.overwrite and os.path.isdir(self.path):
-            for entry in os.listdir(self.path):
-                if entry.startswith("letter="):
-                    shutil.rmtree(os.path.join(self.path, entry))
+        # publish FIRST (new names can't collide: the job id is in them) …
         for m in messages:
             if m is None:
                 continue
             for staged, letter, pid in m.pairs:
                 final = os.path.join(
-                    self.path, f"letter={letter}", f"part-{pid:05d}.txt"
+                    self.path,
+                    f"letter={letter}",
+                    f"part-{pid:05d}-{self.job_id}.txt",
                 )
                 os.makedirs(os.path.dirname(final), exist_ok=True)
                 os.replace(staged, final)
+        # … THEN, for overwrite, retire every part file a previous job
+        # published. A crash between the two phases leaves both complete
+        # datasets on disk (distinguishable by job id) — never neither.
+        if self.overwrite and os.path.isdir(self.path):
+            for entry in os.listdir(self.path):
+                if not entry.startswith("letter="):
+                    continue
+                d = os.path.join(self.path, entry)
+                for part in os.listdir(d):
+                    if part.startswith("part-") and self.job_id not in part:
+                        os.remove(os.path.join(d, part))
+                if not os.listdir(d):
+                    os.rmdir(d)
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages):
@@ -233,9 +264,15 @@ class LetterFilesStreamWriter(DataSourceStreamWriter):
     re-publish ``os.replace``s onto the SAME names, and the sink holds
     exactly one copy per (epoch, task) — the file-name-by-epoch trick
     every exactly-once file sink (including Spark's own FileStreamSink
-    manifest) is built on. ``abort`` deletes only this batch's staged
-    files; staging is shared across in-flight epochs so it is never
-    bulk-removed while the query runs."""
+    manifest) is built on. Append output mode only (enforced in
+    streamWriter): complete/update would need epoch supersession the
+    per-epoch file layout deliberately doesn't express — failing loudly
+    beats silently accreting cumulative snapshots. Microbatch epochs
+    commit sequentially, so once ``commit(batchId)`` has renamed its
+    files, anything still under staging is a dead attempt (a failed or
+    zombie-speculative task of this or an earlier epoch) — commit sweeps
+    staging empty, bounding the leak a long-running query would
+    otherwise accumulate."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -258,6 +295,9 @@ class LetterFilesStreamWriter(DataSourceStreamWriter):
                 )
                 os.makedirs(os.path.dirname(final), exist_ok=True)
                 os.replace(staged, final)
+        # epochs are sequential: every file still staged belongs to a dead
+        # attempt — sweep so a long-lived query can't grow staging forever
+        shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages, batchId: int):
         for m in messages:
@@ -280,6 +320,13 @@ class LetterFilesDataSource(DataSource):
         return LetterFilesWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            # complete/update output modes truncate the sink each epoch;
+            # this layout is append-only by design — refuse loudly rather
+            # than accrete cumulative snapshots that double-count on read
+            raise ValueError(
+                "letter_files streaming sink supports append output mode only"
+            )
         return LetterFilesStreamWriter(self.options)
 
 

@@ -42,7 +42,7 @@ def _w(i: int) -> str:
 def _planted_docs(spark):
     """40 'low' pairs engineered to J ≈ 0.52 (decile 5 — the S-curve's
     steep region, where 8×4 banding + est ≥ 0.5 must lose some pairs) and
-    15 'high' pairs at J ≈ 0.94 (decile 9 — where it must not). Each pair
+    15 'high' pairs at J ≈ 0.98 (decile 9 — where it must not). Each pair
     draws from its own vocabulary so pairs can't cross-match and no
     shingle approaches the df cap."""
     rows = []
@@ -61,7 +61,9 @@ def _planted_docs(spark):
         rows.append((doc_id, " ".join(a)))
         rows.append((doc_id + 1, " ".join(b)))
         doc_id += 2
-    for _ in range(15):  # high: 100 words, last swapped ⇒ J = 95/101 ≈ .94
+    for _ in range(15):  # high: 100 words, last swapped ⇒ 97 of 99 distinct
+        # trigrams shared (exactly one trigram per side touches the swapped
+        # word) ⇒ J = 97/99 ≈ 0.98, decile 9
         ws = fresh(101)
         a, b = ws[:100], ws[:99] + ws[100:]
         rows.append((doc_id, " ".join(a)))
@@ -236,6 +238,33 @@ def test_letter_files_stream_writer_end_to_end(spark, tmp_path):
         assert len(epochs) >= 3, f"expected ≥3 epochs, saw {sorted(epochs)}"
     finally:
         q.stop()
+
+
+def test_ngram_udtf_matches_jvm_on_nonascii_whitespace(spark, sf_dir):
+    """The UDTF's Python tokenizer must agree with the JVM words_array on
+    NON-ASCII whitespace: Python's \\s is Unicode-aware (splits U+00A0),
+    Java's is not — the UDTF uses an explicit ASCII class so all engines
+    keep 'ab\\u00a0cd' as ONE token whose [^a-z] strip yields 'abcd'.
+    Guards the advertised tokenizer triple-parity beyond ASCII corpora
+    (the review finding that motivated the explicit class)."""
+    from mapreduce_model_spark.functions.text import words_array
+
+    QUERIES["ngram_cols_udtf"](spark, sf_dir)  # registers the UDTF
+    df = spark.createDataFrame(
+        [(1, "ab\u00a0cd ef\u2009gh ij kl mn")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("u_docs")
+    got = {
+        (r.pos, r.w1, r.w2, r.w3)
+        for r in spark.sql(
+            "SELECT g.* FROM u_docs d, LATERAL ngram_cols(d.text, 3) g"
+        ).collect()
+    }
+    words = df.select(words_array("text").alias("w")).first()["w"]
+    want = {
+        (i, *words[i : i + 3]) for i in range(len(words) - 2)
+    }
+    assert got == want and got, (got, words)
 
 
 def test_lsh_recall_report_invariants(spark, sf_dir):

@@ -467,7 +467,7 @@ COMMENTARY: dict[str, str] = {
         "At 100 TB this runs over a sampled corpus partition — the shape "
         "is already that. The planted-pair S-curve is pinned in "
         "test_round6c_ops (measured at J≈0.52: recall 0.43 classic / "
-        "0.63 OPH; at J≈0.94: 1.0 both — the knee is real and the audit "
+        "0.63 OPH; at J≈0.98: 1.0 both — the knee is real and the audit "
         "sees it)."
     ),
     "similarity_ann_ivfpq": (

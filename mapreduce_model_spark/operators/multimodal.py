@@ -132,13 +132,25 @@ def extract_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def extract_features_arrow(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_features_arrow(
+    media: DataFrame, id_col: str = "doc_id", barrier: bool = False
+) -> DataFrame:
     """``mapInArrow`` twin of :func:`extract_features` — identical output,
     but the binary payloads are read straight out of the Arrow value
     buffer (offsets + one contiguous byte buffer), never materialized as
     Python bytes objects or pandas object-dtype cells. For multi-MB
     image/video payloads this removes the one real cost of the pandas
-    path: per-cell object boxing of the binary column."""
+    path: per-cell object boxing of the binary column.
+
+    ``barrier=True`` runs the stage under barrier execution (gang
+    scheduling: every task launches together and may rendezvous via
+    ``BarrierTaskContext``). Irrelevant for this stub extractor's math —
+    results are identical either way, parity-pinned in tests — but it is
+    the switch a REAL extractor flips when tasks must coordinate once at
+    start: loading a sharded model checkpoint collectively, NCCL/gloo
+    group init for GPU featurizers, or rate-limit handshakes. Cost: the
+    whole stage's tasks must fit on the cluster at once (no wave
+    scheduling), so keep barrier stages narrow and short."""
     import pyarrow as pa
 
     def _extract(batches):
@@ -175,7 +187,7 @@ def extract_features_arrow(media: DataFrame, id_col: str = "doc_id") -> DataFram
             )
 
     return spread_for_fanout(media.select(id_col, "payload"), id_col).mapInArrow(
-        _extract, FEATURE_SCHEMA
+        _extract, FEATURE_SCHEMA, barrier=barrier
     )
 
 

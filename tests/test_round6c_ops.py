@@ -267,6 +267,45 @@ def test_ngram_udtf_matches_jvm_on_nonascii_whitespace(spark, sf_dir):
     assert got == want and got, (got, words)
 
 
+def test_extract_features_arrow_barrier_parity(spark, sf_dir):
+    """barrier=True is a pure SCHEDULING change — gang-launch for
+    collective init (sharded checkpoint load, NCCL group, rate-limit
+    handshake) — and must never change results: identical rows to the
+    default wave-scheduled stage. Also proves the barrier path actually
+    executes on local[N] (tasks ≤ slots after spread_for_fanout)."""
+    from mapreduce_model_spark.operators.multimodal import (
+        attach_payload,
+        extract_features_arrow,
+    )
+
+    media = attach_payload(table(spark, sf_dir, "documents"))
+    a = sorted(map(tuple, extract_features_arrow(media).collect()))
+    b = sorted(map(tuple, extract_features_arrow(media, barrier=True).collect()))
+    assert a == b and a
+
+
+def test_observe_metrics_ride_the_build_job(spark, sf_dir):
+    """Pipeline QA without a second scan: Observation metrics (input
+    count, input byte mass) ride the SAME job as the filtered build —
+    the pattern a 100 TB corpus build uses to report gate pass-rates
+    for free instead of re-aggregating the fact table. Values must match
+    independently computed aggregates exactly."""
+    from pyspark.sql import Observation
+
+    docs = table(spark, sf_dir, "documents")
+    obs = Observation("qa")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_in"),
+    )
+    n_kept = gated.filter(F.col("n_chars") >= 64).count()
+    m = obs.get
+    assert m["n_in"] == docs.count()
+    assert m["chars_in"] == docs.agg(F.sum(F.col("n_chars").cast("long"))).first()[0]
+    assert 0 < n_kept <= m["n_in"]
+
+
 def test_lsh_recall_report_invariants(spark, sf_dir):
     """Registry-face sanity: hits never exceed truth, deciles live in
     [5, 10], recalls are the advertised ratios."""

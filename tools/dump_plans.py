@@ -456,6 +456,19 @@ COMMENTARY: dict[str, str] = {
         "the join carries (id, 8-byte hash) only — selection AND values "
         "hash-check because no float exists anywhere in the query."
     ),
+    "join_salted": (
+        "The skew-proof join as a checkable query (r6): the fact side "
+        "computes a deterministic 16-way salt narrowly in its scan stage; "
+        "the other side explodes across all 16 sub-keys before its "
+        "exchange; the join key is (orderkey, salt) so one hot orderkey's "
+        "rows spread over 16 tasks instead of one. The plan shows both "
+        "exchanges carrying the salted key and NO broadcast — that's the "
+        "point: this is the path for when the dim is too big to broadcast "
+        "and a single KEY is hot beyond AQE's partition-level skew "
+        "splitting. The oracle is the plain join: identical results IS "
+        "the rewrite's contract, so the hash check proves equivalence, "
+        "not just shape."
+    ),
     "lsh_recall_report": (
         "The dedup audit AS a query (r6, ann_recall_report's minhash "
         "sibling): blocked exact-Jaccard truth (integer-exact threshold "

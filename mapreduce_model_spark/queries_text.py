@@ -486,6 +486,66 @@ def bpe_merge_candidates(spark, sf_dir):
     return top.withColumn("rn", F.row_number().over(win)).select("pair", "n", F.col("rn").cast("long").alias("rn"))
 
 
+_WIN_SIZE, _WIN_STRIDE = 32, 24
+
+
+@query(
+    "overlap_chunks",
+    oracle=_WBASE
+    + f"""
+, won AS (SELECT doc_id, words, len(words) AS nw FROM wbase WHERE len(words) > 0)
+SELECT doc_id,
+       CAST(s // {_WIN_STRIDE} AS INT)          AS win_idx,
+       CAST(s AS INT)                           AS start_word,
+       CAST(least({_WIN_SIZE}, nw - s) AS INT)  AS n_win_words,
+       md5(array_to_string(words[s + 1 : s + {_WIN_SIZE}], ' ')) AS win_hash
+FROM won, LATERAL unnest(range(0, ((nw - 1) // {_WIN_STRIDE}) * {_WIN_STRIDE} + 1,
+                               {_WIN_STRIDE})) t(s)
+""",
+)
+def overlap_chunks(spark, sf_dir):
+    """Overlapping context-window chunking — THE pretraining doc splitter:
+    long documents become 32-word windows at stride 24 (8-word overlap),
+    so no training example loses the context that crossed a hard chunk
+    boundary (the overlap is why stride < size).
+    Emits provenance (doc_id, window index, start offset, actual window
+    length — the tail window may be short) plus the window content hash,
+    which is what dedup/packing stages key on downstream.
+
+    Plan: FULLY NARROW — tokenize, one sequence-explode of window starts,
+    slice + md5, zero exchanges (pinned in test_round6c_ops): at 100 TB
+    this is a pure map pass whose output shuffles only in whatever
+    consumer follows. chunk_dedup is the non-overlapping sibling (fixed
+    16-word chunks for C4-style dedup); this one feeds example
+    construction."""
+    docs = table(spark, sf_dir, "documents")
+    w = words_array("text")
+    based = docs.select("doc_id", w.alias("w")).where(F.size("w") > 0)
+    # integer div for the last window start — float division would only
+    # need a cast-truncate, but `div` keeps the arithmetic integer-exact
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.expr(
+            f"((size(w) - 1) div {_WIN_STRIDE}) * cast({_WIN_STRIDE} as long)"
+        ),
+        F.lit(_WIN_STRIDE).cast("long"),
+    )
+    win = F.slice("w", F.col("start") + 1, _WIN_SIZE)
+    return (
+        based.select("doc_id", F.size("w").alias("nw"), "w",
+                     F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _WIN_STRIDE).cast("int").alias("win_idx"),
+            F.col("start").cast("int").alias("start_word"),
+            F.least(F.lit(_WIN_SIZE), F.col("nw") - F.col("start"))
+            .cast("int")
+            .alias("n_win_words"),
+            F.md5(F.array_join(win, " ")).alias("win_hash"),
+        )
+    )
+
+
 @query(
     "sequence_packing",
     oracle=_WBASE

@@ -306,6 +306,39 @@ def test_observe_metrics_ride_the_build_job(spark, sf_dir):
     assert 0 < n_kept <= m["n_in"]
 
 
+def test_overlap_chunks_fully_narrow_and_covering(spark, sf_dir):
+    """The pretraining window splitter must stay a pure map pass (ZERO
+    exchanges — its docstring's scale claim), and its windows must cover
+    every word: consecutive windows of one doc overlap by exactly
+    size−stride except the (possibly short) tail, and the last window
+    reaches the doc's final word."""
+    from mapreduce_model_spark.queries_text import _WIN_SIZE, _WIN_STRIDE
+
+    df = QUERIES["overlap_chunks"](spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p, "overlap_chunks must not shuffle"
+
+    rows = df.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, ws in by_doc.items():
+        ws.sort(key=lambda r: r.win_idx)
+        # the tail always ends AT the doc's last word (nw − last_start ≤
+        # stride ≤ size by construction), so it recovers the word count
+        tail = ws[-1]
+        nw = tail.start_word + tail.n_win_words
+        for i, r in enumerate(ws):
+            assert r.win_idx == i and r.start_word == i * _WIN_STRIDE
+            assert r.n_win_words == min(_WIN_SIZE, nw - r.start_word)
+            assert 1 <= r.n_win_words <= _WIN_SIZE
+        # and the window count is exactly what stride arithmetic demands
+        assert len(ws) == (nw - 1) // _WIN_STRIDE + 1
+
+
 def test_lsh_recall_report_invariants(spark, sf_dir):
     """Registry-face sanity: hits never exceed truth, deciles live in
     [5, 10], recalls are the advertised ratios."""

@@ -164,10 +164,10 @@ def q_near_oph(spark, sf_dir):
     )
 
 
-_RECALL_ORACLE = (
-    "\nWITH "
-    + shingle_cte()
-    + f"""
+# Blocked exact-Jaccard ground truth with the INTEGER-EXACT decile label —
+# the single SQL source of truth shared by lsh_recall_report and
+# simhash_recall_report (twin of operators.dedup.jaccard_decile_pairs).
+_TRUTH_CTES = f"""
 , sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
 dfq AS (SELECT x, count(*) AS dfx FROM shx GROUP BY x),
 rare AS (SELECT shx.doc_id, shx.x FROM shx JOIN dfq USING (x) WHERE dfx <= {MAX_SHINGLE_DF}),
@@ -186,7 +186,14 @@ cand AS (
     JOIN sizes sa ON sa.doc_id = cand.id_a
     JOIN sizes sb ON sb.doc_id = cand.id_b
     WHERE 2 * n_inter >= sa.n_sh + sb.n_sh - n_inter
-), sig AS (
+)"""
+
+_RECALL_ORACLE = (
+    "\nWITH "
+    + shingle_cte()
+    + _TRUTH_CTES
+    + f"""
+, sig AS (
     SELECT doc_id, {_SIG_SQL} AS sig FROM shx GROUP BY doc_id
 ), """
     + banding_cte("sig")
@@ -365,6 +372,84 @@ def q_simhash_pairs(spark, sf_dir):
         max_hamming=_SIMHASH_MAX_HAM,
         max_block=_SIMHASH_MAX_BLOCK,
     )
+
+
+def _simhash_recall_oracle() -> str:
+    """Truth CTEs + the pigeonhole SimHash pairing (same constants as
+    _simhash_pairs_oracle, block CTEs renamed to avoid colliding with the
+    truth chain's names) + the per-decile recall roll-up."""
+    nb = _SIMHASH_MAX_HAM + 1
+    width = SIMHASH_BITS // nb
+    mask = (1 << width) - 1
+    return (
+        "\nWITH "
+        + shingle_cte()
+        + _TRUTH_CTES
+        + f"""
+, sh2 AS ({_simhash_sql()}), blk AS (
+    SELECT doc_id, simhash, t.i::INTEGER AS bi,
+           (simhash >> ({width} * t.i)) & {mask} AS bv
+    FROM sh2 CROSS JOIN range(0, {nb}) t(i)
+), bsz AS (
+    SELECT bi, bv, count(*) AS n FROM blk GROUP BY bi, bv
+), bcap AS (
+    SELECT b.* FROM blk b JOIN bsz USING (bi, bv) WHERE n <= {_SIMHASH_MAX_BLOCK}
+), spairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS h_a, b.simhash AS h_b
+    FROM bcap a JOIN bcap b USING (bi, bv) WHERE a.doc_id < b.doc_id
+), hits AS (
+    SELECT id_a, id_b FROM spairs
+    WHERE bit_count(xor(h_a, h_b)) <= {_SIMHASH_MAX_HAM}
+)
+SELECT t.j_decile,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(h.id_a) AS BIGINT) AS n_hit_simhash,
+       round(count(h.id_a)::DOUBLE / count(*) + 1e-9, 4) AS recall_simhash
+FROM truth t
+LEFT JOIN hits h ON h.id_a = t.id_a AND h.id_b = t.id_b
+GROUP BY t.j_decile
+"""
+    )
+
+
+@query("simhash_recall_report", oracle=_simhash_recall_oracle())
+def q_simhash_recall_report(spark, sf_dir):
+    """Completes the recall-audit family (ann_recall_report for
+    embeddings, lsh_recall_report for MinHash/OPH): what fraction of
+    TRUE Jaccard near-dups does the hamming ≤ 3 SimHash gate recover,
+    per Jaccard decile? SimHash approximates COSINE over tf-weighted
+    token vectors — a different geometry than set Jaccard — so its
+    recall against Jaccard truth is the number a pipeline that uses
+    SimHash as its cheap first gate (it is the cheapest sketch: pure
+    aggregation, no shingle explosion) must actually measure rather
+    than assume. Hash-checked end to end: truth is integer arithmetic
+    (jaccard_decile_pairs), the gate is shift/xor/popcount.
+
+    Scale: same shapes as the parents — blocked truth join, pigeonhole
+    block equi-join, recall join on pair-table rows; run over a sampled
+    partition at 100 TB."""
+    from mapreduce_model_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    truth = jaccard_decile_pairs(
+        docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF
+    )
+    hits = simhash_hamming_pairs(
+        docs,
+        bits=SIMHASH_BITS,
+        max_hamming=_SIMHASH_MAX_HAM,
+        max_block=_SIMHASH_MAX_BLOCK,
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    joined = truth.join(hits, ["id_a", "id_b"], "left")
+    n = F.count(F.lit(1))
+    h = F.sum(F.coalesce("hit", F.lit(0)))
+    return joined.groupBy("j_decile").agg(
+        n.cast("long").alias("n_true"),
+        h.cast("long").alias("n_hit_simhash"),
+        F.round(h / n + 1e-9, 4).alias("recall_simhash"),
+    )
+
 
 
 # Component labeling comes from the shared components_cte factory

@@ -339,6 +339,20 @@ def test_overlap_chunks_fully_narrow_and_covering(spark, sf_dir):
         assert len(ws) == (nw - 1) // _WIN_STRIDE + 1
 
 
+def test_simhash_recall_report_invariants(spark, sf_dir):
+    """Same contracts as the LSH report, for the SimHash gate; plus the
+    family consistency pin: both reports measure the SAME truth frame, so
+    per-decile n_true must agree exactly across the two queries."""
+    sh = {r.j_decile: r for r in QUERIES["simhash_recall_report"](spark, sf_dir).collect()}
+    lsh = {r.j_decile: r for r in QUERIES["lsh_recall_report"](spark, sf_dir).collect()}
+    assert sh and set(sh) == set(lsh)
+    for d, r in sh.items():
+        assert 5 <= d <= 10
+        assert 0 <= r.n_hit_simhash <= r.n_true
+        assert r.n_true == lsh[d].n_true
+        assert abs(r.recall_simhash - round(r.n_hit_simhash / r.n_true, 4)) <= 1e-4
+
+
 def test_lsh_recall_report_invariants(spark, sf_dir):
     """Registry-face sanity: hits never exceed truth, deciles live in
     [5, 10], recalls are the advertised ratios."""

@@ -483,6 +483,25 @@ COMMENTARY: dict[str, str] = {
         "0.63 OPH; at J≈0.98: 1.0 both — the knee is real and the audit "
         "sees it)."
     ),
+    "overlap_chunks": (
+        "The pretraining doc splitter (r6): 32-word windows at stride 24. "
+        "The plan is ONE WholeStageCodegen span with ZERO exchanges — "
+        "tokenize, sequence-explode of window starts, slice + md5, all "
+        "fused into the scan (pinned by test_round6c_ops). At 100 TB this "
+        "is a pure map pass; cost scales with output windows and nothing "
+        "shuffles until whatever consumer (dedup, packing) follows."
+    ),
+    "simhash_recall_report": (
+        "Completes the recall-audit family (r6): the hamming-3 SimHash "
+        "gate measured against the SAME integer-exact Jaccard truth frame "
+        "as lsh_recall_report (shared _TRUTH_CTES — one ground truth by "
+        "construction). The number it exists for: SimHash approximates "
+        "COSINE over tf vectors, not set Jaccard, and the geometry gap is "
+        "real — 0.92 recall at decile 9 on the shipped corpus where "
+        "banded LSH reads 1.0. Pipelines using SimHash as the cheap "
+        "first gate (pure aggregation, no shingle explosion) budget "
+        "against this measured gap, not an assumption."
+    ),
     "similarity_ann_ivfpq": (
         "The production ANN architecture end to end (r6): L2 coarse "
         "cells (1-subspace pq_fit), residual product quantization, "

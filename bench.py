@@ -27,6 +27,13 @@ Env:
   BENCH_FULL_PATH     durable sidecar path (default <repo>/BENCH_FULL.json;
                       NOT written on BENCH_QUERIES subset runs, so smoke
                       probes never clobber the last full-suite record)
+  BENCH_CLEAR_CACHE   "1" → spark.catalog.clearCache() between queries, so
+                      each timing is isolated from prior queries' persisted
+                      frames (the registry's documented never-unpersist
+                      policy otherwise accumulates MEMORY_AND_DISK storage
+                      across the 200+ query suite). DEFAULT OFF: the r1-r6
+                      records were measured without it, and flipping it
+                      would silently shift every cross-round ratio.
 """
 
 from __future__ import annotations
@@ -109,9 +116,13 @@ def main() -> None:
     # the median already discounts a slow first run.
     retry_threshold = float(os.environ.get("BENCH_RETRY_THRESHOLD", "3.0"))
 
+    clear_cache = os.environ.get("BENCH_CLEAR_CACHE", "0") == "1"
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:
+        if clear_cache:
+            spark.catalog.clearCache()
         fn = registry.QUERIES[name]
         samples: list[float] = []
         # repeat>1: one extra run up front, discarded below as warmup

@@ -494,6 +494,11 @@ def pq_fit(
     ).persist()
 
     seed_rows = vectors.select(id_col, ve.alias("v")).orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"pq_fit needs at least k={k} vectors to seed the codebook; "
+            f"got {len(seed_rows)} — lower k or supply more vectors"
+        )
     # cents[s][cid] -> list of d_sub floats
     cents = [
         [list(r["v"][s * d_sub : (s + 1) * d_sub]) for r in seed_rows]

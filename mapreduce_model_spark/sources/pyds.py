@@ -46,6 +46,77 @@ from pyspark.sql.datasource import (
 FORMAT_NAME = "manifest_corpus"
 LETTER_FORMAT_NAME = "letter_files"
 
+# Commit manifest at the sink root, naming the job ids whose part files are
+# LIVE. Written atomically (temp + os.replace) after publish and BEFORE the
+# overwrite delete phase, so the mixed two-job window a driver crash can
+# leave behind is disambiguated: readers that filter through
+# published_part_files() see exactly one complete dataset at every instant.
+_COMMIT_MANIFEST = "_SUCCESS"
+
+
+def _write_commit_manifest(path: str, job_ids: list[str]) -> None:
+    import json
+
+    tmp = os.path.join(path, f"._SUCCESS.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"job_ids": sorted(job_ids)}, fh)
+    os.replace(tmp, os.path.join(path, _COMMIT_MANIFEST))
+
+
+def _read_commit_manifest(path: str) -> list[str] | None:
+    import json
+
+    mf = os.path.join(path, _COMMIT_MANIFEST)
+    if not os.path.exists(mf):
+        return None
+    with open(mf, encoding="utf-8") as fh:
+        return list(json.load(fh).get("job_ids", []))
+
+
+def _existing_job_ids(path: str) -> set[str]:
+    """Job ids embedded in already-published batch part names
+    (``part-<pid>-<job>.txt``) — the append-mode fallback for sinks
+    written before the manifest existed."""
+    ids: set[str] = set()
+    if not os.path.isdir(path):
+        return ids
+    for entry in os.listdir(path):
+        if not entry.startswith("letter="):
+            continue
+        for part in os.listdir(os.path.join(path, entry)):
+            if part.startswith("part-") and part.endswith(".txt"):
+                stem = part[: -len(".txt")]
+                bits = stem.split("-")
+                if len(bits) == 3:
+                    ids.add(bits[2])
+    return ids
+
+
+def published_part_files(path: str) -> list[str]:
+    """The COMMITTED view of a letter_files sink: every part file a reader
+    should count, exactly once, even inside the overwrite crash window
+    where two complete job file sets coexist on disk.
+
+    Batch parts (``part-<pid>-<job>.txt``) are filtered to the job ids the
+    commit manifest names; streaming parts (``epoch-<n>-part-<pid>.txt``)
+    are always live — their epoch-keyed names are already exactly-once. A
+    sink without a manifest (legacy, or streaming-only) falls back to all
+    part files, which is correct whenever no overwrite crash is in flight.
+    """
+    live = _read_commit_manifest(path)
+    out: list[str] = []
+    for entry in sorted(os.listdir(path)) if os.path.isdir(path) else []:
+        if not entry.startswith("letter="):
+            continue
+        d = os.path.join(path, entry)
+        for part in sorted(os.listdir(d)):
+            if part.startswith("epoch-"):
+                out.append(os.path.join(d, part))
+            elif part.startswith("part-"):
+                if live is None or any(j in part for j in live):
+                    out.append(os.path.join(d, part))
+    return out
+
 
 class _FilePartition(InputPartition):
     def __init__(self, doc_id: int, path: str):
@@ -194,12 +265,15 @@ class LetterFilesWriter(DataSourceWriter):
     publishes ALL new files BEFORE deleting prior-job files: a driver
     crash mid-commit leaves a mix of two complete file sets
     distinguishable by job id — never a half-written file, and never a
-    window with neither dataset present. This is the v1
-    FileOutputCommitter contract, re-expressed through the Python
-    DataSource API; on an object store the same message flow carries
-    multipart-upload ids instead of rename paths. Assumes executors and
-    driver share a filesystem (true in local mode and on NFS/DBFS-style
-    mounts).
+    window with neither dataset present. A ``_SUCCESS`` commit manifest
+    naming the LIVE job ids is atomically flipped between the publish and
+    delete phases, so manifest-aware readers (:func:`published_part_files`)
+    see exactly one complete dataset at every instant of that window.
+    This is the v1 FileOutputCommitter contract, re-expressed through the
+    Python DataSource API; on an object store the same message flow
+    carries multipart-upload ids instead of rename paths. Assumes
+    executors and driver share a filesystem (true in local mode and on
+    NFS/DBFS-style mounts).
 
     Input contract: ``(letter string, line string)`` —
     ``operators.inverted_index.format_output``'s shape; callers that need
@@ -234,9 +308,26 @@ class LetterFilesWriter(DataSourceWriter):
                 )
                 os.makedirs(os.path.dirname(final), exist_ok=True)
                 os.replace(staged, final)
-        # … THEN, for overwrite, retire every part file a previous job
-        # published. A crash between the two phases leaves both complete
-        # datasets on disk (distinguishable by job id) — never neither.
+        # … then flip the commit manifest to the winning job set — the
+        # ATOMIC publish point for manifest-aware readers
+        # (published_part_files): before this os.replace they see the old
+        # dataset, after it the new one, never a mix, whatever instant a
+        # driver crash freezes this method at. Overwrite names this job
+        # alone; append accretes onto the prior live set (manifest ids, or
+        # ids recovered from part names for pre-manifest sinks) …
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            live = [self.job_id]
+        else:
+            prior = _read_commit_manifest(self.path)
+            if prior is None:
+                prior = sorted(_existing_job_ids(self.path) - {self.job_id})
+            live = sorted(set(prior) | {self.job_id})
+        _write_commit_manifest(self.path, live)
+        # … and FINALLY, for overwrite, retire every part file a previous
+        # job published. A crash between the phases leaves both complete
+        # datasets on disk (distinguishable by job id, disambiguated by
+        # the manifest) — never neither, never a half-written file.
         if self.overwrite and os.path.isdir(self.path):
             for entry in os.listdir(self.path):
                 if not entry.startswith("letter="):

@@ -42,9 +42,15 @@ def main() -> int:
                 cols = df.columns
                 runs.append(_rows_to_multiset(cols, df.collect()))
             if runs[0] != runs[1]:
-                only_a = {k: v for k, v in runs[0].items() if runs[1].get(k) != v}
-                fails.append((name, f"diverged: {len(only_a)} differing keys"))
-                print(f"FAIL {name}: rerun diverged ({len(only_a)} keys)")
+                # symmetric difference: keys whose counts differ in EITHER
+                # direction, so rows present only in run B are reported too
+                diff = {
+                    k
+                    for k in runs[0].keys() | runs[1].keys()
+                    if runs[0].get(k) != runs[1].get(k)
+                }
+                fails.append((name, f"diverged: {len(diff)} differing keys"))
+                print(f"FAIL {name}: rerun diverged ({len(diff)} keys)")
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             fails.append((name, repr(ex)))
             print(f"FAIL {name}: {ex!r}")

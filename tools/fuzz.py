@@ -1,0 +1,460 @@
+"""Differential SQL fuzzer: random queries in a cross-engine-safe ANSI
+subset, executed on BOTH Spark and DuckDB over the same parquet tables,
+row-multisets compared.
+
+    python tools/fuzz.py [sf_dir] [n_queries] [seed]
+    # defaults: /root/testdata/sf0.01, 200, 7
+
+Extends correctness beyond the ~220 curated registry queries the same way
+the reference's checker extends its goldens across the parallelism matrix
+(checker.sh:141-143 — same expected output for every config): here the
+"config axis" is the ENGINE, and the invariant is that any query in the
+common subset returns identical rows. The generator is seeded — a failure
+reproduces with the same (sf_dir, n, seed) triple, and each failure prints
+its SQL verbatim.
+
+The subset is chosen so identical results are a THEOREM, not luck
+(FIXTURES.md §4 discipline):
+- every SELECT item is explicitly aliased (c0, c1, …) — names never drift;
+- every query ends ORDER BY … NULLS FIRST … LIMIT — Spark defaults NULLS
+  FIRST, DuckDB NULLS LAST, so ordering is always explicit. Non-aggregate
+  queries order by ALL output columns (a tie then means bit-identical
+  tuples, which LIMIT may split freely without changing the multiset —
+  the synthetic lineitem has duplicate (l_orderkey, l_linenumber) pairs,
+  so "order by pk" alone is NOT total); aggregates order by their full
+  group key;
+- SUM/AVG only over integer columns (exact in both engines; AVG's final
+  division is one double op on identical operands). Doubles are compared
+  raw when projected (same parquet bits) and jitter-rounded
+  (round(x+1e-9, 4)) when averaged;
+- no casts, no division, no arithmetic that can overflow under Spark's
+  ANSI mode; string functions restricted to length/upper/lower/substr
+  (identical 1-based semantics);
+- documents.text is only ever length()-ed (multi-KB payloads would
+  dominate runtime without adding comparison surface);
+- embeddings.embedding and events.props are out of scope (array/JSON
+  comparison is the curated queries' job).
+
+Exit 1 on any divergence; prints `FUZZDONE checked=N fails=0 skipped=K
+secs=S` (sweep.py tail convention). A skip is a query one engine refused
+(generation bug, not a divergence) — skips are printed and counted, never
+silently dropped.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+from decimal import Decimal
+
+# (table, column) model: i = integer (exact, sum/avg-able), d = double
+# (comparable/min-max-able, never summed), s = string, t = timestamp,
+# h = heavy string (length() only)
+TABLES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "i", "r_name": "s"},
+    "nation": {"n_nationkey": "i", "n_name": "s", "n_regionkey": "i"},
+    "customer": {
+        "c_custkey": "i",
+        "c_name": "s",
+        "c_nationkey": "i",
+        "c_acctbal": "d",
+        "c_mktsegment": "s",
+    },
+    "supplier": {
+        "s_suppkey": "i",
+        "s_name": "s",
+        "s_nationkey": "i",
+        "s_acctbal": "d",
+    },
+    "part": {
+        "p_partkey": "i",
+        "p_name": "s",
+        "p_brand": "s",
+        "p_type": "s",
+        "p_size": "i",
+        "p_retailprice": "d",
+    },
+    "orders": {
+        "o_orderkey": "i",
+        "o_custkey": "i",
+        "o_orderstatus": "s",
+        "o_totalprice": "d",
+        "o_orderdate": "t",
+        "o_orderpriority": "s",
+    },
+    "lineitem": {
+        "l_orderkey": "i",
+        "l_partkey": "i",
+        "l_suppkey": "i",
+        "l_linenumber": "i",
+        "l_quantity": "d",
+        "l_extendedprice": "d",
+        "l_discount": "d",
+        "l_tax": "d",
+        "l_returnflag": "s",
+        "l_linestatus": "s",
+        "l_shipdate": "t",
+    },
+    "events": {
+        "event_id": "i",
+        "ts": "t",
+        "user_id": "i",
+        "event_type": "s",
+        "value": "d",
+    },
+    "documents": {
+        "doc_id": "i",
+        "text": "h",
+        "lang": "s",
+        "source": "s",
+        "n_chars": "i",
+    },
+    "embeddings": {"vec_id": "i", "label": "i"},
+}
+
+# per-table sort-key columns. NOT assumed unique: the synthetic lineitem
+# has duplicate (l_orderkey, l_linenumber) pairs (checked at sf0.001 and
+# sf0.01 — 6000 rows, 4599 distinct), so LIMIT determinism NEVER leans on
+# these alone; every non-aggregate query orders by ALL its output columns
+# (a tie then means bit-identical tuples, which LIMIT may split freely
+# without changing the multiset). UNIQUE_PK lists the tables whose key
+# really is unique (everything but lineitem) — row_number()'s in-window
+# ORDER BY requires true uniqueness and draws only from those.
+PK: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey, l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+UNIQUE_PK = [t for t in PK if t != "lineitem"]
+
+# FK edges (fact col -> dim table, dim pk col)
+FKS: list[tuple[str, str, str, str]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+LIMIT = 500
+
+
+def _sql_str(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _lit(kind: str, v) -> str:
+    if kind == "s":
+        return _sql_str(v)
+    if kind == "t":
+        return f"TIMESTAMP {_sql_str(v)}"
+    return repr(float(v)) if kind == "d" else str(int(v))
+
+
+class Sampler:
+    """Deterministic per-column literal pools, pulled once from DuckDB:
+    spread by md5 order so predicates hit varied selectivities."""
+
+    def __init__(self, con):
+        self.con = con
+        self.pool: dict[tuple[str, str], list] = {}
+
+    def values(self, t: str, c: str) -> list:
+        key = (t, c)
+        if key not in self.pool:
+            rows = self.con.execute(
+                f"SELECT {c} FROM (SELECT DISTINCT {c} FROM {t} "
+                f"WHERE {c} IS NOT NULL) ORDER BY md5({c}::VARCHAR) LIMIT 24"
+            ).fetchall()
+            self.pool[key] = [r[0] for r in rows]
+        return self.pool[key]
+
+
+class Gen:
+    def __init__(self, rng: random.Random, sampler: Sampler):
+        self.rng, self.sampler = rng, sampler
+
+    def _cols(self, t: str, kinds: str, k: int = 1) -> list[str]:
+        cands = [c for c, kk in TABLES[t].items() if kk in kinds]
+        self.rng.shuffle(cands)
+        return cands[:k]
+
+    def _pred(self, t: str, alias: str = "") -> str:
+        p = alias + "." if alias else ""
+        cols = self._cols(t, "isdt", k=1)
+        if not cols:
+            return "1=1"
+        c = cols[0]
+        kind = TABLES[t][c]
+        vals = self.sampler.values(t, c)
+        if not vals:
+            return f"{p}{c} IS NOT NULL"
+        v = self.rng.choice(vals)
+        roll = self.rng.random()
+        if kind == "s":
+            if roll < 0.4:
+                return f"{p}{c} = {_lit('s', v)}"
+            if roll < 0.7:
+                n = self.rng.randint(2, min(4, len(vals)))
+                ins = ", ".join(_lit("s", x) for x in vals[:n])
+                return f"{p}{c} IN ({ins})"
+            pref = str(v)[: self.rng.randint(1, 3)].replace("'", "''")
+            pref = pref.replace("%", "").replace("_", "")
+            return f"{p}{c} LIKE '{pref}%'"
+        if kind == "h":
+            return f"length({p}{c}) > {self.rng.randint(10, 400)}"
+        op = self.rng.choice(["<", "<=", ">", ">=", "="])
+        if roll < 0.25 and len(vals) >= 2:
+            lo, hi = sorted([v, self.rng.choice(vals)])[:2]
+            return f"{p}{c} BETWEEN {_lit(kind, lo)} AND {_lit(kind, hi)}"
+        return f"{p}{c} {op} {_lit(kind, v)}"
+
+    def _preds(self, t: str, alias: str = "") -> str:
+        n = self.rng.randint(1, 2)
+        glue = " AND " if self.rng.random() < 0.7 else " OR "
+        return "(" + glue.join(self._pred(t, alias) for _ in range(n)) + ")"
+
+    def _proj_item(self, t: str, c: str, i: int, alias: str = "") -> str:
+        p = alias + "." if alias else ""
+        kind = TABLES[t][c]
+        if kind == "h":
+            return f"length({p}{c}) AS c{i}"
+        if kind == "s" and self.rng.random() < 0.3:
+            fn = self.rng.choice(["upper", "lower", f"substr({p}{c}, 1, 3)"])
+            e = fn if fn.startswith("substr") else f"{fn}({p}{c})"
+            return f"{e} AS c{i}"
+        return f"{p}{c} AS c{i}"
+
+    # ---- templates ------------------------------------------------------
+
+    def filter_project(self) -> str:
+        t = self.rng.choice(list(TABLES))
+        cols = self._cols(t, "isdth", k=self.rng.randint(1, 4))
+        proj = ", ".join(self._proj_item(t, c, i) for i, c in enumerate(cols))
+        order = ", ".join(
+            f"c{i} ASC NULLS FIRST" for i in range(len(cols))
+        )
+        return (
+            f"SELECT {proj} FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def _aggs(self, t: str, alias: str = "") -> list[str]:
+        p = alias + "." if alias else ""
+        out = ["count(*)"]
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        anys = [c for c, k in TABLES[t].items() if k in "isdt"]
+        if ints and self.rng.random() < 0.8:
+            c = self.rng.choice(ints)
+            out.append(
+                self.rng.choice(
+                    [f"sum({p}{c})", f"round(avg({p}{c}) + 1e-9, 4)"]
+                )
+            )
+        if anys:
+            c = self.rng.choice(anys)
+            out.append(self.rng.choice([f"min({p}{c})", f"max({p}{c})"]))
+        if anys and self.rng.random() < 0.4:
+            out.append(f"count(DISTINCT {p}{self.rng.choice(anys)})")
+        return out
+
+    def groupby_agg(self) -> str:
+        t = self.rng.choice(list(TABLES))
+        keys = self._cols(t, "ist", k=self.rng.randint(1, 2))
+        if not keys:
+            keys = [PK[t].split(", ")[0]]
+        kproj = ", ".join(f"{c} AS k{i}" for i, c in enumerate(keys))
+        aggs = ", ".join(
+            f"{a} AS c{i}" for i, a in enumerate(self._aggs(t))
+        )
+        order = ", ".join(f"k{i} ASC NULLS FIRST" for i in range(len(keys)))
+        return (
+            f"SELECT {kproj}, {aggs} FROM {t} WHERE {self._preds(t)} "
+            f"GROUP BY {', '.join(keys)} ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def join(self) -> str:
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        pred = self._preds(ft, "f") if self.rng.random() < 0.7 else self._preds(dt, "d")
+        if self.rng.random() < 0.5:
+            # aggregate over the join
+            keys = self._cols(dt, "is", k=1) or [dc]
+            aggs = ", ".join(
+                f"{a} AS c{i}" for i, a in enumerate(self._aggs(ft, "f"))
+            )
+            return (
+                f"SELECT d.{keys[0]} AS k0, {aggs} FROM {ft} f "
+                f"JOIN {dt} d ON f.{fc} = d.{dc} WHERE {pred} "
+                f"GROUP BY d.{keys[0]} ORDER BY k0 ASC NULLS FIRST "
+                f"LIMIT {LIMIT}"
+            )
+        fcols = self._cols(ft, "isdt", k=2)
+        dcols = self._cols(dt, "isd", k=1)
+        items = [
+            self._proj_item(ft, c, i, "f") for i, c in enumerate(fcols)
+        ] + [
+            self._proj_item(dt, c, len(fcols) + i, "d")
+            for i, c in enumerate(dcols)
+        ]
+        order = ", ".join(
+            f"c{i} ASC NULLS FIRST" for i in range(len(items))
+        )
+        return (
+            f"SELECT {', '.join(items)} FROM {ft} f "
+            f"JOIN {dt} d ON f.{fc} = d.{dc} WHERE {pred} "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def two_hop_join(self) -> str:
+        a = self.rng.choice(
+            [e for e in FKS if any(x[0] == e[2] for x in FKS)]
+        )
+        b = self.rng.choice([e for e in FKS if e[0] == a[2]])
+        ft, fc, mt, mc = a
+        _, fc2, dt, dc2 = b
+        key = self._cols(dt, "is", k=1)[0]
+        aggs = ", ".join(
+            f"{x} AS c{i}" for i, x in enumerate(self._aggs(ft, "f"))
+        )
+        return (
+            f"SELECT d.{key} AS k0, {aggs} FROM {ft} f "
+            f"JOIN {mt} m ON f.{fc} = m.{mc} "
+            f"JOIN {dt} d ON m.{fc2} = d.{dc2} "
+            f"WHERE {self._preds(ft, 'f')} "
+            f"GROUP BY d.{key} ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def window_rownum(self) -> str:
+        t = self.rng.choice(UNIQUE_PK)
+        part = self._cols(t, "is", k=1)
+        if not part:
+            return self.filter_project()
+        pk_cols = PK[t].split(", ")
+        order_in = ", ".join(f"{c} ASC NULLS FIRST" for c in pk_cols)
+        proj = f"{part[0]} AS c0, " + ", ".join(
+            f"{c} AS c{i + 1}" for i, c in enumerate(pk_cols)
+        )
+        return (
+            f"SELECT {proj}, row_number() OVER "
+            f"(PARTITION BY {part[0]} ORDER BY {order_in}) AS rn "
+            f"FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY {order_in} LIMIT {LIMIT}"
+        )
+
+    def distinct(self) -> str:
+        t = self.rng.choice(list(TABLES))
+        cols = self._cols(t, "is", k=self.rng.randint(1, 2))
+        if not cols:
+            return self.filter_project()
+        proj = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+        order = ", ".join(
+            f"c{i} ASC NULLS FIRST" for i in range(len(cols))
+        )
+        return (
+            f"SELECT DISTINCT {proj} FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def next_query(self) -> str:
+        f = self.rng.choices(
+            [
+                self.filter_project,
+                self.groupby_agg,
+                self.join,
+                self.two_hop_join,
+                self.window_rownum,
+                self.distinct,
+            ],
+            weights=[20, 25, 20, 10, 12, 13],
+        )[0]
+        return f()
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        iv = int(v)
+        return iv if v == iv else float(v)
+    if isinstance(v, float):
+        return 0.0 if v == 0.0 else v
+    if hasattr(v, "isoformat"):  # date/datetime (tz dropped: same instant,
+        return v.replace(tzinfo=None).isoformat() if hasattr(v, "tzinfo") else v.isoformat()
+    return v
+
+
+def _multiset(rows) -> dict:
+    out: dict = {}
+    for r in rows:
+        k = tuple(_norm(v) for v in r)
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+def run(sf_dir: str, n: int, seed: int) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import duckdb
+
+    from mapreduce_model_spark.registry import TABLES as TNAMES, table
+    from mapreduce_model_spark.session import get_spark
+
+    t0 = time.time()
+    con = duckdb.connect()
+    for t in TNAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark = get_spark(app_name="fuzz", cpus=8)
+    for t in TNAMES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    rng = random.Random(seed)
+    gen = Gen(rng, Sampler(con))
+    fails = skipped = checked = 0
+    for i in range(n):
+        sql = gen.next_query()
+        try:
+            want = _multiset(con.execute(sql).fetchall())
+        except Exception as ex:  # noqa: BLE001 — a skip, not a divergence
+            skipped += 1
+            print(f"SKIP q{i} (duckdb {type(ex).__name__}): {sql}")
+            continue
+        try:
+            got = _multiset(tuple(r) for r in spark.sql(sql).collect())
+        except Exception as ex:  # noqa: BLE001
+            skipped += 1
+            print(f"SKIP q{i} (spark {type(ex).__name__}: {ex}): {sql}")
+            continue
+        checked += 1
+        if got != want:
+            fails += 1
+            only_s = [k for k in got if got[k] != want.get(k)][:3]
+            only_d = [k for k in want if want[k] != got.get(k)][:3]
+            print(
+                f"FAIL q{i}: {sql}\n  spark rows={sum(got.values())} "
+                f"duckdb rows={sum(want.values())}\n"
+                f"  spark-only sample: {only_s}\n  duckdb-only sample: {only_d}"
+            )
+    secs = int(time.time() - t0)
+    print(
+        f"FUZZDONE checked={checked} fails={fails} skipped={skipped} "
+        f"seed={seed} secs={secs}"
+    )
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    sys.exit(run(sf_dir, n, seed))

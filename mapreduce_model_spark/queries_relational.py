@@ -232,7 +232,9 @@ def join_inner(spark, sf_dir):
     "join_multi",
     oracle="""
 SELECT n_name, r_name,
-       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -247,7 +249,17 @@ def join_multi(spark, sf_dir):
     scale), so it joins without a broadcast hint: Catalyst/AQE picks
     broadcast at toy scale and shuffle join at real scale. Only the true
     dims (customer/nation/region — MBs to low GBs at any SF) are forced
-    broadcast, so the fact side never shuffles for them."""
+    broadcast, so the fact side never shuffles for them.
+
+    The revenue sum runs in DECIMAL on both engines — the scale-robust
+    form. With double sums, cross-engine summation ORDER shifts the
+    result by ~n·ulp: measured at the generated sf0.1 (600k lineitem,
+    revenue ≈ 1.19e9) as a 2nd-decimal flip (…65.03 vs …65.02) that no
+    rounding jitter can absorb, while the same double sum hash-matches
+    at the driver scales. Decimal sums of bit-identical inputs are exact
+    and engine-order-independent at ANY scale (38-digit headroom:
+    ~24 digits at sf1000); this query is the demonstrated-divergent case
+    and carries the recipe for every other revenue-style aggregate."""
     li = table(spark, sf_dir, "lineitem")
     with_orders = li.join(
         table(spark, sf_dir, "orders"), li.l_orderkey == F.col("o_orderkey")
@@ -260,10 +272,12 @@ def join_multi(spark, sf_dir):
             (table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey")),
         ],
     )
+    pd = F.col("l_extendedprice").cast("decimal(18,6)")
+    dd = F.col("l_discount").cast("decimal(18,6)")
     return joined.groupBy("n_name", "r_name").agg(
-        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(F.sum(pd * (F.lit(1).cast("decimal(18,6)") - dd)), 2)
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 

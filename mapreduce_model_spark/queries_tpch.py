@@ -901,13 +901,13 @@ def tpch_q22(spark, sf_dir):
     "tpch_q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(1e-9 + sum(l_quantity), 2) AS sum_qty,
-       round(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
-       round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(1e-9 + avg(l_quantity), 4) AS avg_qty,
-       round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
-       round(1e-9 + avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))), 2) AS DOUBLE) AS sum_charge,
+       round(1e-9 + CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(1e-9 + CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(1e-9 + CAST(sum(CAST(l_discount AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -920,16 +920,34 @@ def tpch_q1(spark, sf_dir):
     single pass with map-side partial aggregation; the date predicate pushes
     to the parquet scan (row-group min/max skipping does the pruning at
     100 TB). The lowest-cardinality groupBy in the suite: partial aggs
-    reduce each input partition to ≤6 rows before the one tiny shuffle."""
+    reduce each input partition to ≤6 rows before the one tiny shuffle.
+
+    Sums and avg numerators run in DECIMAL (per-row arithmetic stays in
+    DOUBLE — bit-identical across engines on the same parquet bits — and
+    each row's value is cast to DECIMAL(24,8) before the exact,
+    order-independent sum). The all-double form diverged in the last cent
+    at the generated sf0.1 (2.4M rows, sums ≈ 2.5e9 — cross-engine
+    summation-order noise); same recipe as join_multi, kept per-row to
+    dodge DuckDB's 38-digit cap on triple-product decimal widths. Avgs
+    divide the exact numerator by count in double: identical operands →
+    identical quotient at any scale."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(24,8)"
+    qty = F.col("l_quantity").cast(dec)
+    price = F.col("l_extendedprice").cast(dec)
+    disc_d = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc = disc_d.cast(dec)
+    charge = (disc_d * (1 + F.col("l_tax"))).cast(dec)
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
-        rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        rnd(F.sum(disc), 2).alias("sum_disc_price"),
-        rnd(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
-        rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        rnd(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        rnd(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+        rnd(F.sum(price).cast("double") / n, 4).alias("avg_price"),
+        rnd(F.sum(F.col("l_discount").cast(dec)).cast("double") / n, 6).alias(
+            "avg_disc"
+        ),
+        n.alias("count_order"),
     )

@@ -12,6 +12,16 @@ fails the sweep. Exit code 1 on any failure.
 
 Prints one summary line:
     SWEEPDONE checked=<n> rowsonly=<n> fails=<n> secs=<n>
+
+Env: SWEEP_SKIP — comma-separated query names to skip (printed, counted in
+the summary). Exists for sweeping GENERATED corpora whose vector tables
+are 100-250x the driver's: a handful of registered queries are
+fixed-constant exemplars (k=8 clusters, 6 LSH bits, stride-25 centroids —
+documented in PLANS.md "Cross-scale scaling evidence") whose DuckDB
+oracles go quadratic at that scale (the sf0.1-generated semantic_dedup
+oracle filled the disk with spill before this knob existed). A per-query
+exception no longer kills the sweep either way — it records FAIL and
+moves on.
 """
 
 from __future__ import annotations
@@ -30,12 +40,20 @@ def main() -> int:
     from tests.oracle_harness import compare_query
 
     spark = get_spark(app_name="sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    skip = {s for s in os.environ.get("SWEEP_SKIP", "").split(",") if s}
     t0 = time.time()
-    fails = 0
+    fails = n_skipped = 0
     n_checked = n_rowsonly = 0
     for name in QUERIES:
+        if name in skip:
+            n_skipped += 1
+            print(f"SKIP {name} (SWEEP_SKIP)", flush=True)
+            continue
         if name in ORACLE_SQL:
-            r = compare_query(spark, sf_dir, name)
+            try:
+                r = compare_query(spark, sf_dir, name)
+            except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+                r = f"raised {exc!r}"
             n_checked += 1
             if r is not None:
                 fails += 1
@@ -49,9 +67,10 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 — record, keep sweeping
                 fails += 1
                 print(f"FAIL-RUN {name}: {exc}", flush=True)
+    skipped = f" skipped={n_skipped}" if n_skipped else ""
     print(
         f"SWEEPDONE checked={n_checked} rowsonly={n_rowsonly} "
-        f"fails={fails} secs={time.time() - t0:.0f}",
+        f"fails={fails}{skipped} secs={time.time() - t0:.0f}",
         flush=True,
     )
     return 1 if fails else 0

@@ -410,8 +410,13 @@ def run(sf_dir: str, n: int, seed: int) -> int:
     t0 = time.time()
     con = duckdb.connect()
     for t in TNAMES:
+        path = f"{sf_dir}/{t}.parquet"
+        # harness tables are single files; Spark-generated ones (datagen.py)
+        # are directories of part files — same handling as oracle_harness
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     spark = get_spark(app_name="fuzz", cpus=8)
     for t in TNAMES:

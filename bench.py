@@ -34,6 +34,13 @@ Env:
                       across the 200+ query suite). DEFAULT OFF: the r1-r6
                       records were measured without it, and flipping it
                       would silently shift every cross-round ratio.
+                      Interplay with the PQ training memo
+                      (queries_similarity._TRAIN_CACHE): clearCache()
+                      unpersists the memoized training frames, and the
+                      cache EVICTS such entries on next lookup (rebuilding
+                      and re-persisting once) — so with this flag each PQ
+                      family member re-pays its own training, i.e. you are
+                      measuring the r6-era unshared behavior by design.
 """
 
 from __future__ import annotations

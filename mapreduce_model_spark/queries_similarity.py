@@ -1497,12 +1497,43 @@ FROM afin GROUP BY vid
 _TRAIN_CACHE: dict = {}
 
 
+def _session_dead(spark) -> bool:
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _train_cache_lookup(spark, sf_dir: str, kind: str):
+    """Cache get with the two lifecycle rules ADVICE r7 asked for:
+
+    - entries of STOPPED sessions are pruned on every lookup — the session
+      object is the key, so a stale entry would otherwise pin the stopped
+      session (and its JVM gateway state) for process lifetime;
+    - a hit whose head frame is no longer persisted (someone ran
+      spark.catalog.clearCache(), e.g. bench.py's BENCH_CLEAR_CACHE=1) is
+      evicted instead of served: the unpersisted frame would re-execute
+      the full training lineage on EVERY downstream action while looking
+      memoized. Eviction makes the next build re-persist once.
+    """
+    for k in [k for k in _TRAIN_CACHE if _session_dead(k[0])]:
+        del _TRAIN_CACHE[k]
+    key = (spark, sf_dir, kind)
+    hit = _TRAIN_CACHE.get(key)
+    if hit is not None:
+        lvl = hit[0].storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            del _TRAIN_CACHE[key]
+            hit = None
+    return key, hit
+
+
 def _pq_train(spark, sf_dir):
     """(codes_df persisted, cents) for pq_fit(embeddings, 8, 16, 3)."""
     from mapreduce_model_spark.operators.similarity import pq_fit
 
-    key = (spark, sf_dir, "pq")
-    if key not in _TRAIN_CACHE:
+    key, hit = _train_cache_lookup(spark, sf_dir, "pq")
+    if hit is None:
         out, cents = pq_fit(
             table(spark, sf_dir, "embeddings"),
             m=_PQ_M,
@@ -1523,8 +1554,8 @@ def _ivfpq_train(spark, sf_dir):
     pcents residual codebooks)."""
     from mapreduce_model_spark.operators.similarity import pq_fit
 
-    key = (spark, sf_dir, "ivfpq")
-    if key not in _TRAIN_CACHE:
+    key, hit = _train_cache_lookup(spark, sf_dir, "ivfpq")
+    if hit is None:
         emb = table(spark, sf_dir, "embeddings")
         coarse_df, ccents = pq_fit(
             emb, m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, return_codebook=True

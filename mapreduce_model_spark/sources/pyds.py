@@ -103,7 +103,8 @@ def published_part_files(path: str) -> list[str]:
     sink without a manifest (legacy, or streaming-only) falls back to all
     part files, which is correct whenever no overwrite crash is in flight.
     """
-    live = _read_commit_manifest(path)
+    manifest = _read_commit_manifest(path)
+    live = None if manifest is None else set(manifest)
     out: list[str] = []
     for entry in sorted(os.listdir(path)) if os.path.isdir(path) else []:
         if not entry.startswith("letter="):
@@ -112,8 +113,12 @@ def published_part_files(path: str) -> list[str]:
         for part in sorted(os.listdir(d)):
             if part.startswith("epoch-"):
                 out.append(os.path.join(d, part))
-            elif part.startswith("part-"):
-                if live is None or any(j in part for j in live):
+            elif part.startswith("part-") and part.endswith(".txt"):
+                # parse the job-id field of part-<pid>-<job>.txt exactly —
+                # a substring test would only be safe while job ids stay
+                # fixed-length hex, a non-local invariant
+                bits = part[: -len(".txt")].split("-")
+                if live is None or (len(bits) == 3 and bits[2] in live):
                     out.append(os.path.join(d, part))
     return out
 
@@ -319,10 +324,18 @@ class LetterFilesWriter(DataSourceWriter):
         if self.overwrite:
             live = [self.job_id]
         else:
-            prior = _read_commit_manifest(self.path)
-            if prior is None:
-                prior = sorted(_existing_job_ids(self.path) - {self.job_id})
-            live = sorted(set(prior) | {self.job_id})
+            # union the prior manifest with the job ids recoverable from
+            # published part names: two concurrent appends each read the
+            # manifest before the other's commit, so manifest-only
+            # accretion would let the second _SUCCESS drop the first
+            # job's (already published) files from the committed view.
+            # Contract note: a CRASHED overwrite must be retried (or its
+            # losers swept) before appends resume — append cannot tell an
+            # unretired overwrite loser from a racing append's files, so
+            # it deliberately keeps everything on disk.
+            prior = set(_read_commit_manifest(self.path) or [])
+            prior |= _existing_job_ids(self.path)
+            live = sorted(prior | {self.job_id})
         _write_commit_manifest(self.path, live)
         # … and FINALLY, for overwrite, retire every part file a previous
         # job published. A crash between the phases leaves both complete

@@ -151,3 +151,41 @@ def test_append_manifest_accretes_job_ids(tmp_path):
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert manifest["job_ids"] == sorted([w1.job_id, w2.job_id])
     assert _visible(out) == {"c": ["cat:1", "cow:2"]}
+
+
+def test_concurrent_appends_union_job_ids(tmp_path):
+    """Two appends racing at commit: each constructs its writer (and reads
+    the manifest) before the other commits. The second commit must union
+    the ids recoverable from published part names, not just the manifest
+    it read — otherwise the first job's committed files silently drop out
+    of the manifest-aware view (ADVICE r7)."""
+    out = str(tmp_path / "race")
+    w1 = LetterFilesWriter({"path": out}, overwrite=False)
+    w2 = LetterFilesWriter({"path": out}, overwrite=False)
+    # w1 frozen mid-commit: part file published, manifest not yet written
+    # (the instant a racing w2 commit can observe)
+    s1 = _stage(out, "d", ["dog:1"]).pairs[0][0]
+    final_1 = os.path.join(out, "letter=d", f"part-00000-{w1.job_id}.txt")
+    os.makedirs(os.path.dirname(final_1), exist_ok=True)
+    os.replace(s1, final_1)
+    w2.commit([_stage(out, "d", ["deer:2"], pid=1)])
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["job_ids"] == sorted([w1.job_id, w2.job_id])
+    assert _visible(out) == {"d": ["dog:1", "deer:2"]}
+
+
+def test_published_parts_job_id_parsed_exactly(tmp_path):
+    """The reader matches the job-id FIELD of part-<pid>-<job>.txt, not a
+    substring: a live job id appearing inside another file's pid or a
+    longer dead id must not make that file visible (ADVICE r7)."""
+    out = str(tmp_path / "exact")
+    w = LetterFilesWriter({"path": out}, overwrite=True)
+    w.commit([_stage(out, "e", ["elk:3"])])
+    d = os.path.join(out, "letter=e")
+    # dead job whose id CONTAINS the live id as a substring
+    with open(os.path.join(d, f"part-00009-zz{w.job_id}.txt"), "w") as fh:
+        fh.write("eel:9\n")
+    # malformed name (extra dash field) carrying the live id
+    with open(os.path.join(d, f"part-00008-{w.job_id}-x.txt"), "w") as fh:
+        fh.write("emu:8\n")
+    assert _visible(out) == {"e": ["elk:3"]}

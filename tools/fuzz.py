@@ -192,11 +192,15 @@ class Gen:
 
     def _pred(self, t: str, alias: str = "") -> str:
         p = alias + "." if alias else ""
-        cols = self._cols(t, "isdt", k=1)
+        cols = self._cols(t, "isdth", k=1)
         if not cols:
             return "1=1"
         c = cols[0]
         kind = TABLES[t][c]
+        if kind == "h":
+            # heavy strings predicate on length only — never sample the
+            # full text values into the literal pool
+            return f"length({p}{c}) > {self.rng.randint(10, 400)}"
         vals = self.sampler.values(t, c)
         if not vals:
             return f"{p}{c} IS NOT NULL"
@@ -212,8 +216,6 @@ class Gen:
             pref = str(v)[: self.rng.randint(1, 3)].replace("'", "''")
             pref = pref.replace("%", "").replace("_", "")
             return f"{p}{c} LIKE '{pref}%'"
-        if kind == "h":
-            return f"length({p}{c}) > {self.rng.randint(10, 400)}"
         op = self.rng.choice(["<", "<=", ">", ">=", "="])
         if roll < 0.25 and len(vals) >= 2:
             lo, hi = sorted([v, self.rng.choice(vals)])[:2]

@@ -237,13 +237,21 @@ def _rank_centroids(
             .when(F.col("_cscore").isNull(), F.lit(float("inf")))
             .otherwise(-F.col("_cscore"))
         )
+        # aggregate ONLY (vid -> winning cid) and join the payload columns
+        # back by vid. Carrying the vector itself through the min_by buffer
+        # (the pre-r8 shape) weighed every aggregation/sort row down with
+        # the 512-byte array — measured Java-heap OOM at 500k vectors ×
+        # 708 centroids under the 8g harness heap (semantic_dedup_scaled,
+        # gen-sf1). The exchange bytes are the same either way (the corpus
+        # moves once per pass); the buffers are now ~30 B/row, and when the
+        # caller persists ``vectors`` hash-partitioned by vid the join-back
+        # reuses that partitioning instead of re-exchanging the corpus.
         best = scored.groupBy("vid").agg(
             F.min_by(
-                F.struct(*passthrough, "cid"),
-                F.struct(order_key.alias("neg"), F.col("cid")),
-            ).alias("_best")
+                F.col("cid"), F.struct(order_key.alias("neg"), F.col("cid"))
+            ).alias("cid")
         )
-        return best.select("vid", *[f"_best.{c}" for c in passthrough], "_best.cid")
+        return vectors.join(best, "vid").select("vid", *passthrough, "cid")
     w = Window.partitionBy("vid").orderBy(F.col("_cscore").desc(), F.col("cid"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -377,10 +385,14 @@ def kmeans_fit(
     """
     # the corpus (with norms) feeds every iteration's assign pass — persist
     # once so 1+n_iter+1 passes read cached columns, not parquet + re-normed
-    # arrays (ContextCleaner unpersists when the plan goes unreferenced)
+    # arrays (ContextCleaner unpersists when the plan goes unreferenced).
+    # Hash-partitioned by vid: _rank_centroids' join-back (see there) then
+    # lines up with the groupBy("vid") output partitioning, so no assign
+    # pass ever re-exchanges the corpus.
     v = (
         vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
         .withColumn("n", l2_norm(F.col("v")))
+        .repartition("vid")
         .persist()
     )
     seeds = v.orderBy("vid").limit(k)
@@ -448,6 +460,169 @@ def py_ldot(a, b):
     for x, y in zip(a, b):
         acc = acc + x * y
     return acc
+
+
+def _assign_arrow(v: DataFrame, cents) -> DataFrame:
+    """(vid → cid) against a NUMPY centroid matrix, one BLAS matmul per
+    Arrow batch — the fast-path twin of ``_rank_centroids``'s rank-1 mode.
+
+    The JVM expression dot (zip_with + aggregate fold) measures ~3M
+    64-dim dots/s on 32 cores (PLANS.md r8 microbench; the unrolled MAC
+    form is 7.5× slower still — codegen blowup), so an N×k assign pass at
+    k = √N dominates wall-clock from ~50k vectors. ``M @ C.T`` is the
+    same arithmetic at BLAS rate (~10⁹ MACs/s/core). Decision parity with
+    the exact-MAC oracle: BLAS reorders the 64-term sums (ulp-level,
+    ~1e-15) while measured assignment decision gaps are ≥1e-4 — the same
+    argument _kmeans_cte documents for per-dimension means. Tie-break
+    parity: np.argmax takes the FIRST maximum = lowest cid, identical to
+    min_by(struct(-score, cid)). Row norms divide out of a per-row argmax
+    and are skipped; centroid norms are applied to the matrix once."""
+    import numpy as np
+
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    cnorm = (cents / cn).astype(np.float64)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vid = b.column("vid").to_numpy(zero_copy_only=False)
+            col = b.column("v")
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            mat = flat.reshape(len(vid), -1)
+            cid = np.argmax(mat @ cnorm.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vid), pa.array(cid)], ["vid", "cid"]
+            )
+
+    return v.select("vid", "v").mapInArrow(fn, "vid long, cid int")
+
+
+def _partial_sums_arrow(v: DataFrame, cents) -> DataFrame:
+    """Per-batch (cid, pcnt, psum[dim]) partial sums under the argmax
+    assignment — the map-side combine of Lloyd's update step fused INTO
+    the assign pass, so an iteration's only exchange carries ≤ k rows per
+    batch (never the corpus, never a per-row assignment)."""
+    import numpy as np
+
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0.0] = 1.0
+    cnorm = (cents / cn).astype(np.float64)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column("v").flatten(), dtype=np.float64)
+            mat = flat.reshape(b.num_rows, -1)
+            cid = np.argmax(mat @ cnorm.T, axis=1)
+            cells, inv = np.unique(cid, return_inverse=True)
+            sums = np.zeros((len(cells), mat.shape[1]))
+            np.add.at(sums, inv, mat)
+            cnt = np.bincount(inv, minlength=len(cells))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cells.astype(np.int32)),
+                    pa.array(cnt.astype(np.int64)),
+                    pa.array(list(sums)),
+                ],
+                ["cid", "pcnt", "psum"],
+            )
+
+    return v.select("vid", "v").mapInArrow(fn, "cid int, pcnt long, psum array<double>")
+
+
+def kmeans_fit_arrow(
+    vectors: DataFrame,
+    k: int,
+    n_iter: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``kmeans_fit(return_assign=True)`` with the two corpus-sized inner
+    products moved to Arrow/BLAS — the configuration for LARGE k (the
+    k ∝ √N SemDeDup recipe), where the JVM expression dot is the
+    measured bottleneck and the min_by buffer weight OOMs (r8, gen-sf1).
+
+    Same recurrence, same determinism: lowest-id seeding, argmax cosine
+    with lowest-cid ties, per-dimension means, empty-cell carry-forward —
+    each implemented so the decision sequence matches kmeans_fit and the
+    unrolled DuckDB oracle (see _assign_arrow on ulp parity). Driver
+    traffic per iteration is the k×dim mean matrix (the documented
+    bounded-metadata pattern; ≤4096×64 doubles = 2 MB at the cap) — the
+    centroids re-enter each pass as a numpy closure constant, never a
+    join side. Scale: per iteration ONE narrow cached-corpus pass whose
+    exchange is ≤ k rows per batch; the only corpus-sized exchange in the
+    whole run is the final (vid → cid) join-back, on the vid partitioning
+    the persist already established."""
+    import numpy as np
+
+    v = (
+        vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .withColumn("n", l2_norm(F.col("v")))
+        .repartition("vid")
+        .persist()
+    )
+    seed_rows = v.orderBy("vid").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"kmeans_fit_arrow: k={k} > corpus size {len(seed_rows)}")
+    cents = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+    for _ in range(n_iter):
+        upd = (
+            _partial_sums_arrow(v, cents)
+            .select("cid", "pcnt", F.posexplode("psum").alias("pos", "s"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("pcnt").alias("c"))
+            .collect()
+        )
+        # for a fixed pos each batch-partial contributes exactly one row,
+        # so Σpcnt at (cid, pos) is that cell's total member count and the
+        # per-dimension mean is simply s / c
+        new = cents.copy()  # empty-cell carry-forward
+        for r in upd:
+            new[r["cid"], r["pos"]] = r["s"] / r["c"]
+        cents = new
+    return v.join(_assign_arrow(v, cents), "vid").select("vid", "v", "n", "cid")
+
+
+def semantic_max_cosine_arrow(assign: DataFrame) -> DataFrame:
+    """Per vector, max cosine to any LOWER-id member of its cluster —
+    SemDeDup's election, grouped by cid through applyInPandas and scored
+    blockwise in numpy (the Σ|cluster|² inner products at BLAS rate; the
+    cid shuffle this grouping pays is the algorithm's one unavoidable
+    corpus exchange). Emits (vid_a, mc) only for vectors that HAVE a
+    lower-id cluster-mate, mirroring the SQL pair join's inner-join
+    semantics; row blocks bound peak memory at ~block × |cluster|
+    doubles."""
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vid")
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vid_a": pd.Series(dtype="int64"),
+                                 "mc": pd.Series(dtype="float64")})
+        vid = pdf["vid"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()) / pdf["n"].to_numpy()[:, None]
+        out = np.empty(m - 1)
+        block = 1024
+        for i0 in range(1, m, block):
+            i1 = min(i0 + block, m)
+            s = mat[i0:i1] @ mat[:i1].T
+            for r in range(i0, i1):
+                out[r - 1] = s[r - i0, :r].max()
+        return pd.DataFrame({"vid_a": vid[1:], "mc": out})
+
+    return assign.groupBy("cid").applyInPandas(score, "vid_a long, mc double")
 
 
 def pq_fit(

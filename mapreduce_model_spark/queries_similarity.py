@@ -27,6 +27,44 @@ ANN_K = 3
 ANN_BITS = 6
 NEAR_DUP_THRESHOLD = 0.3
 
+# Adaptive sign-LSH blocking (round 8 — the r7 verdict's top ask): the
+# corpus-self-join faces (embedding_near_dup, its multi-probe twin, and
+# graph_pagerank's pair input) derive their bucket width from N instead of
+# pinning ANN_BITS=6. With fixed bits the bucket self-join generates
+# ~(N/2^bits)²·2^bits candidate pairs — measured quadratic (pagerank
+# >480 s at 500k vectors; bits=14 cuts pair-gen to 9.2 s, PLANS.md r7).
+# Growing bits with log2(N) holds E[bucket size] ≤ _LSH_TARGET_BUCKET, so
+# candidate volume stays ~linear in N at any scale. ANN_BITS=6 remains for
+# the bounded-query ANN faces (50 query vectors — already linear).
+_LSH_TARGET_BUCKET = 30
+_LSH_MAX_BITS = 16
+
+
+def adaptive_lsh_bits(n_vectors: int) -> int:
+    """Smallest b in [1, 16] with 30·2^b ≥ N — i.e. ceil(log2(N/30))
+    clamped, but PURE-INTEGER, so the DuckDB twin (_nb_cte) computes the
+    identical value with no libm log2 boundary risk."""
+    return next(
+        (
+            b
+            for b in range(1, _LSH_MAX_BITS + 1)
+            if _LSH_TARGET_BUCKET * (1 << b) >= n_vectors
+        ),
+        _LSH_MAX_BITS,
+    )
+
+
+def _nb_cte() -> str:
+    """DuckDB twin of adaptive_lsh_bits as a 1-row CTE ``nb(bits)`` —
+    the same integer comparison over the same count(*)."""
+    return f"""
+, nb AS (
+    SELECT coalesce(min(CAST(t.b AS INTEGER)), {_LSH_MAX_BITS}) AS bits
+    FROM range(1, {_LSH_MAX_BITS + 1}) AS t(b),
+         (SELECT count(*) AS n FROM embeddings) c
+    WHERE {_LSH_TARGET_BUCKET} * (CAST(1 AS BIGINT) << t.b) >= c.n
+)"""
+
 _V = """
 WITH v AS (
     SELECT vec_id,
@@ -112,19 +150,37 @@ def _probe_sql(bits: int) -> str:
              || substr(bucket, j + 2, {bits}))"""
 
 
+def _probe_sql_adaptive() -> str:
+    """_probe_sql with the flip count read from the row's own ``bits``
+    column (vb carries it) — the tail-length 16 is safe, substr clamps."""
+    return f"""[bucket] || list_transform(range(bits),
+        j -> substr(bucket, 1, CAST(j AS INTEGER))
+             || (CASE WHEN substr(bucket, CAST(j AS INTEGER) + 1, 1) = '1'
+                 THEN '0' ELSE '1' END)
+             || substr(bucket, CAST(j AS INTEGER) + 2, {_LSH_MAX_BITS}))"""
+
+
 def _near_dup_pairs_cte(probe: bool = False) -> str:
     """Sign-bucket near-dup candidate pairs (id_a < id_b, cosine ≥
     threshold) as a CTE fragment ending at ``prs`` — the ONE place the
     blocking rule and threshold live for embedding_near_dup, its
     multi-probe twin, and the pagerank oracle (r6 review: three hand-kept
-    copies risked silently checking different graphs)."""
-    frag = f"""
+    copies risked silently checking different graphs).
+
+    Round 8: the bucket is ADAPTIVE — the leading ``nb.bits`` characters
+    of the static 16-bit sign string, bits derived from count(*) (the
+    Spark faces compute the identical integer via adaptive_lsh_bits).
+    ``nb`` is one row, so the cross joins below are scalar fan-ins, not
+    data-sized products."""
+    frag = _nb_cte() + f"""
 , vb AS (
-    SELECT vec_id, ve, nrm, {_bucket_sql('ve', ANN_BITS)} AS bucket FROM v
+    SELECT vec_id, ve, nrm, nb.bits,
+           substr({_bucket_sql('ve', _LSH_MAX_BITS)}, 1, nb.bits) AS bucket
+    FROM v, nb
 )"""
     if probe:
         frag += f""", pr AS (
-    SELECT vec_id, ve, nrm, unnest({_probe_sql(ANN_BITS)}) AS bucket FROM vb
+    SELECT vec_id, ve, nrm, unnest({_probe_sql_adaptive()}) AS bucket FROM vb
 )"""
     left = "pr" if probe else "vb"
     return frag + f""", prs AS (
@@ -194,25 +250,56 @@ def q_embedding_near_dup_multiprobe(spark, sf_dir):
     """embedding_near_dup with Hamming-radius-1 probing on one join side —
     recovers every near-dup pair whose sign buckets differ in exactly one
     bit (the dominant split mode). Each pair still appears once: side b
-    keeps its exact bucket and side a's probe keys are distinct."""
+    keeps its exact bucket and side a's probe keys are distinct. Bucket
+    width is adaptive (adaptive_lsh_bits — the count() is the documented
+    1-long driver-metadata pattern); the probe fan-out grows with bits,
+    i.e. log-linearly with N, while per-bucket size stays bounded."""
+    emb = table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"),
+        emb,
         threshold=NEAR_DUP_THRESHOLD,
-        bits=ANN_BITS,
+        bits=adaptive_lsh_bits(emb.count()),
         probe_radius=1,
     )
 
 
-IVF_STRIDE = 25
+IVF_STRIDE = 25  # operator-level doc example; the registered face is adaptive
 IVF_NPROBE = 2
+_IVF_KC_CAP = 256
+
+
+def adaptive_ivf_stride(n_vectors: int) -> int:
+    """Centroid stride for similarity_ann_ivf's deterministic quantizer,
+    derived from N (round 8 — r7 verdict ask #2): kc = clamp(⌈√N⌉, 4, 256)
+    cells, stride = ⌈N/kc⌉. The fixed stride-25 face grew centroid count
+    with N (assignment cost N²/25 — measured 37.5 s at 50k vectors, timeout
+    at 500k); capping kc makes assignment ≤ N·256 dot products, linear in
+    N past the cap. ceil(sqrt) in DOUBLE on both engines — IEEE sqrt is
+    correctly rounded, so the integers agree; everything after is integer
+    arithmetic."""
+    import math
+
+    kc = max(4, min(_IVF_KC_CAP, math.ceil(math.sqrt(n_vectors))))
+    return max(1, (n_vectors + kc - 1) // kc)
+
+
+_SS_CTE = f"""
+, ss AS (
+    SELECT (n + kc - 1) // kc AS stride
+    FROM (SELECT n, greatest(4, least({_IVF_KC_CAP},
+                 CAST(ceil(sqrt(n)) AS BIGINT))) AS kc
+          FROM (SELECT count(*) AS n FROM embeddings))
+)"""
 
 
 @query(
     "similarity_ann_ivf",
     oracle=_V
+    + _SS_CTE
     + f"""
 , cents AS (
-    SELECT vec_id AS cid, ve AS ce, nrm AS cn FROM v WHERE vec_id % {IVF_STRIDE} = 0
+    SELECT vec_id AS cid, ve AS ce, nrm AS cn
+    FROM v, ss WHERE vec_id % ss.stride = 0
 ), assign AS (
     SELECT v.vec_id, v.ve, v.nrm, cid,
            row_number() OVER (PARTITION BY v.vec_id
@@ -240,13 +327,16 @@ WHERE rank <= {ANN_K}
 def similarity_ann_ivf(spark, sf_dir):
     """IVF ANN: deterministic coarse quantizer (every stride-th vector),
     single-cell corpus assignment, 2-probe query search — the partitioned
-    index layout for billion-vector corpora."""
+    index layout for billion-vector corpora. The stride is adaptive
+    (adaptive_ivf_stride: kc = clamp(⌈√N⌉, 4, 256) cells) so centroid
+    count — and with it the N×kc assignment cost — stays bounded at any
+    corpus size; the oracle derives the identical stride from count(*)."""
     emb = table(spark, sf_dir, "embeddings")
     res = ivf_cosine_topk(
         emb,
         emb.filter(F.col("vec_id") < ANN_QUERIES),
         k=ANN_K,
-        stride=IVF_STRIDE,
+        stride=adaptive_ivf_stride(emb.count()),
         nprobe=IVF_NPROBE,
     )
     return res.select(
@@ -262,11 +352,16 @@ SELECT id_a, id_b, round(1e-9 + cosine, 6) AS cosine FROM prs
 )
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs within sign buckets (blocked —
-    the embedding analogue of MinHash-LSH for semantic dedup)."""
+    the embedding analogue of MinHash-LSH for semantic dedup). Bucket
+    width grows with log2(N) (adaptive_lsh_bits) so the bucket self-join
+    stays ~linear in N — the r7-measured fix for the fixed-6-bit face's
+    (N/64)² blowup. Hash-checked: the oracle derives the same bits from
+    the same count(*)."""
+    emb = table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"),
+        emb,
         threshold=NEAR_DUP_THRESHOLD,
-        bits=ANN_BITS,
+        bits=adaptive_lsh_bits(emb.count()),
     )
 
 
@@ -329,10 +424,11 @@ def graph_pagerank(spark, sf_dir):
 
     from mapreduce_model_spark.operators.graph import pagerank
 
+    emb = table(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(
-        table(spark, sf_dir, "embeddings"),
+        emb,
         threshold=NEAR_DUP_THRESHOLD,
-        bits=ANN_BITS,
+        bits=adaptive_lsh_bits(emb.count()),
     ).select("id_a", "id_b")
     both = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -472,7 +568,9 @@ def embedding_quantize(spark, sf_dir):
 _KM_K, _KM_ITER = 8, 5
 
 
-def _kmeans_cte(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+def _kmeans_cte(
+    k: int | str = _KM_K, n_iter: int = _KM_ITER, extra_cte: str = ""
+) -> str:
     """Lloyd's unrolled into chained CTEs (c0 → a1/m1/c1 → … → cN → afin),
     the pagerank-oracle move applied to k-means. Deterministic throughout:
     lowest-id seeding, cosine argmax with (score DESC, cid) tie-break,
@@ -485,14 +583,20 @@ def _kmeans_cte(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
 
     Ends at ``afin`` (final per-vector assignment) + ``c{n_iter}`` (final
     centroids) so both the kmeans_embeddings and semantic_dedup oracles
-    share one source of truth for the whole recurrence."""
+    share one source of truth for the whole recurrence.
+
+    ``k`` may be a SQL string (e.g. ``"(SELECT kk FROM ks)"`` with the ks
+    CTE passed via ``extra_cte``) — DuckDB accepts scalar-subquery LIMITs,
+    which is what lets semantic_dedup_scaled derive k from count(*) while
+    staying fully hash-checked (round 8)."""
     sql = """
 WITH v AS (
     SELECT vec_id AS vid,
            embedding::DOUBLE[] AS ve,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
     FROM embeddings
-), seeds AS (
+)""" + extra_cte + """
+, seeds AS (
     SELECT vid, ve, nrm FROM v ORDER BY vid LIMIT {k}
 ), c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS cid,
@@ -1202,15 +1306,43 @@ def semantic_dedup(spark, sf_dir):
     exchange. Assignments come straight out of the training loop's own
     final assign pass (kmeans_fit(return_assign=True)) — no re-assignment
     pass, no extra shuffle."""
-    from mapreduce_model_spark.operators.similarity import dot, kmeans_fit
+    return _semantic_dedup_frame(spark, sf_dir, k=_KM_K, n_iter=_KM_ITER)
+
+
+def _semantic_dedup_frame(spark, sf_dir, k: int, n_iter: int, engine: str = "sql"):
+    """Shared SemDeDup body: kmeans assign → cid-keyed lower-id max-cosine
+    election → keep flag. Parameterized so the k=8 exemplar face and the
+    k∝√N scaled face cannot drift apart. ``engine="arrow"`` swaps BOTH
+    corpus-sized inner-product passes (assign, pair scoring) for the
+    Arrow/BLAS twins — same recurrence and decisions (see
+    operators.similarity kmeans_fit_arrow / semantic_max_cosine_arrow on
+    ulp parity), ~300× the JVM expression-dot throughput; the k=8
+    exemplar keeps the pure-expression plan the oracle replays
+    term-for-term."""
+    from mapreduce_model_spark.operators.similarity import (
+        dot,
+        kmeans_fit,
+        kmeans_fit_arrow,
+        semantic_max_cosine_arrow,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
+    if engine == "arrow":
+        assign = kmeans_fit_arrow(emb, k=k, n_iter=n_iter)
+        # one row per vector already (a vector lives in ONE cid group)
+        mc = semantic_max_cosine_arrow(assign)
+        return assign.join(mc, assign["vid"] == mc["vid_a"], "left").select(
+            F.col("vid").alias("vec_id"),
+            "cid",
+            rnd("mc", 6).alias("sem_score"),
+            F.coalesce(F.col("mc") < _SEM_TAU, F.lit(True)).alias("is_kept"),
+        )
     # vid, v, n, cid — the training loop's own final assign pass. Three
     # consumers read it (both pair-join sides + the output join); each
     # re-derives it as a narrow broadcast-dot over kmeans_fit's ALREADY
     # persisted corpus cache, so persisting here too was measured a wash
     # (4.5 vs 4.2 s) while doubling cache memory — don't.
-    assign = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER, return_assign=True)
+    assign = kmeans_fit(emb, k=k, n_iter=n_iter, return_assign=True)
     a = assign.select(
         "cid", F.col("vid").alias("vid_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
@@ -1232,6 +1364,70 @@ def semantic_dedup(spark, sf_dir):
         "cid",
         rnd("mc", 6).alias("sem_score"),
         F.coalesce(F.col("mc") < _SEM_TAU, F.lit(True)).alias("is_kept"),
+    )
+
+
+_SEM_SCALED_ITER = 2
+_KM_K_CAP = 4096
+
+
+def adaptive_kmeans_k(n_vectors: int) -> int:
+    """SemDeDup's own recipe, k ∝ √N: balances the two costs that bound
+    the pipeline — Lloyd assignment is O(N·k), the within-cluster pair
+    join is O(N²/k); k = ⌈√N⌉ makes both ~N^1.5, and the 4096 cap keeps
+    the broadcast centroid table tiny (4096×64 doubles = 2 MB). Integer
+    parity with the oracle's ks CTE: IEEE sqrt is correctly rounded."""
+    import math
+
+    return max(2, min(_KM_K_CAP, math.ceil(math.sqrt(n_vectors))))
+
+
+_KS_CTE = f"""
+, ks AS (
+    SELECT greatest(2, least({_KM_K_CAP},
+           CAST(ceil(sqrt(count(*))) AS BIGINT))) AS kk
+    FROM embeddings
+)"""
+
+
+@query(
+    "semantic_dedup_scaled",
+    oracle=_kmeans_cte(
+        k="(SELECT kk FROM ks)", n_iter=_SEM_SCALED_ITER, extra_cte=_KS_CTE
+    )
+    + f"""
+, sem AS (
+    SELECT a.vid, max(list_dot_product(va.ve, vb.ve) / (va.nrm * vb.nrm)) AS mc
+    FROM afin a JOIN v va ON va.vid = a.vid
+    JOIN afin b ON b.cid = a.cid AND b.vid < a.vid
+    JOIN v vb ON vb.vid = b.vid
+    GROUP BY a.vid
+)
+SELECT f.vid AS vec_id, f.cid,
+       round(sem.mc + 1e-9, 6) AS sem_score,
+       coalesce(sem.mc < {_SEM_TAU}, TRUE) AS is_kept
+FROM afin f LEFT JOIN sem ON sem.vid = f.vid
+""",
+)
+def semantic_dedup_scaled(spark, sf_dir):
+    """semantic_dedup at its SCALE configuration (r7 verdict ask #3):
+    k = ⌈√N⌉ clusters (adaptive_kmeans_k) instead of the k=8 exemplar, so
+    Σ|cluster|² — the within-cluster pair-join volume — is ~N^1.5 at any
+    corpus size rather than N²/8 (measured r7: the k=8 face's oracle
+    filled 79 GB of DuckDB spill at 50k vectors). Two Lloyd iterations:
+    the cluster geometry that BOUNDS the pair join converges in the first
+    couple of sweeps, and each extra iteration is a full O(N·k) assign
+    pass — the exemplar face keeps the 5-iteration recurrence. STILL
+    FULLY hash-checked: the oracle derives the identical k from count(*)
+    via a scalar-subquery LIMIT on the seed scan and replays the same
+    unrolled recurrence."""
+    emb_n = table(spark, sf_dir, "embeddings").count()
+    return _semantic_dedup_frame(
+        spark,
+        sf_dir,
+        k=adaptive_kmeans_k(emb_n),
+        n_iter=_SEM_SCALED_ITER,
+        engine="arrow",
     )
 
 

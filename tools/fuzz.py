@@ -354,6 +354,111 @@ class Gen:
             f"ORDER BY {order_in} LIMIT {LIMIT}"
         )
 
+    def left_outer_join(self) -> str:
+        """dim LEFT JOIN fact — the preserved-row/NULL-extension planner
+        path (r7 verdict ask #6). The dim side is the LEFT (every fact row
+        matches a dim, so inner and left would coincide the other way
+        round); a fact-side predicate goes INSIDE the ON clause half the
+        time — the placement whose semantics (filter before preserving)
+        an optimizer can get wrong when it converts outer to inner."""
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        on = f"d.{dc} = f.{fc}"
+        if self.rng.random() < 0.5:
+            on += f" AND {self._preds(ft, 'f')}"
+        if self.rng.random() < 0.5:
+            # aggregate face: count(*) counts dims, count(f.col) skips the
+            # NULL-extended rows — both engines must agree on the split
+            key = (self._cols(dt, "is", k=1) or [dc])[0]
+            probe = self._cols(ft, "isdt", k=1) or [fc]
+            return (
+                f"SELECT d.{key} AS k0, count(*) AS c0, "
+                f"count(f.{probe[0]}) AS c1 "
+                f"FROM {dt} d LEFT JOIN {ft} f ON {on} "
+                f"GROUP BY d.{key} ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+            )
+        dcols = self._cols(dt, "isd", k=2)
+        fcols = self._cols(ft, "isdt", k=1)
+        items = [
+            self._proj_item(dt, c, i, "d") for i, c in enumerate(dcols)
+        ] + [
+            self._proj_item(ft, c, len(dcols) + i, "f")
+            for i, c in enumerate(fcols)
+        ]
+        order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(len(items)))
+        return (
+            f"SELECT {', '.join(items)} FROM {dt} d "
+            f"LEFT JOIN {ft} f ON {on} "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def having(self) -> str:
+        """GROUP BY ... HAVING on an aggregate NOT in the SELECT list half
+        the time — the post-aggregation filter path."""
+        t = self.rng.choice(list(TABLES))
+        keys = self._cols(t, "ist", k=1) or [PK[t].split(", ")[0]]
+        aggs = ", ".join(f"{a} AS c{i}" for i, a in enumerate(self._aggs(t)))
+        hv = f"count(*) > {self.rng.randint(1, 5)}"
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        if ints and self.rng.random() < 0.5:
+            hv = f"min({self.rng.choice(ints)}) >= 0"
+        return (
+            f"SELECT {keys[0]} AS k0, {aggs} FROM {t} "
+            f"WHERE {self._preds(t)} GROUP BY {keys[0]} "
+            f"HAVING {hv} ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def scalar_subquery(self) -> str:
+        """Scalar subqueries: uncorrelated (one global aggregate in the
+        WHERE) or correlated on an FK edge (per-row aggregate — the
+        decorrelation planner path). Aggregates restricted to min/max/avg
+        over INTEGER columns so the scalar is bit-identical across
+        engines; an empty correlated group yields NULL, and NULL
+        comparisons drop the row identically in both."""
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        ints_d = [c for c, k in TABLES[dt].items() if k == "i"]
+        ints_f = [c for c, k in TABLES[ft].items() if k == "i"]
+        if not ints_d or not ints_f:
+            return self.filter_project()
+        key = PK[dt].split(", ")[0]
+        probe = self.rng.choice(ints_d)
+        inner_col = self.rng.choice(ints_f)
+        if self.rng.random() < 0.5:
+            # correlated: per-dim aggregate over its fact group
+            agg = self.rng.choice(["min", "max"])
+            sub = (
+                f"(SELECT {agg}(f.{inner_col}) FROM {ft} f "
+                f"WHERE f.{fc} = d.{dc})"
+            )
+        else:
+            agg = self.rng.choice(
+                [f"min({inner_col})", f"max({inner_col})", f"avg({inner_col})"]
+            )
+            sub = f"(SELECT {agg} FROM {ft} WHERE {self._preds(ft)})"
+        op = self.rng.choice(["<", "<=", ">", ">="])
+        return (
+            f"SELECT d.{key} AS c0, d.{probe} AS c1 FROM {dt} d "
+            f"WHERE d.{probe} {op} {sub} "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def union_all(self) -> str:
+        """UNION ALL (multiset concat) or UNION (dedup) of two predicate
+        slices of one table — bag vs set semantics must agree engine to
+        engine, including duplicate rows that only one branch produces."""
+        t = self.rng.choice(list(TABLES))
+        cols = self._cols(t, "isdt", k=self.rng.randint(1, 3))
+        if not cols:
+            return self.filter_project()
+        proj = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+        setop = "UNION ALL" if self.rng.random() < 0.7 else "UNION"
+        order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(len(cols)))
+        return (
+            f"SELECT {proj} FROM {t} WHERE {self._preds(t)} "
+            f"{setop} "
+            f"SELECT {proj} FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
     def distinct(self) -> str:
         t = self.rng.choice(list(TABLES))
         cols = self._cols(t, "is", k=self.rng.randint(1, 2))
@@ -377,8 +482,12 @@ class Gen:
                 self.two_hop_join,
                 self.window_rownum,
                 self.distinct,
+                self.left_outer_join,
+                self.having,
+                self.scalar_subquery,
+                self.union_all,
             ],
-            weights=[20, 25, 20, 10, 12, 13],
+            weights=[14, 17, 14, 7, 9, 9, 9, 7, 7, 7],
         )[0]
         return f()
 

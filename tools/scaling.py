@@ -32,24 +32,23 @@ import sys
 # The standing scale-critical list: everything expensive at sf0.1 plus the
 # operators whose 100 TB story a quadratic tail would break.
 #
-# DELIBERATELY EXCLUDED (their registered faces pin constants for oracle
+# DELIBERATELY EXCLUDED (registered face pins a constant for oracle
 # parity that the operator API scales and the fixed-constant form cannot):
 # - semantic_dedup pins k=8 clusters, so at 500k vectors its
-#   within-cluster pair join is Sigma|cluster|^2 ~ 3e10 pairs; the
-#   documented recipe is k proportional to sqrt(N) via kmeans_fit(k=...) —
-#   the QUERY is a fixed-k exemplar, not the scale configuration.
-# - embedding_near_dup / embedding_near_dup_multiprobe pin 6 sign-LSH
-#   bits (64 buckets), so the bucket SELF-join quadratic tail reappears
-#   at 500k vectors; bits must grow ~log2(N) (lsh_cosine_topk takes
-#   bits as a parameter). ann_recall_report stays IN the list: its joins
-#   are query-side-bounded (50 queries), so fixed bits only grow the
-#   per-query candidate set linearly.
+#   within-cluster pair join is Sigma|cluster|^2 ~ 3e10 pairs; the scale
+#   configuration is the k-proportional-to-sqrt(N) twin
+#   semantic_dedup_scaled, which IS in the list.
+# (Round 8: embedding_near_dup / _multiprobe / graph_pagerank /
+# similarity_ann_ivf left this exclusion list — their faces now derive
+# bits / stride from count(*) and are expected to scale.)
 DEFAULT_QUERIES = ",".join(
     [
         # PQ / ANN family (training loops, probed search, recall audits)
         "similarity_ann_ivfpq", "ivfpq_recall_report", "similarity_pq_adc",
         "embedding_pq", "similarity_ann_ivf", "similarity_topk",
         "ann_recall_report", "kmeans_embeddings",
+        "embedding_near_dup", "embedding_near_dup_multiprobe",
+        "semantic_dedup_scaled",
         # dedup / LSH family (bucketed pair joins, recall audits, clusters)
         "lsh_recall_report", "simhash_recall_report", "dedup_near_minhash",
         "dedup_near_oph", "dedup_ngram_jaccard", "dedup_containment",

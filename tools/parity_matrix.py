@@ -15,14 +15,15 @@ cannot silently pass). Prints one line per config plus a final
 
 from __future__ import annotations
 
+import os
 import string
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def golden_lines(golden_dir: str, letter: str) -> list[str]:
-    import os
-
     path = os.path.join(golden_dir, f"{letter}.txt")
     if not os.path.exists(path):
         return []

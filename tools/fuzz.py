@@ -474,20 +474,30 @@ class Gen:
         )
 
     def next_query(self) -> str:
+        choices = [
+            (self.filter_project, 14),
+            (self.groupby_agg, 17),
+            (self.join, 14),
+            (self.two_hop_join, 7),
+            (self.window_rownum, 9),
+            (self.distinct, 9),
+            (self.left_outer_join, 9),
+            (self.having, 7),
+            (self.scalar_subquery, 7),
+            (self.union_all, 7),
+        ]
+        # FUZZ_TEMPLATES=name[,name...] restricts generation to the named
+        # templates — the per-construct-class battery mode (e.g. 200
+        # left_outer_join-only queries per scale)
+        only = {
+            s for s in os.environ.get("FUZZ_TEMPLATES", "").split(",") if s
+        }
+        if only:
+            choices = [(f, w) for f, w in choices if f.__name__ in only]
+            if not choices:
+                raise SystemExit(f"FUZZ_TEMPLATES matched nothing: {only}")
         f = self.rng.choices(
-            [
-                self.filter_project,
-                self.groupby_agg,
-                self.join,
-                self.two_hop_join,
-                self.window_rownum,
-                self.distinct,
-                self.left_outer_join,
-                self.having,
-                self.scalar_subquery,
-                self.union_all,
-            ],
-            weights=[14, 17, 14, 7, 9, 9, 9, 7, 7, 7],
+            [c[0] for c in choices], weights=[c[1] for c in choices]
         )[0]
         return f()
 

@@ -209,7 +209,10 @@ def lsh_cosine_topk(
 
 
 def _rank_centroids(
-    vectors: DataFrame, centroids: DataFrame, max_rank: int
+    vectors: DataFrame,
+    centroids: DataFrame,
+    max_rank: int,
+    join_back: bool = False,
 ) -> DataFrame:
     """Score every vector against every (broadcast) centroid, keep the
     ``max_rank`` nearest cells. Output adds ``cid`` (and ``crank`` when
@@ -237,21 +240,34 @@ def _rank_centroids(
             .when(F.col("_cscore").isNull(), F.lit(float("inf")))
             .otherwise(-F.col("_cscore"))
         )
-        # aggregate ONLY (vid -> winning cid) and join the payload columns
-        # back by vid. Carrying the vector itself through the min_by buffer
-        # (the pre-r8 shape) weighed every aggregation/sort row down with
-        # the 512-byte array — measured Java-heap OOM at 500k vectors ×
-        # 708 centroids under the 8g harness heap (semantic_dedup_scaled,
-        # gen-sf1). The exchange bytes are the same either way (the corpus
-        # moves once per pass); the buffers are now ~30 B/row, and when the
-        # caller persists ``vectors`` hash-partitioned by vid the join-back
-        # reuses that partitioning instead of re-exchanging the corpus.
+        # Two shapes for the same argmin, chosen by the CALLER's k:
+        # - join_back=True (large k): aggregate ONLY (vid -> winning cid)
+        #   and join the payload columns back by vid. Carrying the vector
+        #   inside the min_by buffer weighs every aggregation/sort row
+        #   down with the 512-byte array — measured Java-heap OOM at 500k
+        #   vectors × 708 centroids under the 8g harness heap
+        #   (semantic_dedup_scaled, gen-sf1, r8). Exchange bytes are the
+        #   same either way; buffers drop to ~30 B/row, and a caller that
+        #   persists ``vectors`` hash-partitioned by vid gets the
+        #   join-back without re-exchanging the corpus.
+        # - join_back=False (small k, the k=8 exemplar faces): keep the
+        #   payload in the buffer and skip the join — measured 1.7× faster
+        #   at k=8/sf0.1 (kmeans_embeddings 2.4 s vs 4.1 s), where buffer
+        #   weight never threatens the heap.
+        if join_back:
+            best = scored.groupBy("vid").agg(
+                F.min_by(
+                    F.col("cid"), F.struct(order_key.alias("neg"), F.col("cid"))
+                ).alias("cid")
+            )
+            return vectors.join(best, "vid").select("vid", *passthrough, "cid")
         best = scored.groupBy("vid").agg(
             F.min_by(
-                F.col("cid"), F.struct(order_key.alias("neg"), F.col("cid"))
-            ).alias("cid")
+                F.struct(*passthrough, "cid"),
+                F.struct(order_key.alias("neg"), F.col("cid")),
+            ).alias("_best")
         )
-        return vectors.join(best, "vid").select("vid", *passthrough, "cid")
+        return best.select("vid", *[f"_best.{c}" for c in passthrough], "_best.cid")
     w = Window.partitionBy("vid").orderBy(F.col("_cscore").desc(), F.col("cid"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -287,7 +303,7 @@ def ivf_cosine_topk(
     cents = v.filter(F.col("vid") % stride == 0).select(
         F.col("vid").alias("cid"), F.col("v").alias("ce"), F.col("n").alias("cn")
     )
-    cells = _rank_centroids(v, cents, 1).select(
+    cells = _rank_centroids(v, cents, 1, join_back=True).select(
         F.col("vid").alias("vec_id"), F.col("v").alias("cv"), F.col("n").alias("cnm"), "cid"
     )
     q = queries.select(
@@ -389,12 +405,16 @@ def kmeans_fit(
     # Hash-partitioned by vid: _rank_centroids' join-back (see there) then
     # lines up with the groupBy("vid") output partitioning, so no assign
     # pass ever re-exchanges the corpus.
-    v = (
-        vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
-        .withColumn("n", l2_norm(F.col("v")))
-        .repartition("vid")
-        .persist()
-    )
+    # past ~64 cells the min_by buffer weight dominates (see
+    # _rank_centroids): switch the assign passes to the join-back shape,
+    # and persist the corpus vid-partitioned so those joins re-use the
+    # partitioning. Small k keeps the buffer shape — no join, so the
+    # repartition would be a pure extra exchange.
+    heavy_k = k > 64
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    v = (v.repartition("vid") if heavy_k else v).persist()
     seeds = v.orderBy("vid").limit(k)
     w = Window.orderBy("vid")  # k rows — single-partition window is fine
     cents = seeds.select(
@@ -403,7 +423,7 @@ def kmeans_fit(
         F.col("n").alias("cn"),
     ).localCheckpoint(eager=True)
     for _ in range(n_iter):
-        assign = _rank_centroids(v, cents, 1)
+        assign = _rank_centroids(v, cents, 1, join_back=heavy_k)
         upd = (
             assign.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -433,7 +453,7 @@ def kmeans_fit(
                 .localCheckpoint(eager=True)
             )
         cents = new_cents
-    final = _rank_centroids(v, cents, 1)
+    final = _rank_centroids(v, cents, 1, join_back=heavy_k)
     if return_assign:
         # (vid, v, n, cid) — consumers like semantic_dedup score member
         # pairs; handing the assignment out saves them re-running the

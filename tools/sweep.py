@@ -49,6 +49,7 @@ def main() -> int:
             n_skipped += 1
             print(f"SKIP {name} (SWEEP_SKIP)", flush=True)
             continue
+        tq = time.time()
         if name in ORACLE_SQL:
             try:
                 r = compare_query(spark, sf_dir, name)
@@ -58,12 +59,19 @@ def main() -> int:
             if r is not None:
                 fails += 1
                 print(f"FAIL {name}: {r}", flush=True)
+            elif os.environ.get("SWEEP_VERBOSE"):
+                # per-query OK lines (flushed) so an interrupted long run
+                # — e.g. the multi-hour gen-sf1 sweep — still leaves a
+                # usable record of what passed
+                print(f"OK {name} {time.time() - tq:.1f}s", flush=True)
         else:
             try:
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 n_rowsonly += 1
+                if os.environ.get("SWEEP_VERBOSE"):
+                    print(f"ROWS {name} {time.time() - tq:.1f}s", flush=True)
             except Exception as exc:  # noqa: BLE001 — record, keep sweeping
                 fails += 1
                 print(f"FAIL-RUN {name}: {exc}", flush=True)

@@ -175,8 +175,16 @@ cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM rare a JOIN rare b USING (x) WHERE a.doc_id < b.doc_id
 ), inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-    FROM shx a JOIN shx b USING (x) WHERE a.doc_id < b.doc_id
+    -- candidate-driven (identical rows: truth inner-joins cand, and every
+    -- cand pair shares >= 1 rare shingle so it always has an inter row);
+    -- the unconditioned shx self-join on x is Sigma df^2 rows — quadratic
+    -- in corpus size once shingle DF grows, unrunnable at 500k docs —
+    -- while this form is |cand| x shingles-per-doc, mirroring the
+    -- engine's array_intersect-over-candidates shape
+    SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+    FROM cand
+    JOIN shx a ON a.doc_id = cand.id_a
+    JOIN shx b ON b.doc_id = cand.id_b AND b.x = a.x
     GROUP BY 1, 2
 ), truth AS (
     SELECT cand.id_a, cand.id_b,
@@ -495,8 +503,11 @@ cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM rare a JOIN rare b USING (x) WHERE a.doc_id < b.doc_id
 ), inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-    FROM shx a JOIN shx b USING (x) WHERE a.doc_id < b.doc_id
+    -- candidate-driven; see lsh_recall_report's _TRUTH_CTES for why
+    SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+    FROM cand
+    JOIN shx a ON a.doc_id = cand.id_a
+    JOIN shx b ON b.doc_id = cand.id_b AND b.x = a.x
     GROUP BY 1, 2
 ), j AS (
     SELECT cand.id_a, cand.id_b,
@@ -534,8 +545,11 @@ cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM rare a JOIN rare b USING (x) WHERE a.doc_id < b.doc_id
 ), inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-    FROM shx a JOIN shx b USING (x) WHERE a.doc_id < b.doc_id
+    -- candidate-driven; see lsh_recall_report's _TRUTH_CTES for why
+    SELECT cand.id_a, cand.id_b, count(*) AS n_inter
+    FROM cand
+    JOIN shx a ON a.doc_id = cand.id_a
+    JOIN shx b ON b.doc_id = cand.id_b AND b.x = a.x
     GROUP BY 1, 2
 ), c AS (
     SELECT cand.id_a, cand.id_b,

@@ -41,10 +41,21 @@ def main() -> int:
 
     spark = get_spark(app_name="sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     skip = {s for s in os.environ.get("SWEEP_SKIP", "").split(",") if s}
+    # SWEEP_QUERIES=a,b,... restricts the sweep to a subset — for targeted
+    # re-checks and for big generated corpora where the full registry's
+    # DuckDB oracles exceed a round's wall-clock (gen-sf1: sweep the
+    # scale-critical list rather than nothing)
+    only = {s for s in os.environ.get("SWEEP_QUERIES", "").split(",") if s}
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"SWEEP_QUERIES unknown: {sorted(unknown)}")
+        return 2
     t0 = time.time()
     fails = n_skipped = 0
     n_checked = n_rowsonly = 0
     for name in QUERIES:
+        if only and name not in only:
+            continue
         if name in skip:
             n_skipped += 1
             print(f"SKIP {name} (SWEEP_SKIP)", flush=True)

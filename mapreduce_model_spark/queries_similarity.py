@@ -300,17 +300,25 @@ _SS_CTE = f"""
 , cents AS (
     SELECT vec_id AS cid, ve AS ce, nrm AS cn
     FROM v, ss WHERE vec_id % ss.stride = 0
-), assign AS (
-    SELECT v.vec_id, v.ve, v.nrm, cid,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY list_dot_product(ve, ce) / (nrm * cn) DESC,
-                                       cid) AS crank
-    FROM v CROSS JOIN cents
+), arank AS (
+    -- rank centroids on a slim (vec_id, cid, dot) frame and join the
+    -- vector payload back AFTERWARDS: carrying the 64-double list through
+    -- a N*kc-row window sort is the same payload-in-buffer blowup the
+    -- engine's _rank_centroids reshape removed (~70 GB at 500k vectors;
+    -- ~3 GB slim) — identical rows, the dots and tie-break are unchanged
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cid) AS crank
+    FROM (SELECT v.vec_id, cid,
+                 list_dot_product(ve, ce) / (nrm * cn) AS cd
+          FROM v CROSS JOIN cents)
 ), cells AS (
-    SELECT vec_id, ve AS cv, nrm AS cnm, cid FROM assign WHERE crank = 1
+    SELECT a.vec_id, v.ve AS cv, v.nrm AS cnm, a.cid
+    FROM arank a JOIN v USING (vec_id) WHERE a.crank = 1
 ), probes AS (
-    SELECT vec_id AS query_id, ve AS qv, nrm AS qn, cid
-    FROM assign WHERE vec_id < {ANN_QUERIES} AND crank <= {IVF_NPROBE}
+    SELECT a.vec_id AS query_id, v.ve AS qv, v.nrm AS qn, a.cid
+    FROM arank a JOIN v USING (vec_id)
+    WHERE a.vec_id < {ANN_QUERIES} AND a.crank <= {IVF_NPROBE}
 ), scored AS (
     SELECT query_id, cells.vec_id,
            list_dot_product(qv, cv) / (qn * cnm) AS cosine

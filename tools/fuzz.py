@@ -459,6 +459,74 @@ class Gen:
             f"ORDER BY {order} LIMIT {LIMIT}"
         )
 
+    def exists_semi(self) -> str:
+        """EXISTS / NOT EXISTS correlated on an FK edge — the semi/anti
+        join planner paths (Spark rewrites these to LeftSemi/LeftAnti; a
+        wrong rewrite duplicates or drops preserved rows). The inner
+        predicate sits on the fact side so both polarities stay
+        selective; the outer projection leads with the dim's unique PK so
+        the ORDER BY is total without leaning on tie-splitting."""
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        neg = "NOT " if self.rng.random() < 0.5 else ""
+        key = PK[dt].split(", ")[0]
+        probe = (self._cols(dt, "isd", k=1) or [dc])[0]
+        return (
+            f"SELECT d.{key} AS c0, d.{probe} AS c1 FROM {dt} d "
+            f"WHERE {neg}EXISTS (SELECT 1 FROM {ft} f "
+            f"WHERE f.{fc} = d.{dc} AND {self._preds(ft, 'f')}) "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST "
+            f"LIMIT {LIMIT}"
+        )
+
+    def in_subquery(self) -> str:
+        """col IN (SELECT …) / NOT IN — membership subqueries over a dim
+        PK slice. NOT IN is the three-valued-logic trap (one inner NULL
+        empties the result): the inner side filters IS NOT NULL, so the
+        outcome is a theorem while Spark's null-aware anti-join path
+        still executes (the planner can't see the column is never
+        NULL)."""
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        neg = "NOT " if self.rng.random() < 0.5 else ""
+        fcols = self._cols(ft, "isdt", k=self.rng.randint(1, 2))
+        items = [self._proj_item(ft, c, i) for i, c in enumerate(fcols)]
+        order = ", ".join(
+            f"c{i} ASC NULLS FIRST" for i in range(len(items))
+        )
+        return (
+            f"SELECT {', '.join(items)} FROM {ft} "
+            f"WHERE {fc} {neg}IN (SELECT {dc} FROM {dt} "
+            f"WHERE {self._preds(dt)} AND {dc} IS NOT NULL) "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def case_when(self) -> str:
+        """CASE WHEN in the projection and — half the time — as a GROUP
+        BY key (grouping on a derived expression). Branch predicates
+        reuse the sampled literal pools; a NULL-valued branch predicate
+        is not-matched in both engines (SQL three-valued CASE), and the
+        ELSE arm guarantees every row lands in a bucket."""
+        t = self.rng.choice(list(TABLES))
+        expr = (
+            f"CASE WHEN {self._pred(t)} THEN 'a' "
+            f"WHEN {self._pred(t)} THEN 'b' ELSE 'z' END"
+        )
+        if self.rng.random() < 0.5:
+            aggs = ", ".join(
+                f"{a} AS c{i}" for i, a in enumerate(self._aggs(t))
+            )
+            return (
+                f"SELECT {expr} AS k0, {aggs} FROM {t} "
+                f"WHERE {self._preds(t)} GROUP BY {expr} "
+                f"ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+            )
+        c = (self._cols(t, "is", k=1) or [PK[t].split(", ")[0]])[0]
+        return (
+            f"SELECT {expr} AS c0, {c} AS c1 FROM {t} "
+            f"WHERE {self._preds(t)} "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST "
+            f"LIMIT {LIMIT}"
+        )
+
     def distinct(self) -> str:
         t = self.rng.choice(list(TABLES))
         cols = self._cols(t, "is", k=self.rng.randint(1, 2))
@@ -485,6 +553,9 @@ class Gen:
             (self.having, 7),
             (self.scalar_subquery, 7),
             (self.union_all, 7),
+            (self.exists_semi, 7),
+            (self.in_subquery, 7),
+            (self.case_when, 7),
         ]
         # FUZZ_TEMPLATES=name[,name...] restricts generation to the named
         # templates — the per-construct-class battery mode (e.g. 200

@@ -527,6 +527,55 @@ class Gen:
             f"LIMIT {LIMIT}"
         )
 
+    def derived_table(self) -> str:
+        """Aggregate over an aggregate — a derived table in FROM with an
+        outer filter/re-aggregation. Exercises two-level aggregation and
+        column pruning through a subquery boundary. Inner sums stay on
+        integer columns, so the outer min/max/count over them is exact."""
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        ints = [c for c, k in TABLES[ft].items() if k == "i"]
+        if not ints:
+            return self.filter_project()
+        mcol = self.rng.choice(ints)
+        inner = (
+            f"SELECT {fc} AS g, count(*) AS cnt, sum({mcol}) AS s "
+            f"FROM {ft} WHERE {self._preds(ft)} GROUP BY {fc}"
+        )
+        if self.rng.random() < 0.5:
+            return (
+                f"SELECT g AS c0, cnt AS c1, s AS c2 FROM ({inner}) "
+                f"WHERE cnt > {self.rng.randint(0, 3)} "
+                f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST, "
+                f"c2 ASC NULLS FIRST LIMIT {LIMIT}"
+            )
+        return (
+            f"SELECT count(*) AS c0, min(s) AS c1, max(cnt) AS c2 "
+            f"FROM ({inner})"
+        )
+
+    def window_agg(self) -> str:
+        """Running aggregate windows — sum/count OVER (PARTITION BY …
+        ORDER BY pk ROWS UNBOUNDED PRECEDING..CURRENT ROW). Restricted to
+        tables whose PK really is unique, so the in-window order is total
+        and every prefix sum is a theorem; summed columns are integers."""
+        t = self.rng.choice(UNIQUE_PK)
+        part = self._cols(t, "is", k=1)
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        if not part or not ints:
+            return self.filter_project()
+        pk = PK[t]
+        mcol = self.rng.choice(ints)
+        fn = self.rng.choice(
+            [f"sum({mcol})", "count(*)", f"min({mcol})", f"max({mcol})"]
+        )
+        return (
+            f"SELECT {part[0]} AS c0, {pk} AS c1, {mcol} AS c2, "
+            f"{fn} OVER (PARTITION BY {part[0]} ORDER BY {pk} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c3 "
+            f"FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY c1 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
     def distinct(self) -> str:
         t = self.rng.choice(list(TABLES))
         cols = self._cols(t, "is", k=self.rng.randint(1, 2))
@@ -556,6 +605,8 @@ class Gen:
             (self.exists_semi, 7),
             (self.in_subquery, 7),
             (self.case_when, 7),
+            (self.derived_table, 7),
+            (self.window_agg, 7),
         ]
         # FUZZ_TEMPLATES=name[,name...] restricts generation to the named
         # templates — the per-construct-class battery mode (e.g. 200

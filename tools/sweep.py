@@ -22,6 +22,15 @@ oracles go quadratic at that scale (the sf0.1-generated semantic_dedup
 oracle filled the disk with spill before this knob existed). A per-query
 exception no longer kills the sweep either way — it records FAIL and
 moves on.
+
+SWEEP_CHUNK=N — run the sweep as sequential child processes of N queries
+each (one fresh Python+JVM+DuckDB per chunk), aggregating the children's
+summary lines into one SWEEPDONE. Needed for multi-hour generated-corpus
+sweeps: a single process accumulates allocator high-water across every
+oracle it runs (glibc/jemalloc arenas never shrink back), and at gen-sf1
+the 145th query's in-process mallocs started failing (DuckDB
+bad_alloc, OpenBLAS pthread_create) with >100 GB still free system-wide.
+Chunking resets the process footprint every N queries.
 """
 
 from __future__ import annotations
@@ -36,10 +45,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
     from mapreduce_model_spark.registry import ORACLE_SQL, QUERIES
-    from mapreduce_model_spark.session import get_spark
-    from tests.oracle_harness import compare_query
 
-    spark = get_spark(app_name="sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     skip = {s for s in os.environ.get("SWEEP_SKIP", "").split(",") if s}
     # SWEEP_QUERIES=a,b,... restricts the sweep to a subset — for targeted
     # re-checks and for big generated corpora where the full registry's
@@ -50,6 +56,53 @@ def main() -> int:
     if unknown:
         print(f"SWEEP_QUERIES unknown: {sorted(unknown)}")
         return 2
+
+    chunk = int(os.environ.get("SWEEP_CHUNK", "0") or 0)
+    if chunk > 0:
+        import re
+        import subprocess
+
+        names = [
+            n for n in QUERIES if (not only or n in only) and n not in skip
+        ]
+        t0 = time.time()
+        tot = {"checked": 0, "rowsonly": 0, "fails": 0}
+        rc_any = 0
+        for i in range(0, len(names), chunk):
+            env = dict(os.environ)
+            env["SWEEP_QUERIES"] = ",".join(names[i : i + chunk])
+            env["SWEEP_CHUNK"] = ""
+            env.pop("SWEEP_SKIP", None)  # already applied to the list
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+            )
+            rc_any |= proc.returncode
+            for line in proc.stdout.splitlines():
+                line = line.split("\r")[-1]  # shed Spark progress bars
+                if line.startswith("SWEEPDONE"):
+                    for k in tot:
+                        m = re.search(rf"{k}=(\d+)", line)
+                        if m:
+                            tot[k] += int(m.group(1))
+                elif line.startswith(("OK ", "ROWS ", "FAIL", "SKIP")):
+                    print(line, flush=True)
+        skipped = f" skipped={len(skip)}" if skip else ""
+        print(
+            f"SWEEPDONE checked={tot['checked']} "
+            f"rowsonly={tot['rowsonly']} fails={tot['fails']}{skipped} "
+            f"secs={time.time() - t0:.0f} chunks={chunk}",
+            flush=True,
+        )
+        return 1 if (tot["fails"] or rc_any) else 0
+
+    from mapreduce_model_spark.session import get_spark
+    from tests.oracle_harness import compare_query
+
+    spark = get_spark(app_name="sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     t0 = time.time()
     fails = n_skipped = 0
     n_checked = n_rowsonly = 0

@@ -456,10 +456,13 @@ def graph_pagerank(spark, sf_dir):
     "embedding_centroids",
     oracle="""
 WITH p AS (
-    SELECT label, unnest(range(0, len(embedding))) AS pos, embedding AS e
+    -- zipped unnests: see embedding_quantize's oracle for why the list
+    -- payload must not ride along with every exploded position
+    SELECT label, unnest(range(0, len(embedding))) AS pos,
+           unnest(embedding) AS ev
     FROM embeddings
 ), pv AS (
-    SELECT label, pos, CAST(e[pos + 1] AS DOUBLE) AS v FROM p
+    SELECT label, pos, CAST(ev AS DOUBLE) AS v FROM p
 ), cent AS (
     SELECT label, pos, avg(v) AS c FROM pv GROUP BY label, pos
 )
@@ -498,10 +501,15 @@ def embedding_centroids(spark, sf_dir):
     "embedding_quantize",
     oracle="""
 WITH p AS (
-    SELECT vec_id, unnest(range(0, len(embedding))) AS pos, embedding AS e
+    -- parallel unnests zip: carrying the whole list alongside each of its
+    -- 64 exploded positions (e[pos+1] on a duplicated `embedding AS e`)
+    -- multiplied the exploded frame by the 520-byte list payload — the
+    -- allocation that killed the gen-sf1 sweep process (round 8)
+    SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+           unnest(embedding) AS ev
     FROM embeddings
 ), pv AS (
-    SELECT vec_id, pos, CAST(e[pos + 1] AS DOUBLE) AS v FROM p
+    SELECT vec_id, pos, CAST(ev AS DOUBLE) AS v FROM p
 ), dims AS (
     SELECT pos, min(v) AS lo, max(v) AS hi, (max(v) - min(v)) / 255 AS sc
     FROM pv GROUP BY pos

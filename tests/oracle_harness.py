@@ -46,6 +46,19 @@ def run_oracle(sf_dir: str, sql: str):
 
     con = duckdb.connect()
     try:
+        # One heavy oracle must not take the machine with it: an uncapped
+        # in-memory DuckDB reserves up to 80% of RAM with NO spill, and a
+        # failed >100 GB reservation poisons the whole process for every
+        # later allocation (the round-8 gen-sf1 sweep death). Cap the
+        # buffer pool and give it a temp dir so big oracles spill instead.
+        con.execute(
+            f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'"
+        )
+        con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        try:
+            con.execute("SET max_temp_directory_size='60GB'")
+        except duckdb.Error:
+            pass
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
             # harness tables are single files; Spark-generated ones

@@ -81,15 +81,27 @@ def main() -> int:
                 text=True,
             )
             rc_any |= proc.returncode
+            summarized = False
             for line in proc.stdout.splitlines():
                 line = line.split("\r")[-1]  # shed Spark progress bars
                 if line.startswith("SWEEPDONE"):
+                    summarized = True
                     for k in tot:
                         m = re.search(rf"{k}=(\d+)", line)
                         if m:
                             tot[k] += int(m.group(1))
                 elif line.startswith(("OK ", "ROWS ", "FAIL", "SKIP")):
                     print(line, flush=True)
+            if not summarized:
+                # the child DIED mid-chunk (fatal signal, not a per-query
+                # exception): every un-printed query in the chunk was
+                # silently lost — say so, and count the chunk as failed
+                rc_any = 1
+                print(
+                    f"CHUNKDIED rc={proc.returncode} "
+                    f"queries={env['SWEEP_QUERIES']}",
+                    flush=True,
+                )
         skipped = f" skipped={len(skip)}" if skip else ""
         print(
             f"SWEEPDONE checked={tot['checked']} "

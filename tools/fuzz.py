@@ -576,6 +576,138 @@ class Gen:
             f"ORDER BY c1 ASC NULLS FIRST LIMIT {LIMIT}"
         )
 
+    def intersect_except(self) -> str:
+        """INTERSECT / EXCEPT (and their ALL variants) of two predicate
+        slices of one table. Set semantics (dedup) vs bag semantics
+        (multiset difference/min) must agree engine to engine; doubles
+        and timestamps compare by the identical parquet bits."""
+        t = self.rng.choice(list(TABLES))
+        cols = self._cols(t, "isdt", k=self.rng.randint(1, 3))
+        if not cols:
+            return self.filter_project()
+        proj = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+        op = self.rng.choice(["INTERSECT", "EXCEPT"])
+        if self.rng.random() < 0.3:
+            op += " ALL"
+        order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(len(cols)))
+        return (
+            f"SELECT {proj} FROM {t} WHERE {self._preds(t)} "
+            f"{op} "
+            f"SELECT {proj} FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def rollup_grouping(self) -> str:
+        """GROUP BY ROLLUP / CUBE / GROUPING SETS over 1-2 keys, with
+        GROUPING(key) projected so super-aggregate NULLs are
+        distinguishable from data NULLs. Every output column is in the
+        ORDER BY, so a data-NULL group tying a rollup row on the key
+        columns still sorts totally (the grouping flags and aggregates
+        differ or the tuples are bit-identical).
+
+        HAVING count(*) > 0 fences a REAL cross-engine semantic edge this
+        template caught on first run: over an EMPTY filtered input, the
+        () grouping set's grand-total row exists in DuckDB (ANSI: GROUP
+        BY () is the plain global aggregate, one row with count 0) but
+        not in Spark (grouping sets expand to an Expand + group-by-
+        grouping-id, which emits nothing without input rows). On
+        non-empty input every group has count >= 1, so the clause is an
+        identity there and the compared result stays a theorem."""
+        t = self.rng.choice(list(TABLES))
+        keys = self._cols(t, "ist", k=2)
+        if len(keys) < 2:
+            return self.groupby_agg()
+        a, b = keys
+        form = self.rng.choice(
+            [
+                f"ROLLUP({a}, {b})",
+                f"CUBE({a}, {b})",
+                f"GROUPING SETS (({a}, {b}), ({a}), ())",
+            ]
+        )
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        agg = f"sum({self.rng.choice(ints)})" if ints else "count(*)"
+        cols = [
+            f"{a} AS k0",
+            f"{b} AS k1",
+            f"GROUPING({a}) AS g0",
+            f"GROUPING({b}) AS g1",
+            "count(*) AS c0",
+            f"{agg} AS c1",
+        ]
+        order = ", ".join(
+            f"{x} ASC NULLS FIRST" for x in ("k0", "k1", "g0", "g1", "c0", "c1")
+        )
+        return (
+            f"SELECT {', '.join(cols)} FROM {t} WHERE {self._preds(t)} "
+            f"GROUP BY {form} HAVING count(*) > 0 "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def full_outer_reconcile(self) -> str:
+        """Two aggregates of the same fact table under different
+        predicates, FULL JOINed on the group key — the two-sided
+        preserved-row path (classic reconciliation shape). Group keys are
+        unique per side by construction, so the join fans out nothing;
+        COALESCE re-merges the key across the NULL-extended sides."""
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        ints = [c for c, k in TABLES[ft].items() if k == "i"]
+        if not ints:
+            return self.filter_project()
+        mcol = self.rng.choice(ints)
+        side = (
+            f"SELECT {fc} AS g, count(*) AS cnt, sum({mcol}) AS s "
+            f"FROM {ft} WHERE {{p}} GROUP BY {fc}"
+        )
+        sa = side.format(p=self._preds(ft))
+        sb = side.format(p=self._preds(ft))
+        return (
+            f"SELECT coalesce(a.g, b.g) AS c0, a.cnt AS c1, b.cnt AS c2, "
+            f"a.s AS c3, b.s AS c4 "
+            f"FROM ({sa}) a FULL JOIN ({sb}) b ON a.g = b.g "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST, "
+            f"c2 ASC NULLS FIRST, c3 ASC NULLS FIRST, c4 ASC NULLS FIRST "
+            f"LIMIT {LIMIT}"
+        )
+
+    def cte_reuse(self) -> str:
+        """One WITH-clause aggregate referenced TWICE (self-join on the
+        unique group key) — the CTE dedup/inline planner decision. A
+        one-sided extra predicate keeps the two references from being
+        trivially identical scans."""
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        ints = [c for c, k in TABLES[ft].items() if k == "i"]
+        if not ints:
+            return self.filter_project()
+        mcol = self.rng.choice(ints)
+        return (
+            f"WITH base AS (SELECT {fc} AS g, count(*) AS cnt, "
+            f"sum({mcol}) AS s FROM {ft} WHERE {self._preds(ft)} "
+            f"GROUP BY {fc}) "
+            f"SELECT a.g AS c0, a.cnt AS c1, b.s AS c2 "
+            f"FROM base a JOIN base b ON a.g = b.g "
+            f"WHERE a.cnt > {self.rng.randint(0, 3)} "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST, "
+            f"c2 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def limit_offset(self) -> str:
+        """ORDER BY … LIMIT … OFFSET pagination. The ORDER BY covers ALL
+        output columns, so any tie rows are bit-identical tuples and the
+        [offset, offset+limit) window is a deterministic multiset no
+        matter how either engine splits the tie."""
+        t = self.rng.choice(list(TABLES))
+        cols = self._cols(t, "isdt", k=self.rng.randint(2, 4))
+        if not cols:
+            return self.filter_project()
+        proj = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+        order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(len(cols)))
+        return (
+            f"SELECT {proj} FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY {order} LIMIT {self.rng.randint(20, LIMIT)} "
+            f"OFFSET {self.rng.randint(1, 200)}"
+        )
+
     def distinct(self) -> str:
         t = self.rng.choice(list(TABLES))
         cols = self._cols(t, "is", k=self.rng.randint(1, 2))
@@ -607,6 +739,11 @@ class Gen:
             (self.case_when, 7),
             (self.derived_table, 7),
             (self.window_agg, 7),
+            (self.intersect_except, 6),
+            (self.rollup_grouping, 6),
+            (self.full_outer_reconcile, 6),
+            (self.cte_reuse, 6),
+            (self.limit_offset, 6),
         ]
         # FUZZ_TEMPLATES=name[,name...] restricts generation to the named
         # templates — the per-construct-class battery mode (e.g. 200

@@ -708,6 +708,198 @@ class Gen:
             f"OFFSET {self.rng.randint(1, 200)}"
         )
 
+    def agg_filter(self) -> str:
+        """Aggregate FILTER clauses — per-aggregate predicates inside one
+        grouping pass (the pivot/conditional-count planner path; Spark
+        compiles FILTER to an If inside the aggregate buffer update). An
+        all-false filter must yield count 0 / sum NULL identically in
+        both engines."""
+        t = self.rng.choice(list(TABLES))
+        keys = self._cols(t, "ist", k=1) or [PK[t].split(", ")[0]]
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        aggs = [
+            "count(*) AS c0",
+            f"count(*) FILTER (WHERE {self._pred(t)}) AS c1",
+        ]
+        if ints:
+            mcol = self.rng.choice(ints)
+            aggs.append(
+                f"sum({mcol}) FILTER (WHERE {self._pred(t)}) AS c2"
+            )
+        return (
+            f"SELECT {keys[0]} AS k0, {', '.join(aggs)} FROM {t} "
+            f"WHERE {self._preds(t)} GROUP BY {keys[0]} "
+            f"ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def multi_distinct(self) -> str:
+        """Several DISTINCT aggregates over DIFFERENT columns in one
+        GROUP BY — Spark plans this with an Expand (one replica of every
+        input row per distinct group), a path single-distinct queries
+        never touch; a wrong grouping-id filter double-counts. All
+        counts are exact integers in both engines."""
+        t = self.rng.choice(list(TABLES))
+        cands = [c for c, k in TABLES[t].items() if k in "isdt"]
+        if len(cands) < 3:
+            return self.groupby_agg()
+        self.rng.shuffle(cands)
+        a, b = cands[0], cands[1]
+        keys = self._cols(t, "ist", k=1) or [PK[t].split(", ")[0]]
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        extra = f", sum({self.rng.choice(ints)}) AS c3" if ints else ""
+        return (
+            f"SELECT {keys[0]} AS k0, count(DISTINCT {a}) AS c0, "
+            f"count(DISTINCT {b}) AS c1, count(*) AS c2{extra} "
+            f"FROM {t} WHERE {self._preds(t)} GROUP BY {keys[0]} "
+            f"ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def lead_lag(self) -> str:
+        """lead/lag offset windows (with an explicit integer default half
+        the time) over a unique-PK total in-window order — the
+        offset-window frame path. Restricted to integer value columns so
+        the default literal's type matches exactly."""
+        t = self.rng.choice(UNIQUE_PK)
+        part = self._cols(t, "is", k=1)
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        if not part or not ints:
+            return self.filter_project()
+        pk = PK[t]
+        mcol = self.rng.choice(ints)
+        off = self.rng.randint(1, 3)
+        fn = self.rng.choice(["lag", "lead"])
+        dflt = f", {self.rng.randint(-9, 0)}" if self.rng.random() < 0.5 else ""
+        return (
+            f"SELECT {part[0]} AS c0, {pk} AS c1, {mcol} AS c2, "
+            f"{fn}({mcol}, {off}{dflt}) OVER "
+            f"(PARTITION BY {part[0]} ORDER BY {pk}) AS c3 "
+            f"FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY c1 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def range_frame(self) -> str:
+        """Value-RANGE window frames (RANGE BETWEEN n PRECEDING AND
+        CURRENT ROW) ordered by an integer column that need NOT be
+        unique: a RANGE frame includes ALL peers of the current value,
+        so the aggregate is a pure function of (partition, order value)
+        and stays a theorem under ties — unlike ROWS frames, which this
+        template deliberately avoids on non-unique orders."""
+        t = self.rng.choice(list(TABLES))
+        part = self._cols(t, "s", k=1)
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        if not part or not ints:
+            return self.filter_project()
+        ocol = self.rng.choice(ints)
+        mcol = self.rng.choice(ints)
+        span = self.rng.randint(1, 1000)
+        fn = self.rng.choice([f"sum({mcol})", "count(*)", f"min({mcol})"])
+        return (
+            f"SELECT {part[0]} AS c0, {ocol} AS c1, "
+            f"{fn} OVER (PARTITION BY {part[0]} ORDER BY {ocol} "
+            f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW) AS c2 "
+            f"FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST, "
+            f"c2 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def null_logic(self) -> str:
+        """Three-valued logic on MANUFACTURED nulls: NULLIF plants NULLs
+        in a non-null column, COALESCE collapses them back, IS [NOT]
+        DISTINCT FROM compares through them (the null-safe-equality
+        operator both engines define identically). The data itself has
+        no NULLs here — every NULL in flight came from NULLIF, so the
+        result is pure logic, not data luck."""
+        t = self.rng.choice(list(TABLES))
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        if len(ints) < 2:
+            return self.filter_project()
+        a, b = self.rng.sample(ints, 2)
+        vals = self.sampler.values(t, a)
+        v = _lit("i", self.rng.choice(vals)) if vals else "0"
+        neg = "NOT " if self.rng.random() < 0.5 else ""
+        if self.rng.random() < 0.5:
+            return (
+                f"SELECT {a} AS c0, coalesce(NULLIF({a}, {v}), -1) AS c1, "
+                f"CASE WHEN NULLIF({a}, {v}) IS {neg}DISTINCT FROM {b} "
+                f"THEN 1 ELSE 0 END AS c2 "
+                f"FROM {t} WHERE {self._preds(t)} "
+                f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST, "
+                f"c2 ASC NULLS FIRST LIMIT {LIMIT}"
+            )
+        return (
+            f"SELECT count(*) AS c0, count(NULLIF({a}, {v})) AS c1, "
+            f"min(coalesce(NULLIF({a}, {v}), {b})) AS c2 "
+            f"FROM {t} WHERE {self._preds(t)}"
+        )
+
+    def small_inequality_join(self) -> str:
+        """Pure-inequality theta joins over the bounded dims (region 5,
+        nation 25 rows) — the nested-loop/cartesian planner path no
+        equi-join template reaches. Output is at most 625 pairs, so the
+        quadratic shape is intentional and safe at every scale."""
+        t = self.rng.choice(["nation", "region"])
+        k = PK[t]
+        probe = (self._cols(t, "s", k=1) or [k])[0]
+        op = self.rng.choice(["<", "<=", "<>"])
+        extra = ""
+        if t == "nation" and self.rng.random() < 0.5:
+            extra = " AND a.n_regionkey = b.n_regionkey"
+        return (
+            f"SELECT a.{k} AS c0, b.{k} AS c1, a.{probe} AS c2, "
+            f"b.{probe} AS c3 "
+            f"FROM {t} a JOIN {t} b ON a.{k} {op} b.{k}{extra} "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST, "
+            f"c2 ASC NULLS FIRST, c3 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def date_parts(self) -> str:
+        """Timestamp decomposition as grouping keys — extract(year/
+        month/day) and date_trunc — the expression-grouping path over
+        temporal data. Both engines define these identically for UTC
+        timestamps (the only kind the corpus contains). date_trunc is
+        CAST to DATE — legal at the day-or-coarser granularities used
+        here — because the engines' native return types differ (DuckDB
+        gives DATE for year/month, Spark always TIMESTAMP)."""
+        cands = [
+            (t, c) for t, cols in TABLES.items()
+            for c, k in cols.items() if k == "t"
+        ]
+        t, c = self.rng.choice(cands)
+        part = self.rng.choice(["year", "month", "day"])
+        if self.rng.random() < 0.5:
+            key = f"extract({part} FROM {c})"
+        else:
+            key = f"CAST(date_trunc('{part}', {c}) AS DATE)"
+        ints = [cc for cc, k in TABLES[t].items() if k == "i"]
+        agg = f"sum({self.rng.choice(ints)})" if ints else "count(*)"
+        return (
+            f"SELECT {key} AS k0, count(*) AS c0, {agg} AS c1 FROM {t} "
+            f"WHERE {self._preds(t)} GROUP BY {key} "
+            f"ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def topn_per_group(self) -> str:
+        """Top-n per group: row_number over a unique-PK in-window order,
+        filtered rn <= k OUTSIDE the window subquery — the ranked-window
+        filter (LATERAL-top-n decorrelation) path, and the shape Spark's
+        WindowGroupLimit pushdown optimizes. Unique PK keeps every rank
+        a theorem."""
+        t = self.rng.choice(UNIQUE_PK)
+        part = self._cols(t, "is", k=1)
+        if not part:
+            return self.filter_project()
+        pk = PK[t]
+        n = self.rng.randint(1, 4)
+        probe = (self._cols(t, "isdt", k=1) or [pk])[0]
+        return (
+            f"SELECT c0, c1, c2, rn FROM ("
+            f"SELECT {part[0]} AS c0, {pk} AS c1, {probe} AS c2, "
+            f"row_number() OVER (PARTITION BY {part[0]} ORDER BY {pk}) AS rn "
+            f"FROM {t} WHERE {self._preds(t)}) "
+            f"WHERE rn <= {n} "
+            f"ORDER BY c1 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
     def distinct(self) -> str:
         t = self.rng.choice(list(TABLES))
         cols = self._cols(t, "is", k=self.rng.randint(1, 2))
@@ -744,6 +936,14 @@ class Gen:
             (self.full_outer_reconcile, 6),
             (self.cte_reuse, 6),
             (self.limit_offset, 6),
+            (self.agg_filter, 6),
+            (self.multi_distinct, 6),
+            (self.lead_lag, 6),
+            (self.range_frame, 6),
+            (self.null_logic, 6),
+            (self.small_inequality_join, 5),
+            (self.date_parts, 6),
+            (self.topn_per_group, 6),
         ]
         # FUZZ_TEMPLATES=name[,name...] restricts generation to the named
         # templates — the per-construct-class battery mode (e.g. 200

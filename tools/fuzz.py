@@ -27,9 +27,13 @@ The subset is chosen so identical results are a THEOREM, not luck
   division is one double op on identical operands). Doubles are compared
   raw when projected (same parquet bits) and jitter-rounded
   (round(x+1e-9, 4)) when averaged;
-- no casts, no division, no arithmetic that can overflow under Spark's
-  ANSI mode; string functions restricted to length/upper/lower/substr
-  (identical 1-based semantics);
+- arithmetic stays where identity is a theorem: int +/-/*small-const/%
+  on nonnegative key-scale operands (never near 64-bit edges, so ANSI
+  overflow can't fire), division only NULLIF-guarded (int/int is DOUBLE
+  in both engines — identical operands, identical bits), casts only
+  int↔string (integer formatting has no locale/scientific variance);
+  string functions restricted to length/upper/lower/substr (identical
+  1-based semantics) and LIKE/NOT LIKE;
 - documents.text is only ever length()-ed (multi-KB payloads would
   dominate runtime without adding comparison surface);
 - embeddings.embedding and events.props are out of scope (array/JSON
@@ -900,6 +904,232 @@ class Gen:
             f"ORDER BY c1 ASC NULLS FIRST LIMIT {LIMIT}"
         )
 
+    def values_inline(self) -> str:
+        """Inline VALUES relation joined as a tiny literal dimension —
+        the LocalRelation/inline-table path (constant folding, literal
+        broadcast). Join values come from the sampled live pool so the
+        join selects real rows; restricted to int/string equality."""
+        ft = self.rng.choice(list(TABLES))
+        cands = [c for c, k in TABLES[ft].items() if k in "is"]
+        if not cands:
+            return self.filter_project()
+        c = self.rng.choice(cands)
+        kind = TABLES[ft][c]
+        vals = self.sampler.values(ft, c)
+        if len(vals) < 2:
+            return self.filter_project()
+        n = self.rng.randint(2, min(5, len(vals)))
+        rows = ", ".join(f"({_lit(kind, v)})" for v in vals[:n])
+        if self.rng.random() < 0.5:
+            aggs = ", ".join(
+                f"{a} AS c{i}" for i, a in enumerate(self._aggs(ft, "t"))
+            )
+            return (
+                f"SELECT v.a AS k0, {aggs} FROM (VALUES {rows}) AS v(a) "
+                f"JOIN {ft} t ON t.{c} = v.a GROUP BY v.a "
+                f"ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+            )
+        cols = self._cols(ft, "isdt", k=2) or [c]
+        items = [self._proj_item(ft, cc, i, "t") for i, cc in enumerate(cols)]
+        order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(len(items)))
+        return (
+            f"SELECT {', '.join(items)} FROM (VALUES {rows}) AS v(a) "
+            f"JOIN {ft} t ON t.{c} = v.a WHERE {self._preds(ft, 't')} "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def like_patterns(self) -> str:
+        """LIKE beyond _pred's prefix form: suffix, infix, '_' wildcard,
+        and NOT LIKE — the pattern-translation paths (prefix ranges,
+        contains, regex fallback). Fragments come from sampled live
+        values with %/_ stripped first, so the wildcard structure is the
+        generator's and matches are guaranteed to exist for the positive
+        forms."""
+        t = self.rng.choice(list(TABLES))
+        scols = [c for c, k in TABLES[t].items() if k == "s"]
+        if not scols:
+            return self.filter_project()
+        c = self.rng.choice(scols)
+        vals = [
+            str(v).replace("%", "").replace("_", "").replace("'", "''")
+            for v in self.sampler.values(t, c)
+            if v is not None
+        ]
+        vals = [v for v in vals if len(v) >= 3]
+        if not vals:
+            return self.filter_project()
+        v = self.rng.choice(vals)
+        form = self.rng.randrange(4)
+        if form == 0:
+            pat = v[: self.rng.randint(1, 3)] + "%"
+        elif form == 1:
+            pat = "%" + v[-self.rng.randint(1, 3):]
+        elif form == 2:
+            mid = v[len(v) // 2: len(v) // 2 + self.rng.randint(1, 2)] or v[:1]
+            pat = "%" + mid + "%"
+        else:
+            pat = "_" + v[1: self.rng.randint(2, 3)] + "%"
+        neg = "NOT " if self.rng.random() < 0.3 else ""
+        extra = self._cols(t, "idt", k=1)
+        items = [f"{c} AS c0"] + [
+            self._proj_item(t, cc, i + 1) for i, cc in enumerate(extra)
+        ]
+        order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(len(items)))
+        return (
+            f"SELECT {', '.join(items)} FROM {t} "
+            f"WHERE {c} {neg}LIKE '{pat}' "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
+    def first_last_frame(self) -> str:
+        """first_value / last_value / nth_value over EXPLICIT bounded
+        ROWS frames on a unique-PK in-window order — the sliding-buffer
+        frame evaluators. The frame is always written out because
+        last_value's ANSI default frame ends at CURRENT ROW (a classic
+        silent-wrong-answer trap this template would catch if either
+        engine defaulted differently)."""
+        t = self.rng.choice(UNIQUE_PK)
+        pk = PK[t]
+        vcols = self._cols(t, "isd", k=1)
+        if not vcols:
+            return self.filter_project()
+        v = vcols[0]
+        part = self._cols(t, "s", k=1)
+        over_part = (
+            f"PARTITION BY {part[0]} "
+            if part and self.rng.random() < 0.6
+            else ""
+        )
+        lo, hi = self.rng.randint(1, 3), self.rng.randint(0, 3)
+        fn = self.rng.choice(
+            [f"first_value({v})", f"last_value({v})", f"nth_value({v}, 2)"]
+        )
+        return (
+            f"SELECT {pk} AS c0, {v} AS c1, {fn} OVER ({over_part}"
+            f"ORDER BY {pk} ASC NULLS FIRST "
+            f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) AS c2 "
+            f"FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY c0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def ntile_dist(self) -> str:
+        """Rank-distribution functions on unique total orders: ntile(k)
+        (remainder-first bucket fill), percent_rank ((rank-1)/(n-1), one
+        double division of identical ints — bit-identical), cume_dist.
+        Unique in-window keys make every value a theorem; the n=1
+        partition edge (percent_rank's 0/0 → 0) is reachable and must
+        agree."""
+        t = self.rng.choice(UNIQUE_PK)
+        pk = PK[t]
+        part = self._cols(t, "s", k=1)
+        over_part = (
+            f"PARTITION BY {part[0]} "
+            if part and self.rng.random() < 0.5
+            else ""
+        )
+        k = self.rng.randint(2, 7)
+        over = f"OVER ({over_part}ORDER BY {pk} ASC NULLS FIRST)"
+        return (
+            f"SELECT {pk} AS c0, ntile({k}) {over} AS c1, "
+            f"percent_rank() {over} AS c2, cume_dist() {over} AS c3 "
+            f"FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY c0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def having_scalar_sub(self) -> str:
+        """HAVING compared against an uncorrelated scalar subquery — two
+        independent aggregate subtrees in one query, the RHS folding to
+        a runtime constant. min/max over ints keep the scalar exact; an
+        empty subquery yields NULL and drops every group identically in
+        both engines."""
+        ft = self.rng.choice(["lineitem", "orders", "events", "customer"])
+        ints = [c for c, k in TABLES[ft].items() if k == "i"]
+        key = self._cols(ft, "ist", k=1) or [PK[ft].split(", ")[0]]
+        col = self.rng.choice(ints)
+        agg = self.rng.choice(["min", "max"])
+        op = self.rng.choice(["<", "<=", ">", ">="])
+        sub = f"(SELECT {agg}({col}) FROM {ft} WHERE {self._preds(ft)})"
+        return (
+            f"SELECT {key[0]} AS k0, count(*) AS c0, max({col}) AS c1 "
+            f"FROM {ft} GROUP BY {key[0]} "
+            f"HAVING max({col}) {op} {sub} "
+            f"ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def chained_cte(self) -> str:
+        """A WITH chain where the second CTE consumes the first (filter →
+        group → regroup) — sequential CTE composition, the inline-vs-
+        materialize decision on a linear dependency (cte_reuse covers the
+        fan-out shape). All aggregates integer-exact."""
+        t = self.rng.choice(list(TABLES))
+        keys = self._cols(t, "ist", k=2)
+        if len(keys) < 2:
+            return self.filter_project()
+        k1, k2 = keys
+        return (
+            f"WITH a AS (SELECT {k1} AS x, {k2} AS y FROM {t} "
+            f"WHERE {self._preds(t)}), "
+            f"b AS (SELECT x, y, count(*) AS n FROM a GROUP BY x, y) "
+            f"SELECT x AS c0, count(*) AS c1, sum(n) AS c2, max(n) AS c3 "
+            f"FROM b GROUP BY x ORDER BY c0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def self_join(self) -> str:
+        """Self-join pairs on an equality column with a.pk < b.pk
+        dedup — both join inputs share one scan lineage (exchange/scan
+        reuse decisions). Restricted to the three smallest dims so the
+        pair count stays bounded at any sf (supplier's worst case,
+        |T|²/25 nation buckets, is ~4M pairs at gen-sf1)."""
+        t = self.rng.choice(["region", "nation", "supplier"])
+        pk = PK[t]
+        eq_cands = [
+            c for c, k in TABLES[t].items() if k in "is" and c != pk
+        ]
+        c = self.rng.choice(eq_cands)
+        if self.rng.random() < 0.4:
+            return (
+                f"SELECT a.{c} AS k0, count(*) AS c0 "
+                f"FROM {t} a JOIN {t} b "
+                f"ON a.{c} = b.{c} AND a.{pk} < b.{pk} "
+                f"GROUP BY a.{c} ORDER BY k0 ASC NULLS FIRST LIMIT {LIMIT}"
+            )
+        return (
+            f"SELECT a.{pk} AS c0, b.{pk} AS c1, a.{c} AS c2 "
+            f"FROM {t} a JOIN {t} b ON a.{c} = b.{c} AND a.{pk} < b.{pk} "
+            f"WHERE {self._preds(t, 'a')} "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST, "
+            f"c2 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def int_arith(self) -> str:
+        """Integer expression arithmetic in projections: + - *small-const
+        %positive-const (all operands nonnegative keys/counts, far from
+        64-bit edges, so ANSI overflow never fires), NULLIF-guarded /
+        (both engines divide ints to DOUBLE on identical operands —
+        bit-identical), and int↔string CAST round-trips (CAST AS STRING
+        — the spelling both parsers accept; integer formatting has no
+        locale/scientific variance)."""
+        t = self.rng.choice(list(TABLES))
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        if not ints:
+            return self.filter_project()
+        a = self.rng.choice(ints)
+        b = self.rng.choice(ints)
+        k = self.rng.randint(2, 9)
+        exprs = [
+            f"{a} + {b} AS c0",
+            f"{a} * {k} AS c1",
+            f"{a} % {k} AS c2",
+            f"{a} / NULLIF({b}, 0) AS c3",
+            f"CAST(CAST({a} AS STRING) AS BIGINT) AS c4",
+            f"length(CAST({a} AS STRING)) AS c5",
+        ]
+        order = ", ".join(f"c{i} ASC NULLS FIRST" for i in range(6))
+        return (
+            f"SELECT {', '.join(exprs)} FROM {t} WHERE {self._preds(t)} "
+            f"ORDER BY {order} LIMIT {LIMIT}"
+        )
+
     def distinct(self) -> str:
         t = self.rng.choice(list(TABLES))
         cols = self._cols(t, "is", k=self.rng.randint(1, 2))
@@ -944,6 +1174,14 @@ class Gen:
             (self.small_inequality_join, 5),
             (self.date_parts, 6),
             (self.topn_per_group, 6),
+            (self.values_inline, 6),
+            (self.like_patterns, 6),
+            (self.first_last_frame, 6),
+            (self.ntile_dist, 5),
+            (self.having_scalar_sub, 5),
+            (self.chained_cte, 5),
+            (self.self_join, 5),
+            (self.int_arith, 6),
         ]
         # FUZZ_TEMPLATES=name[,name...] restricts generation to the named
         # templates — the per-construct-class battery mode (e.g. 200

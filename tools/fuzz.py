@@ -1130,6 +1130,120 @@ class Gen:
             f"ORDER BY {order} LIMIT {LIMIT}"
         )
 
+    def join_window(self) -> str:
+        """Window over a join result — the rule-interaction seam between
+        join planning and window planning (predicate pushdown through a
+        Window, partial-order preservation). In-window order is the
+        fact's UNIQUE pk so every rank is a theorem; lineitem is
+        excluded (duplicate pk pairs)."""
+        cands = [
+            (ft, fc, dt, dc)
+            for ft, fc, dt, dc in FKS
+            if ft in UNIQUE_PK
+        ]
+        ft, fc, dt, dc = self.rng.choice(cands)
+        pk = PK[ft]
+        dkey = (self._cols(dt, "is", k=1) or [dc])[0]
+        probe = (self._cols(ft, "isdt", k=1) or [pk])[0]
+        n = self.rng.randint(1, 4)
+        return (
+            f"SELECT c0, c1, c2, rn FROM ("
+            f"SELECT d.{dkey} AS c0, f.{pk} AS c1, f.{probe} AS c2, "
+            f"row_number() OVER (PARTITION BY d.{dkey} "
+            f"ORDER BY f.{pk} ASC NULLS FIRST) AS rn "
+            f"FROM {ft} f JOIN {dt} d ON f.{fc} = d.{dc} "
+            f"WHERE {self._preds(ft, 'f')}) "
+            f"WHERE rn <= {n} "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def union_reagg(self) -> str:
+        """Aggregate over a UNION ALL of two aggregates — set-op under
+        aggregate composition (partial-agg pushthrough-union is a real
+        optimizer rule; both branches share one table so scan reuse is
+        also in play). Integer-exact throughout."""
+        t = self.rng.choice(list(TABLES))
+        keys = self._cols(t, "is", k=1)
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        if not keys or not ints:
+            return self.filter_project()
+        k1, col = keys[0], self.rng.choice(ints)
+        branch = (
+            f"SELECT {k1} AS k, count(*) AS n, sum({col}) AS s "
+            f"FROM {t} WHERE {{p}} GROUP BY {k1}"
+        )
+        return (
+            f"SELECT k AS c0, count(*) AS c1, sum(n) AS c2, sum(s) AS c3 "
+            f"FROM ({branch.format(p=self._preds(t))} UNION ALL "
+            f"{branch.format(p=self._preds(t))}) u "
+            f"GROUP BY k ORDER BY c0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def agg_join_agg(self) -> str:
+        """Inner join of two independently-aggregated subqueries on the
+        group key — aggregate-below-join on BOTH sides (the reconcile
+        shape full_outer_reconcile covers for outer joins, here the
+        planner may reorder/broadcast freely). Keys come from the same
+        fact FK so the join actually matches."""
+        ft, fc, dt, dc = self.rng.choice(FKS)
+        ints = [c for c, k in TABLES[ft].items() if k == "i"]
+        if not ints:
+            return self.filter_project()
+        col = self.rng.choice(ints)
+        return (
+            f"SELECT a.k AS c0, a.n AS c1, b.n AS c2, a.s AS c3 "
+            f"FROM (SELECT {fc} AS k, count(*) AS n, sum({col}) AS s "
+            f"FROM {ft} WHERE {self._preds(ft)} GROUP BY {fc}) a "
+            f"JOIN (SELECT {fc} AS k, count(*) AS n "
+            f"FROM {ft} WHERE {self._preds(ft)} GROUP BY {fc}) b "
+            f"ON a.k = b.k "
+            f"ORDER BY c0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def rank_of_groups(self) -> str:
+        """rank()/dense_rank() over GROUP BY output ordered by the
+        integer aggregate WITH the group key as tiebreak — window over
+        aggregate composition where the rank stays a theorem even when
+        aggregate values tie (the key breaks every tie
+        deterministically)."""
+        t = self.rng.choice(list(TABLES))
+        keys = self._cols(t, "is", k=1)
+        ints = [c for c, k in TABLES[t].items() if k == "i"]
+        if not keys or not ints:
+            return self.filter_project()
+        k1, col = keys[0], self.rng.choice(ints)
+        fn = self.rng.choice(["rank()", "dense_rank()", "row_number()"])
+        agg = self.rng.choice([f"sum({col})", "count(*)"])
+        return (
+            f"SELECT k AS c0, s AS c1, {fn} OVER "
+            f"(ORDER BY s DESC NULLS FIRST, k ASC NULLS FIRST) AS c2 "
+            f"FROM (SELECT {k1} AS k, {agg} AS s FROM {t} "
+            f"WHERE {self._preds(t)} GROUP BY {k1}) g "
+            f"ORDER BY c2 ASC NULLS FIRST, c0 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
+    def cross_join_small(self) -> str:
+        """Explicit CROSS JOIN of the two tiny dims (≤25×5 rows at any
+        sf) with a filter over the product — the cartesian-product
+        planner path, which every other template forbids. Bounded by
+        construction, never by luck."""
+        a, b = ("nation", "region") if self.rng.random() < 0.7 else (
+            "region", "nation"
+        )
+        pa, pb = PK[a], PK[b]
+        cols_a = self._cols(a, "is", k=1) or [pa]
+        pred = (
+            self._pred(a, "a")
+            if self.rng.random() < 0.5
+            else f"a.{pa} <> b.{pb}"
+        )
+        return (
+            f"SELECT a.{pa} AS c0, b.{pb} AS c1, a.{cols_a[0]} AS c2 "
+            f"FROM {a} a CROSS JOIN {b} b WHERE {pred} "
+            f"ORDER BY c0 ASC NULLS FIRST, c1 ASC NULLS FIRST, "
+            f"c2 ASC NULLS FIRST LIMIT {LIMIT}"
+        )
+
     def distinct(self) -> str:
         t = self.rng.choice(list(TABLES))
         cols = self._cols(t, "is", k=self.rng.randint(1, 2))
@@ -1182,6 +1296,11 @@ class Gen:
             (self.chained_cte, 5),
             (self.self_join, 5),
             (self.int_arith, 6),
+            (self.join_window, 6),
+            (self.union_reagg, 5),
+            (self.agg_join_agg, 5),
+            (self.rank_of_groups, 5),
+            (self.cross_join_small, 4),
         ]
         # FUZZ_TEMPLATES=name[,name...] restricts generation to the named
         # templates — the per-construct-class battery mode (e.g. 200

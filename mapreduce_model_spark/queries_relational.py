@@ -822,6 +822,46 @@ END
     )
 
 
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_pipe_report", oracle=_PIPE_ORACLE)
+def sql_pipe_report(spark, sf_dir):
+    """Spark 4 SQL pipe-operator surface (`|>` — SPARK-49555): the same
+    filter → join → extend → aggregate report as a linear pipeline,
+    completing the SQL-entry-point trio (plain SQL: sql_api_q3,
+    scripting: sql_scripting_report, pipes: here). Pipe stages parse to
+    the IDENTICAL Catalyst plan the nested form would — pushdown,
+    broadcast choice, and partial aggregation are unchanged, so this is
+    a parser surface, not an execution path. The revenue sum follows
+    join_multi's DECIMAL recipe (exact, summation-order-independent at
+    any scale); the DuckDB oracle is the equivalent nested-form SQL."""
+    for t in ("lineitem", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+|> JOIN orders ON l_orderkey = o_orderkey
+|> EXTEND CAST(l_extendedprice AS DECIMAL(18,6))
+          * (1 - CAST(l_discount AS DECIMAL(18,6))) AS disc_price
+|> AGGREGATE count(*) AS n_items,
+             CAST(round(sum(disc_price), 2) AS DOUBLE) AS revenue
+   GROUP BY o_orderpriority
+"""
+    )
+
+
 @query(
     "array_funcs",
     oracle="""

@@ -56,7 +56,10 @@ def run_oracle(sf_dir: str, sql: str):
         )
         con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         try:
-            con.execute("SET max_temp_directory_size='60GB'")
+            con.execute(
+                "SET max_temp_directory_size="
+                f"'{os.environ.get('ORACLE_SPILL', '60GB')}'"
+            )
         except duckdb.Error:
             pass
         for t in TABLES:
@@ -68,9 +71,31 @@ def run_oracle(sf_dir: str, sql: str):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
+        # ORACLE_TIMEOUT=<seconds>: hard wall-clock budget per oracle. The
+        # caps above bound MEMORY, not TIME — a quadratic oracle can grind
+        # for hours inside its spill budget (the round-8 gen-sf1 chunk
+        # that sat >1 h in one blocked-Jaccard truth). The watchdog calls
+        # con.interrupt(), DuckDB raises, and the sweep records the query
+        # as a FAIL with the reason instead of silently eating the round.
+        timeout = float(os.environ.get("ORACLE_TIMEOUT", "0") or 0)
+        watchdog = None
+        if timeout > 0:
+            import threading
+
+            watchdog = threading.Timer(timeout, con.interrupt)
+            watchdog.daemon = True
+            watchdog.start()
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+        except duckdb.InterruptException as exc:
+            raise TimeoutError(
+                f"oracle exceeded ORACLE_TIMEOUT={timeout:.0f}s"
+            ) from exc
+        finally:
+            if watchdog is not None:
+                watchdog.cancel()
         return cols, rows
     finally:
         con.close()

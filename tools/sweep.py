@@ -73,17 +73,20 @@ def main() -> int:
             env["SWEEP_QUERIES"] = ",".join(names[i : i + chunk])
             env["SWEEP_CHUNK"] = ""
             env.pop("SWEEP_SKIP", None)  # already applied to the list
-            proc = subprocess.run(
+            # stream the child's lines as they arrive — a multi-hour
+            # generated-corpus chunk must show per-query progress LIVE,
+            # not dump it when the child exits (the round-8 gen-sf1 run
+            # sat opaque for an hour inside one oracle)
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), sf_dir],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL,
                 text=True,
             )
-            rc_any |= proc.returncode
             summarized = False
-            for line in proc.stdout.splitlines():
-                line = line.split("\r")[-1]  # shed Spark progress bars
+            for raw in proc.stdout:
+                line = raw.rstrip("\n").split("\r")[-1]  # shed progress bars
                 if line.startswith("SWEEPDONE"):
                     summarized = True
                     for k in tot:
@@ -92,6 +95,8 @@ def main() -> int:
                             tot[k] += int(m.group(1))
                 elif line.startswith(("OK ", "ROWS ", "FAIL", "SKIP")):
                     print(line, flush=True)
+            proc.wait()
+            rc_any |= proc.returncode
             if not summarized:
                 # the child DIED mid-chunk (fatal signal, not a per-query
                 # exception): every un-printed query in the chunk was

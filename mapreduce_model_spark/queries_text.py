@@ -1852,9 +1852,13 @@ def quality_classifier(spark, sf_dir):
     → dense 65-vector via map lookup) and persisted; each GD step is ONE
     job — a single global aggregate with 65 independent sum buffers
     (``sum(gx[i])``), so the gradient never materializes the ×65
-    posexplode fan-out the first version paid (N×65 rows through a hash
-    aggregate → measured 3.5× slower than the 65-buffer shape at sf0.1,
-    hashes identical); only the 65-double weight vector ever reaches the
+    posexplode fan-out the first version paid (N×65 rows generated and
+    hash-aggregated per step). At driver scales the two shapes measure
+    at PARITY (~5 s in-bench at sf0.1, both — job launches dominate, and
+    the 10× scaling ratio is unchanged at ~7×/10×); the win is the
+    removed per-step row materialization, which matters when partitions
+    carry millions of docs, not thousands. Hashes identical (re-verified
+    sf0.001/sf0.01); only the 65-double weight vector ever reaches the
     driver (kmeans_fit's loop discipline). At 100 TB: 10 passes over a
     cached narrow frame, one 65-buffer partial-agg row per partition,
     520-byte driver traffic per step. Scoring re-enters weights as a

@@ -79,10 +79,21 @@ def run_oracle(sf_dir: str, sql: str):
         # as a FAIL with the reason instead of silently eating the round.
         timeout = float(os.environ.get("ORACLE_TIMEOUT", "0") or 0)
         watchdog = None
+        # gate the timer callback on a still-running flag: if the Timer
+        # fires in the window between query completion and cancel(), an
+        # ungated interrupt() would set a pending-interrupt flag on the
+        # connection. Harmless today ONLY because each call opens a fresh
+        # connection and closes it below — the flag makes the watchdog
+        # safe even if the connection is ever cached/reused.
+        running = [True]
         if timeout > 0:
             import threading
 
-            watchdog = threading.Timer(timeout, con.interrupt)
+            def _interrupt() -> None:
+                if running[0]:
+                    con.interrupt()
+
+            watchdog = threading.Timer(timeout, _interrupt)
             watchdog.daemon = True
             watchdog.start()
         try:
@@ -94,6 +105,7 @@ def run_oracle(sf_dir: str, sql: str):
                 f"oracle exceeded ORACLE_TIMEOUT={timeout:.0f}s"
             ) from exc
         finally:
+            running[0] = False
             if watchdog is not None:
                 watchdog.cancel()
         return cols, rows

@@ -951,7 +951,13 @@ class Gen:
             return self.filter_project()
         c = self.rng.choice(scols)
         vals = [
-            str(v).replace("%", "").replace("_", "").replace("'", "''")
+            # fragments are PATTERN MATERIAL, not exact-match literals:
+            # strip every char with special meaning in a quoted LIKE —
+            # %/_ (wildcards), ' (quoting; '' doubling before slicing can
+            # split across a slice boundary into an unbalanced literal),
+            # and \ (Spark's LIKE escape char)
+            str(v).replace("%", "").replace("_", "")
+            .replace("'", "").replace("\\", "")
             for v in self.sampler.values(t, c)
             if v is not None
         ]

@@ -86,15 +86,19 @@ def main() -> int:
             )
             summarized = False
             for raw in proc.stdout:
-                line = raw.rstrip("\n").split("\r")[-1]  # shed progress bars
-                if line.startswith("SWEEPDONE"):
-                    summarized = True
-                    for k in tot:
-                        m = re.search(rf"{k}=(\d+)", line)
-                        if m:
-                            tot[k] += int(m.group(1))
-                elif line.startswith(("OK ", "ROWS ", "FAIL", "SKIP")):
-                    print(line, flush=True)
+                # scan EVERY \r segment (progress-bar overwrite frames),
+                # not just the last: a status line sharing a physical
+                # line with a later \r fragment must not be dropped (a
+                # lost SWEEPDONE would misread a healthy chunk as dead)
+                for line in raw.rstrip("\n").split("\r"):
+                    if line.startswith("SWEEPDONE"):
+                        summarized = True
+                        for k in tot:
+                            m = re.search(rf"{k}=(\d+)", line)
+                            if m:
+                                tot[k] += int(m.group(1))
+                    elif line.startswith(("OK ", "ROWS ", "FAIL", "SKIP")):
+                        print(line, flush=True)
             proc.wait()
             rc_any |= proc.returncode
             if not summarized:

@@ -1,0 +1,87 @@
+"""Deterministic hash-sampled sub-corpus — the sampled-truth contract.
+
+Seven audit/PQ queries have oracles whose DuckDB replay cost explodes at
+gen-sf1 (500k docs/vectors): the blocked exact-Jaccard truth spills >37 GiB
+and the unrolled-Lloyd recurrences exceed any sane time budget, while the
+engine faces complete fine. "The oracle can't falsify it at this scale" is
+weaker evidence than a green hash row — so each of those queries ships a
+``*_sampled`` twin that runs the IDENTICAL pipeline over a deterministic
+hash-selected sub-corpus, with the selection applied identically on the
+Spark side and inside the oracle SQL. The sample is scale-ADAPTIVE: below
+``SAMPLE_CAP`` rows the twin covers the FULL corpus (so the driver's
+sf0.01 hash check exercises exactly the parent semantics and stays
+non-trivial), above it the kept fraction shrinks so the sampled corpus —
+and therefore the oracle's quadratic/iterative cost — stays pinned near
+the gen-sf0.1 size the oracles are PROVEN to handle inside the sweep's
+900 s / 40 GB budget.
+
+Selection contract (one source of truth, both engines):
+    keep row  ⇔  index of first hex digit of md5(CAST(id AS STRING))
+                 in "0123456789abcdef"  ≤  thr
+    thr = clamp((16 * SAMPLE_CAP) // N, 1, 16)      (N = full corpus count)
+
+md5 of the decimal string renders identically in Spark and DuckDB
+(lowercase hex, same integer-to-string form), hex-digit order is ASCII
+order, and thr is integer arithmetic — so the kept set is bit-identical
+across engines at every scale. thr granularity is 1/16; at gen-sf1
+(N = 500 000, cap 65 536) thr = 2 → a 62.5k-row sub-corpus, ~1.25× the
+proven gen-sf0.1 size.
+
+Scale note (100 TB): sampled-truth audits are the SHAPE production quality
+audits take — nobody exact-Jaccards 100 TB; you audit a deterministic
+sample whose selection is reproducible by any other engine. The twin is
+the production face, the full-corpus parent is the small-scale exemplar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+SAMPLE_CAP = 65536
+_HEX = "0123456789abcdef"
+
+
+def sample_thr(n: int) -> int:
+    """Hex-digit threshold (1..16): kept fraction = thr/16, full corpus
+    below the cap. Integer arithmetic — bit-identical to the oracle's
+    ``greatest(1, least(16, (16 * CAP) // count(*)))``."""
+    return max(1, min(16, (16 * SAMPLE_CAP) // max(n, 1)))
+
+
+def sample_frame(df: DataFrame, id_col: str) -> DataFrame:
+    """The Spark face of the selection contract. One count() job to size
+    the corpus (the same documented pattern as the round-8 adaptive
+    geometry faces — the count is the price of scale-adaptive semantics),
+    then a codegen-able filter; full frame returned untouched below the
+    cap so small-scale results equal the unsampled parent's."""
+    from pyspark.sql import functions as F
+
+    thr = sample_thr(df.count())
+    if thr >= 16:
+        return df
+    return df.where(
+        F.expr(
+            f"locate(substr(md5(cast({id_col} as string)), 1, 1), "
+            f"'{_HEX}') <= {thr}"
+        )
+    )
+
+
+def duck_sample_pred(tbl: str, id_col: str) -> str:
+    """DuckDB WHERE predicate twin of sample_frame's filter. ``tbl`` is
+    the FULL relation (the scalar count subquery must see every row);
+    ``id_col`` may be qualified with the outer alias."""
+    return (
+        f"strpos('{_HEX}', substr(md5({id_col}::VARCHAR), 1, 1)) <= "
+        f"(SELECT greatest(1, least(16, (16 * {SAMPLE_CAP}) // count(*))) "
+        f"FROM {tbl})"
+    )
+
+
+def duck_sample_cte(tbl: str, id_col: str, alias: str) -> str:
+    """``alias AS (SELECT * FROM tbl WHERE <contract>)`` — the sampled
+    relation as a named CTE fragment for composition into WITH chains."""
+    return (
+        f"{alias} AS (SELECT t.* FROM {tbl} t "
+        f"WHERE {duck_sample_pred(tbl, 't.' + id_col)})"
+    )

@@ -37,6 +37,7 @@ from mapreduce_model_spark.operators.dedup import (
     oph_signatures_array,
     simhash,
 )
+from mapreduce_model_spark.functions.sampling import duck_sample_cte, sample_frame
 from mapreduce_model_spark.registry import query, table
 
 # Unsuffixed instances over the raw documents table — the shapes every
@@ -196,21 +197,26 @@ cand AS (
     WHERE 2 * n_inter >= sa.n_sh + sb.n_sh - n_inter
 )"""
 
-_RECALL_ORACLE = (
-    "\nWITH "
-    + shingle_cte()
-    + _TRUTH_CTES
-    + f"""
+def _recall_oracle(pre: str = "", src: str = "documents") -> str:
+    """The lsh_recall_report oracle, parameterized on the doc relation so
+    the full-corpus parent and the hash-sampled twin (functions/sampling)
+    share one WITH chain — ``pre`` prepends the sampled-relation CTE."""
+    return (
+        "\nWITH "
+        + pre
+        + shingle_cte(src)
+        + _TRUTH_CTES
+        + f"""
 , sig AS (
     SELECT doc_id, {_SIG_SQL} AS sig FROM shx GROUP BY doc_id
 ), """
-    + banding_cte("sig")
-    + f"""
+        + banding_cte("sig")
+        + f"""
 , mh AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= {LSH_THRESHOLD}),
 osig AS (SELECT doc_id, {OPH_SIG_SQL} AS sig FROM shx GROUP BY doc_id),
 """
-    + banding_cte("osig", "o")
-    + f"""
+        + banding_cte("osig", "o")
+        + f"""
 SELECT t.j_decile,
        CAST(count(*) AS BIGINT) AS n_true,
        CAST(count(mh.id_a) AS BIGINT) AS n_hit_minhash,
@@ -223,42 +229,12 @@ LEFT JOIN (SELECT id_a, id_b FROM esto WHERE est_jaccard >= {LSH_THRESHOLD}) oph
        ON oph.id_a = t.id_a AND oph.id_b = t.id_b
 GROUP BY t.j_decile
 """
-)
+    )
 
 
-@query("lsh_recall_report", oracle=_RECALL_ORACLE)
-def q_lsh_recall_report(spark, sf_dir):
-    """Measure, don't guess — the DEDUP quality audit AS a query (the
-    minhash-side sibling of ann_recall_report): per-Jaccard-decile recall
-    of BOTH banded-LSH pair generators (classic 32-permutation MinHash
-    and one-permutation OPH) against the blocked exact-Jaccard ground
-    truth. This is the continuously-computed S-curve every dedup tuner
-    reasons from — it shows, with numbers, that recall climbs with true
-    Jaccard (the banding S-curve) and that the k-fold-cheaper OPH sketch
-    buys its CPU saving at measurable, bounded recall cost.
-
-    Hash-checked end to end because every input is integer-exact: the
-    truth-side threshold (2·|A∩B| ≥ |A∪B|) and decile label
-    ((10·|A∩B|) div |A∪B|) are integer arithmetic (operators.dedup.
-    jaccard_decile_pairs), both estimators are md5-derived integers, and
-    the recalls are count ratios.
-
-    Ground-truth contract: "exact" = rare-shingle-blocked exact Jaccard
-    (same recall caveat as dedup_ngram_jaccard — pairs sharing no rare
-    shingle are invisible to the truth side too, documented there).
-
-    Scale: all three pair generators are the bucket equi-joins audited
-    elsewhere (never all-pairs); the recall join runs on pair-table rows.
-    On a 100 TB corpus this runs over a sampled partition of the corpus —
-    the shape is already that."""
-    # Measured alternative, rejected: persisting ONE shared shingle-hash
-    # frame (doc_shingle_hashes) across the three pipelines benches 5.8 s
-    # vs 4.8 s for the independent form at sf0.1 — the cache write of the
-    # exploded |docs|×|shingles| frame costs more than the three
-    # codegen-fused tokenize+md5 scan stages it saves (same codegen-beats-
-    # sharing economics as minhash_signatures' rejected narrow form). The
-    # report deliberately costs the sum of its three audited parts.
-    docs = table(spark, sf_dir, "documents")
+def _lsh_recall_frame(spark, docs):
+    """Shared engine body of lsh_recall_report and its sampled twin —
+    identical pipeline, parameterized only on the doc frame."""
     truth = jaccard_decile_pairs(
         docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -291,7 +267,64 @@ def q_lsh_recall_report(spark, sf_dir):
     )
 
 
-def _simhash_sql() -> str:
+@query("lsh_recall_report", oracle=_recall_oracle())
+def q_lsh_recall_report(spark, sf_dir):
+    """Measure, don't guess — the DEDUP quality audit AS a query (the
+    minhash-side sibling of ann_recall_report): per-Jaccard-decile recall
+    of BOTH banded-LSH pair generators (classic 32-permutation MinHash
+    and one-permutation OPH) against the blocked exact-Jaccard ground
+    truth. This is the continuously-computed S-curve every dedup tuner
+    reasons from — it shows, with numbers, that recall climbs with true
+    Jaccard (the banding S-curve) and that the k-fold-cheaper OPH sketch
+    buys its CPU saving at measurable, bounded recall cost.
+
+    Hash-checked end to end because every input is integer-exact: the
+    truth-side threshold (2·|A∩B| ≥ |A∪B|) and decile label
+    ((10·|A∩B|) div |A∪B|) are integer arithmetic (operators.dedup.
+    jaccard_decile_pairs), both estimators are md5-derived integers, and
+    the recalls are count ratios.
+
+    Ground-truth contract: "exact" = rare-shingle-blocked exact Jaccard
+    (same recall caveat as dedup_ngram_jaccard — pairs sharing no rare
+    shingle are invisible to the truth side too, documented there).
+
+    Scale: all three pair generators are the bucket equi-joins audited
+    elsewhere (never all-pairs); the recall join runs on pair-table rows.
+    On a 100 TB corpus this runs over a sampled partition of the corpus —
+    the shape is already that."""
+    # Measured alternative, rejected: persisting ONE shared shingle-hash
+    # frame (doc_shingle_hashes) across the three pipelines benches 5.8 s
+    # vs 4.8 s for the independent form at sf0.1 — the cache write of the
+    # exploded |docs|×|shingles| frame costs more than the three
+    # codegen-fused tokenize+md5 scan stages it saves (same codegen-beats-
+    # sharing economics as minhash_signatures' rejected narrow form). The
+    # report deliberately costs the sum of its three audited parts.
+    return _lsh_recall_frame(spark, table(spark, sf_dir, "documents"))
+
+
+@query(
+    "lsh_recall_sampled",
+    oracle=_recall_oracle(
+        pre=duck_sample_cte("documents", "doc_id", "docsample") + ",\n",
+        src="docsample",
+    ),
+)
+def q_lsh_recall_sampled(spark, sf_dir):
+    """lsh_recall_report over the deterministic hash-sampled sub-corpus
+    (functions/sampling — full corpus below 64k docs, pinned-size sample
+    above). This is the face that stays HASH-CHECKED at gen-sf1: the
+    parent's blocked exact-Jaccard truth oracle spills >37 GiB at 500k
+    docs, while the sampled truth stays at the proven gen-sf0.1 cost.
+    Identical pipeline (shared _lsh_recall_frame / _recall_oracle) —
+    only the doc relation differs, and it differs identically on both
+    engines. At 100 TB the sampled audit IS the production audit; the
+    parent is the exhaustive small-scale exemplar."""
+    return _lsh_recall_frame(
+        spark, sample_frame(table(spark, sf_dir, "documents"), "doc_id")
+    )
+
+
+def _simhash_sql(src: str = "documents") -> str:
     vs = ",\n           ".join(
         f"sum(tf * (2 * ((x >> {i}) & 1) - 1)) AS v{i}" for i in range(SIMHASH_BITS)
     )
@@ -305,7 +338,7 @@ WITH wbase AS (
                list_transform(regexp_split_to_array(trim(text), '\s+'),
                               t -> regexp_replace(lower(t), '[^a-z]', '', 'g')),
                w -> length(w) > 0) AS words
-    FROM documents
+    FROM {src}
 ), w AS (SELECT doc_id, unnest(words) AS word FROM wbase),
 tf AS (
     SELECT doc_id, word, count(*) AS tf,
@@ -382,19 +415,22 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
-def _simhash_recall_oracle() -> str:
+def _simhash_recall_oracle(pre: str = "", src: str = "documents") -> str:
     """Truth CTEs + the pigeonhole SimHash pairing (same constants as
     _simhash_pairs_oracle, block CTEs renamed to avoid colliding with the
-    truth chain's names) + the per-decile recall roll-up."""
+    truth chain's names) + the per-decile recall roll-up. Parameterized
+    on the doc relation so the parent and the hash-sampled twin share
+    one WITH chain."""
     nb = _SIMHASH_MAX_HAM + 1
     width = SIMHASH_BITS // nb
     mask = (1 << width) - 1
     return (
         "\nWITH "
-        + shingle_cte()
+        + pre
+        + shingle_cte(src)
         + _TRUTH_CTES
         + f"""
-, sh2 AS ({_simhash_sql()}), blk AS (
+, sh2 AS ({_simhash_sql(src)}), blk AS (
     SELECT doc_id, simhash, t.i::INTEGER AS bi,
            (simhash >> ({width} * t.i)) & {mask} AS bv
     FROM sh2 CROSS JOIN range(0, {nb}) t(i)
@@ -421,25 +457,10 @@ GROUP BY t.j_decile
     )
 
 
-@query("simhash_recall_report", oracle=_simhash_recall_oracle())
-def q_simhash_recall_report(spark, sf_dir):
-    """Completes the recall-audit family (ann_recall_report for
-    embeddings, lsh_recall_report for MinHash/OPH): what fraction of
-    TRUE Jaccard near-dups does the hamming ≤ 3 SimHash gate recover,
-    per Jaccard decile? SimHash approximates COSINE over tf-weighted
-    token vectors — a different geometry than set Jaccard — so its
-    recall against Jaccard truth is the number a pipeline that uses
-    SimHash as its cheap first gate (it is the cheapest sketch: pure
-    aggregation, no shingle explosion) must actually measure rather
-    than assume. Hash-checked end to end: truth is integer arithmetic
-    (jaccard_decile_pairs), the gate is shift/xor/popcount.
-
-    Scale: same shapes as the parents — blocked truth join, pigeonhole
-    block equi-join, recall join on pair-table rows; run over a sampled
-    partition at 100 TB."""
+def _simhash_recall_frame(spark, docs):
+    """Shared engine body of simhash_recall_report and its sampled twin."""
     from mapreduce_model_spark.operators.dedup import simhash_hamming_pairs
 
-    docs = table(spark, sf_dir, "documents")
     truth = jaccard_decile_pairs(
         docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF
     )
@@ -456,6 +477,44 @@ def q_simhash_recall_report(spark, sf_dir):
         n.cast("long").alias("n_true"),
         h.cast("long").alias("n_hit_simhash"),
         F.round(h / n + 1e-9, 4).alias("recall_simhash"),
+    )
+
+
+@query("simhash_recall_report", oracle=_simhash_recall_oracle())
+def q_simhash_recall_report(spark, sf_dir):
+    """Completes the recall-audit family (ann_recall_report for
+    embeddings, lsh_recall_report for MinHash/OPH): what fraction of
+    TRUE Jaccard near-dups does the hamming ≤ 3 SimHash gate recover,
+    per Jaccard decile? SimHash approximates COSINE over tf-weighted
+    token vectors — a different geometry than set Jaccard — so its
+    recall against Jaccard truth is the number a pipeline that uses
+    SimHash as its cheap first gate (it is the cheapest sketch: pure
+    aggregation, no shingle explosion) must actually measure rather
+    than assume. Hash-checked end to end: truth is integer arithmetic
+    (jaccard_decile_pairs), the gate is shift/xor/popcount.
+
+    Scale: same shapes as the parents — blocked truth join, pigeonhole
+    block equi-join, recall join on pair-table rows; run over a sampled
+    partition at 100 TB."""
+    return _simhash_recall_frame(spark, table(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_recall_sampled",
+    oracle=_simhash_recall_oracle(
+        pre=duck_sample_cte("documents", "doc_id", "docsample") + ",\n",
+        src="docsample",
+    ),
+)
+def q_simhash_recall_sampled(spark, sf_dir):
+    """simhash_recall_report over the deterministic hash-sampled
+    sub-corpus (functions/sampling; see lsh_recall_sampled) — the face
+    whose blocked-Jaccard truth oracle stays inside the sweep budget at
+    gen-sf1, keeping the SimHash recall S-curve hash-checked at 500k
+    docs. Full corpus below the 64k cap, so sf0.01 results equal the
+    parent's."""
+    return _simhash_recall_frame(
+        spark, sample_frame(table(spark, sf_dir, "documents"), "doc_id")
     )
 
 

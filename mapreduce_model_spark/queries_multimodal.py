@@ -197,3 +197,132 @@ def multimodal_frame_dedup(spark, sf_dir):
         first_seen.alias("n_first_seen"),
         F.round(1 - first_seen / F.count(F.lit(1)) + 1e-9, 4).alias("dup_frac"),
     )
+
+
+_RSZ_W, _RSZ_H = 4, 3   # nearest-neighbor resize target (out_w, out_h)
+
+
+@query(
+    "multimodal_decode_real",
+    oracle="""
+WITH base AS (
+    SELECT doc_id,
+           CAST((n_chars % 13) + 2 AS INTEGER) AS w,
+           CAST((n_chars % 7) + 2 AS INTEGER) AS h,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+    FROM documents
+), px AS (
+    SELECT doc_id, fmt, w, h, unnest(range(0, w * h * 3)) AS i FROM base
+)
+SELECT doc_id, fmt, w AS width, h AS height,
+       CAST(sum((doc_id + i) % 256) % 997 AS INTEGER) AS pix_sum_mod,
+       round(avg(CASE WHEN i % 3 = 0 THEN (doc_id + i) % 256 END) + 1e-9, 4)
+           AS mean_r
+FROM px GROUP BY doc_id, fmt, w, h
+""",
+)
+def multimodal_decode_real(spark, sf_dir):
+    """REAL image decode, hash-checked end to end: every doc gets a real
+    BMP (even ids) or P6 PPM (odd) payload whose pixels follow a
+    closed-form law (synthetic_image_media), the pure-Python decoders
+    (operators/multimodal.py decode_bmp/decode_ppm — BITMAPINFOHEADER
+    row padding, bottom-up BGR, netpbm header tokenization) parse the
+    BYTES back to pixels, and the features come from the DECODED ARRAY.
+    The oracle predicts each feature from the pixel law alone — it never
+    sees the bytes — so a hash match proves the encode→decode round trip
+    is exact. Format comes from the JVM magic-byte sniffer over the real
+    payloads (sniff_format), not from the id parity.
+
+    Scale: one mapInPandas encode pass + one decode pass, both
+    embarrassingly parallel, features-only downstream of the decode (the
+    binary column never shuffles); spec-conformance of the decoders is
+    additionally pinned against hand-built byte goldens in
+    tests/test_round9_multimodal.py. JPEG/PNG remain env-blocked
+    (decode_image docstring)."""
+    from mapreduce_model_spark.functions.rounding import rnd
+    from mapreduce_model_spark.operators.multimodal import (
+        decode_image_features,
+        sniff_format,
+        synthetic_image_media,
+    )
+
+    media = synthetic_image_media(table(spark, sf_dir, "documents"))
+    fmts = media.select("doc_id", sniff_format(F.col("payload")).alias("fmt"))
+    feats = decode_image_features(media)
+    return feats.join(fmts, "doc_id").select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "pix_sum_mod",
+        rnd(F.col("mean_r"), 4).alias("mean_r"),
+    )
+
+
+@query(
+    "multimodal_resize_real",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST((n_chars % 13) + 2 AS INTEGER) AS w,
+           CAST((n_chars % 7) + 2 AS INTEGER) AS h,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+    FROM documents
+), px AS (
+    SELECT doc_id, fmt, w, h, unnest(range(0, {_RSZ_W * _RSZ_H * 3})) AS i
+    FROM base
+), v AS (
+    -- dst flat index i → (row, col, channel) → nearest-neighbor source
+    -- pixel → the synthetic pixel law at that source index
+    SELECT doc_id, fmt, i,
+           (doc_id
+            + (((i // {_RSZ_W * 3}) * h) // {_RSZ_H} * w
+               + ((i % {_RSZ_W * 3}) // 3 * w) // {_RSZ_W}) * 3
+            + i % 3) % 256 AS val
+    FROM px
+)
+SELECT doc_id, fmt,
+       {_RSZ_W} AS out_width, {_RSZ_H} AS out_height,
+       CAST(sum(val) % 997 AS INTEGER) AS pix_sum_mod,
+       round(avg(CASE WHEN i % 3 = 0 THEN val END) + 1e-9, 4) AS mean_r
+FROM v GROUP BY doc_id, fmt
+""",
+)
+def multimodal_resize_real(spark, sf_dir):
+    """REAL resize through the codec round trip, hash-checked: synthetic
+    BMP/PPM payloads are DECODED, nearest-neighbor-resampled to a fixed
+    4×3 grid (integer src = dst·src_dim // dst_dim — exactly
+    replayable in SQL), RE-ENCODED in the original format
+    (resize_image_real), then decoded AGAIN by the feature pass — so the
+    hash check covers encoder output bytes, not just in-memory arrays.
+    The oracle predicts the resampled pixel values straight from the
+    pixel law and the index arithmetic. Format sniffed from the
+    RE-ENCODED payload's magic bytes.
+
+    Scale: two 1→1 mapInPandas passes over fixed-size payloads; the
+    resized frame is width-bounded (out_w·out_h·3 bytes + header), so
+    downstream batch memory is exact — the thumbnailing shape of
+    resize_media with the codec real."""
+    from mapreduce_model_spark.functions.rounding import rnd
+    from mapreduce_model_spark.operators.multimodal import (
+        decode_image_features,
+        resize_image_real,
+        sniff_format,
+        synthetic_image_media,
+    )
+
+    media = synthetic_image_media(table(spark, sf_dir, "documents"))
+    resized = resize_image_real(media, out_w=_RSZ_W, out_h=_RSZ_H)
+    fmts = resized.select(
+        "doc_id", sniff_format(F.col("payload")).alias("fmt"),
+        "out_width", "out_height",
+    )
+    feats = decode_image_features(resized)
+    return feats.join(fmts, "doc_id").select(
+        "doc_id",
+        "fmt",
+        F.col("out_width").cast("int").alias("out_width"),
+        F.col("out_height").cast("int").alias("out_height"),
+        "pix_sum_mod",
+        rnd(F.col("mean_r"), 4).alias("mean_r"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreduce_model_spark.functions.rounding import rnd
+from mapreduce_model_spark.functions.sampling import duck_sample_pred, sample_frame
 from mapreduce_model_spark.functions.text import sql_md5_int32
 from mapreduce_model_spark.operators.similarity import (
     cosine_topk,
@@ -38,6 +39,17 @@ NEAR_DUP_THRESHOLD = 0.3
 # the bounded-query ANN faces (50 query vectors — already linear).
 _LSH_TARGET_BUCKET = 30
 _LSH_MAX_BITS = 16
+
+# The hash-sampled embeddings relation (functions/sampling contract) as a
+# DuckDB subquery — the oracle-side twin of sample_frame(emb, "vec_id"),
+# shared by every *_sampled query in this module. Full corpus below the
+# 64k cap, pinned ~62.5k-vector sample at gen-sf1, where the unrolled
+# Lloyd oracles of the full-corpus parents blow the sweep budget.
+_EMB_SAMPLED = (
+    "(SELECT t.* FROM embeddings t WHERE "
+    + duck_sample_pred("embeddings", "t.vec_id")
+    + ")"
+)
 
 
 def adaptive_lsh_bits(n_vectors: int) -> int:
@@ -352,6 +364,75 @@ def similarity_ann_ivf(spark, sf_dir):
     )
 
 
+def _ivf_sampled_oracle() -> str:
+    """similarity_ann_ivf's oracle over the hash-sampled relation: same v
+    / stride / rank / probe chain with the corpus CTE swapped and the
+    query set = the ANN_QUERIES lowest vec_ids IN the sample (equals the
+    parent's ``vec_id < ANN_QUERIES`` below the cap, where ids are
+    0-based and the sample is the full corpus)."""
+    body = _V.replace("FROM embeddings", f"FROM {_EMB_SAMPLED} se")
+    ss = _SS_CTE.replace(
+        "FROM embeddings", f"FROM {_EMB_SAMPLED} sc"
+    )
+    return (
+        body
+        + ss
+        + f"""
+, qids AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT {ANN_QUERIES})
+, cents AS (
+    SELECT vec_id AS cid, ve AS ce, nrm AS cn
+    FROM v, ss WHERE vec_id % ss.stride = 0
+), arank AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd DESC, cid) AS crank
+    FROM (SELECT v.vec_id, cid,
+                 list_dot_product(ve, ce) / (nrm * cn) AS cd
+          FROM v CROSS JOIN cents)
+), cells AS (
+    SELECT a.vec_id, v.ve AS cv, v.nrm AS cnm, a.cid
+    FROM arank a JOIN v USING (vec_id) WHERE a.crank = 1
+), probes AS (
+    SELECT a.vec_id AS query_id, v.ve AS qv, v.nrm AS qn, a.cid
+    FROM arank a JOIN v USING (vec_id)
+    WHERE a.vec_id IN (SELECT vec_id FROM qids) AND a.crank <= {IVF_NPROBE}
+), scored AS (
+    SELECT query_id, cells.vec_id,
+           list_dot_product(qv, cv) / (qn * cnm) AS cosine
+    FROM probes JOIN cells USING (cid)
+    WHERE cells.vec_id <> query_id
+)
+SELECT query_id, vec_id, round(1e-9 + cosine, 6) AS cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= {ANN_K}
+"""
+    )
+
+
+@query("ivf_sampled", oracle=_ivf_sampled_oracle())
+def ivf_sampled(spark, sf_dir):
+    """similarity_ann_ivf over the deterministic hash-sampled sub-corpus
+    — the IVF face whose N×kc centroid-ranking oracle window stays
+    inside the sweep budget at gen-sf1 (62.5k × ⌈√62.5k⌉ ≈ 1.6e7 rows vs
+    the parent's 1.3e8; the parent oracle was a standing gen-sf1
+    SWEEP_SKIP since round 7). Same adaptive stride law applied to the
+    SAMPLED count on both engines; queries are the lowest ANN_QUERIES
+    ids in the sample."""
+    emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
+    res = ivf_cosine_topk(
+        emb,
+        emb.orderBy("vec_id").limit(ANN_QUERIES),
+        k=ANN_K,
+        stride=adaptive_ivf_stride(emb.count()),
+        nprobe=IVF_NPROBE,
+    )
+    return res.select(
+        "query_id", "vec_id", rnd(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
 @query(
     "embedding_near_dup",
     oracle=_V + _near_dup_pairs_cte() + """
@@ -585,7 +666,10 @@ _KM_K, _KM_ITER = 8, 5
 
 
 def _kmeans_cte(
-    k: int | str = _KM_K, n_iter: int = _KM_ITER, extra_cte: str = ""
+    k: int | str = _KM_K,
+    n_iter: int = _KM_ITER,
+    extra_cte: str = "",
+    src: str = "embeddings",
 ) -> str:
     """Lloyd's unrolled into chained CTEs (c0 → a1/m1/c1 → … → cN → afin),
     the pagerank-oracle move applied to k-means. Deterministic throughout:
@@ -610,7 +694,7 @@ WITH v AS (
     SELECT vec_id AS vid,
            embedding::DOUBLE[] AS ve,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-    FROM embeddings
+    FROM """ + src + """
 )""" + extra_cte + """
 , seeds AS (
     SELECT vid, ve, nrm FROM v ORDER BY vid LIMIT {k}
@@ -655,9 +739,11 @@ WITH v AS (
     return sql
 
 
-def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+def _kmeans_oracle(
+    k: int = _KM_K, n_iter: int = _KM_ITER, src: str = "embeddings"
+) -> str:
     """Final-centroid + member-count face of the shared recurrence."""
-    return _kmeans_cte(k, n_iter) + """
+    return _kmeans_cte(k, n_iter, src=src) + """
 , members AS (
     SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM afin GROUP BY cid
 )
@@ -680,6 +766,30 @@ def kmeans_embeddings(spark, sf_dir):
     from mapreduce_model_spark.operators.similarity import kmeans_fit
 
     emb = table(spark, sf_dir, "embeddings")
+    out = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
+    return out.select(
+        "cid",
+        F.transform("centroid", lambda c: rnd(c, 6)).alias("centroid"),
+        "n_members",
+    )
+
+
+@query(
+    "kmeans_sampled",
+    oracle=_kmeans_oracle(src=_EMB_SAMPLED + " se"),
+)
+def kmeans_sampled(spark, sf_dir):
+    """kmeans_embeddings over the deterministic hash-sampled sub-corpus
+    (functions/sampling) — the face that stays HASH-CHECKED at gen-sf1:
+    the parent's 5-iteration unrolled-Lloyd oracle builds N×k-row windows
+    per iteration (3.5e8 rows at 500k vectors, >900 s), while the sampled
+    recurrence stays at the proven gen-sf0.1 cost. Identical operator and
+    k/iteration geometry; only the vector relation differs, identically
+    on both engines. Full corpus below the 64k cap, so small-scale
+    results equal the parent's."""
+    from mapreduce_model_spark.operators.similarity import kmeans_fit
+
+    emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
     out = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
     return out.select(
         "cid",
@@ -1325,7 +1435,9 @@ def semantic_dedup(spark, sf_dir):
     return _semantic_dedup_frame(spark, sf_dir, k=_KM_K, n_iter=_KM_ITER)
 
 
-def _semantic_dedup_frame(spark, sf_dir, k: int, n_iter: int, engine: str = "sql"):
+def _semantic_dedup_frame(
+    spark, sf_dir, k: int, n_iter: int, engine: str = "sql", emb=None
+):
     """Shared SemDeDup body: kmeans assign → cid-keyed lower-id max-cosine
     election → keep flag. Parameterized so the k=8 exemplar face and the
     k∝√N scaled face cannot drift apart. ``engine="arrow"`` swaps BOTH
@@ -1342,7 +1454,8 @@ def _semantic_dedup_frame(spark, sf_dir, k: int, n_iter: int, engine: str = "sql
         semantic_max_cosine_arrow,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings")
     if engine == "arrow":
         assign = kmeans_fit_arrow(emb, k=k, n_iter=n_iter)
         # one row per vector already (a vector lives in ONE cid group)
@@ -1398,12 +1511,19 @@ def adaptive_kmeans_k(n_vectors: int) -> int:
     return max(2, min(_KM_K_CAP, math.ceil(math.sqrt(n_vectors))))
 
 
-_KS_CTE = f"""
+def _ks_cte(src: str = "embeddings") -> str:
+    """DuckDB twin of adaptive_kmeans_k as a 1-row CTE ``ks(kk)``,
+    parameterized on the vector relation (the sampled twin counts the
+    SAMPLED corpus)."""
+    return f"""
 , ks AS (
     SELECT greatest(2, least({_KM_K_CAP},
            CAST(ceil(sqrt(count(*))) AS BIGINT))) AS kk
-    FROM embeddings
+    FROM {src}
 )"""
+
+
+_KS_CTE = _ks_cte()
 
 
 @query(
@@ -1444,6 +1564,49 @@ def semantic_dedup_scaled(spark, sf_dir):
         k=adaptive_kmeans_k(emb_n),
         n_iter=_SEM_SCALED_ITER,
         engine="arrow",
+    )
+
+
+@query(
+    "semantic_dedup_sampled",
+    oracle=_kmeans_cte(
+        k="(SELECT kk FROM ks)",
+        n_iter=_SEM_SCALED_ITER,
+        extra_cte=_ks_cte(_EMB_SAMPLED + " t"),
+        src=_EMB_SAMPLED + " se",
+    )
+    + f"""
+, sem AS (
+    SELECT a.vid, max(list_dot_product(va.ve, vb.ve) / (va.nrm * vb.nrm)) AS mc
+    FROM afin a JOIN v va ON va.vid = a.vid
+    JOIN afin b ON b.cid = a.cid AND b.vid < a.vid
+    JOIN v vb ON vb.vid = b.vid
+    GROUP BY a.vid
+)
+SELECT f.vid AS vec_id, f.cid,
+       round(sem.mc + 1e-9, 6) AS sem_score,
+       coalesce(sem.mc < {_SEM_TAU}, TRUE) AS is_kept
+FROM afin f LEFT JOIN sem ON sem.vid = f.vid
+""",
+)
+def semantic_dedup_sampled(spark, sf_dir):
+    """SemDeDup over the deterministic hash-sampled sub-corpus at the
+    SCALED geometry (k = ⌈√N_sample⌉, 2 iterations) — the family face
+    whose unrolled-Lloyd + Σ|cluster|² pair-join oracle stays inside the
+    sweep budget at gen-sf1 (62.5k sampled vectors, ~250 clusters →
+    ~1.6e7 candidate pairs, vs the parents' oracle spilling tens of GB
+    at 500k). Pure-expression engine plan (the oracle replays it
+    term-for-term); below the 64k cap the sample is the full corpus, so
+    this face equals semantic_dedup_scaled's geometry at small scale
+    with the SQL engine path."""
+    emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
+    return _semantic_dedup_frame(
+        spark,
+        sf_dir,
+        k=adaptive_kmeans_k(emb.count()),
+        n_iter=_SEM_SCALED_ITER,
+        engine="sql",
+        emb=emb,
     )
 
 
@@ -1683,9 +1846,15 @@ def _pq_chain(
     return sql
 
 
-def _pq_oracle(m: int = _PQ_M, k: int = _PQ_K, n_iter: int = _PQ_ITER) -> str:
+def _pq_oracle(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    n_iter: int = _PQ_ITER,
+    src: str | None = None,
+) -> str:
     """Code-tuple + reconstruction-MSE face of the shared recurrence."""
-    return "\nWITH " + _pq_chain(m, k, n_iter) + """
+    kw = {} if src is None else {"src": src}
+    return "\nWITH " + _pq_chain(m, k, n_iter, **kw) + """
 SELECT vid AS vec_id,
        array_to_string(list(cid ORDER BY s), ',') AS codes,
        round(sum(d) / 64.0 + 1e-9, 6) AS mse
@@ -1740,14 +1909,20 @@ def _train_cache_lookup(spark, sf_dir: str, kind: str):
     return key, hit
 
 
-def _pq_train(spark, sf_dir):
-    """(codes_df persisted, cents) for pq_fit(embeddings, 8, 16, 3)."""
+def _pq_train(spark, sf_dir, sampled: bool = False):
+    """(codes_df persisted, cents) for pq_fit(embeddings, 8, 16, 3).
+    ``sampled=True`` trains over the hash-sampled sub-corpus instead
+    (functions/sampling) — a separate memo key, shared by the *_sampled
+    PQ twins exactly as the parent run is shared by the parents."""
     from mapreduce_model_spark.operators.similarity import pq_fit
 
-    key, hit = _train_cache_lookup(spark, sf_dir, "pq")
+    key, hit = _train_cache_lookup(spark, sf_dir, "pq_s" if sampled else "pq")
     if hit is None:
+        emb = table(spark, sf_dir, "embeddings")
+        if sampled:
+            emb = sample_frame(emb, "vec_id")
         out, cents = pq_fit(
-            table(spark, sf_dir, "embeddings"),
+            emb,
             m=_PQ_M,
             k=_PQ_K,
             n_iter=_PQ_ITER,
@@ -1757,18 +1932,24 @@ def _pq_train(spark, sf_dir):
     return _TRAIN_CACHE[key]
 
 
-def _ivfpq_train(spark, sf_dir):
+def _ivfpq_train(spark, sf_dir, sampled: bool = False):
     """The IVF-PQ index build shared by similarity_ann_ivfpq and
     ivfpq_recall_report: an L2 coarse quantizer (1-subspace pq_fit run)
     assigns every vector a cell; each vector's RESIDUAL from its cell
     centroid is product-quantized (8×16, 2 iterations). Returns
     (cand persisted — vec_id, codes, cell —, cc coarse centroids,
-    pcents residual codebooks)."""
+    pcents residual codebooks). ``sampled=True`` builds the index over
+    the hash-sampled sub-corpus under its own memo key (the *_sampled
+    twins' shared build)."""
     from mapreduce_model_spark.operators.similarity import pq_fit
 
-    key, hit = _train_cache_lookup(spark, sf_dir, "ivfpq")
+    key, hit = _train_cache_lookup(
+        spark, sf_dir, "ivfpq_s" if sampled else "ivfpq"
+    )
     if hit is None:
         emb = table(spark, sf_dir, "embeddings")
+        if sampled:
+            emb = sample_frame(emb, "vec_id")
         coarse_df, ccents = pq_fit(
             emb, m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, return_codebook=True
         )
@@ -1833,20 +2014,50 @@ def embedding_pq(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_pq_sampled",
+    oracle=_pq_oracle(
+        src=f"(SELECT vec_id AS vid, embedding::DOUBLE[] AS vec "
+        f"FROM {_EMB_SAMPLED} s)"
+    ),
+)
+def embedding_pq_sampled(spark, sf_dir):
+    """embedding_pq over the deterministic hash-sampled sub-corpus
+    (functions/sampling; see kmeans_sampled) — keeps the PQ code/MSE
+    face hash-checked at gen-sf1, where the parent's per-subspace
+    unrolled-Lloyd oracle exceeds the sweep's 900 s budget at 500k
+    vectors. Training is the memoized sampled run shared with
+    pq_adc_sampled. Full corpus below the 64k cap."""
+    out, _ = _pq_train(spark, sf_dir, sampled=True)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        rnd(F.col("mse"), 6).alias("mse"),
+    )
+
+
 _PQ_NQ, _PQ_TOPK = 5, 3
 
 
-def _pq_adc_oracle() -> str:
+def _pq_adc_oracle(src: str | None = None, qsel: str | None = None) -> str:
     """ADC face of the shared PQ recurrence: per (query, subspace) the
     dist² table row is the SAME v·v − 2·v·c + c·c expression, summed over
-    the stored codes — the oracle scores codes exactly like the engine."""
+    the stored codes — the oracle scores codes exactly like the engine.
+    ``src`` parameterizes the trained/encoded corpus relation, ``qsel``
+    the query-vector selection (both default to the full-corpus parent
+    forms; the sampled twin passes the hash-sampled relation and a
+    lowest-N-ids-in-sample selection)."""
     d_sub = _PQ_D // _PQ_M
-    return "\nWITH " + _pq_chain() + f"""
+    kw = {} if src is None else {"src": src}
+    if qsel is None:
+        qsel = f"SELECT * FROM embeddings WHERE vec_id < {_PQ_NQ}"
+    return "\nWITH " + _pq_chain(**kw) + f"""
 , qv AS (
     SELECT vec_id AS query_id, t.s::INTEGER AS s,
            (embedding::DOUBLE[])[t.s*{d_sub}+1 : t.s*{d_sub}+{d_sub}] AS qsve
-    FROM embeddings CROSS JOIN range(0, {_PQ_M}) t(s)
-    WHERE vec_id < {_PQ_NQ}
+    FROM ({qsel}) qq CROSS JOIN range(0, {_PQ_M}) t(s)
 ), adc AS (
     SELECT q.query_id, a.vid AS vec_id,
            sum(list_dot_product(q.qsve, q.qsve)
@@ -1883,14 +2094,43 @@ def similarity_pq_adc(spark, sf_dir):
     memory-bound regime ADC exists for: at 100 TB of vectors the float
     corpus doesn't fit the cluster's RAM, the code table does.
     Training is the memoized run shared with embedding_pq."""
-    from mapreduce_model_spark.operators.similarity import py_ldot as ldot
-
     emb = table(spark, sf_dir, "embeddings")
     codes_df, cents = _pq_train(spark, sf_dir)
-    d_sub = _PQ_D // _PQ_M
+    return _pq_adc_frame(spark, emb.filter(F.col("vec_id") < _PQ_NQ),
+                         codes_df, cents)
 
+
+@query(
+    "pq_adc_sampled",
+    oracle=_pq_adc_oracle(
+        src=f"(SELECT vec_id AS vid, embedding::DOUBLE[] AS vec "
+        f"FROM {_EMB_SAMPLED} s)",
+        qsel=f"SELECT * FROM {_EMB_SAMPLED} s "
+        f"ORDER BY vec_id LIMIT {_PQ_NQ}",
+    ),
+)
+def pq_adc_sampled(spark, sf_dir):
+    """similarity_pq_adc over the hash-sampled sub-corpus — the ADC
+    search face that stays hash-checked at gen-sf1 (see kmeans_sampled
+    for the oracle-cost rationale). Queries are the _PQ_NQ lowest vec_ids
+    IN the sample (identical ORDER BY/LIMIT selection in the oracle), so
+    below the 64k cap — where the sample is the full corpus and ids are
+    0-based — the query set equals the parent's vec_id < N filter."""
+    emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
+    codes_df, cents = _pq_train(spark, sf_dir, sampled=True)
+    return _pq_adc_frame(spark, emb.orderBy("vec_id").limit(_PQ_NQ),
+                         codes_df, cents)
+
+
+def _pq_adc_frame(spark, qemb, codes_df, cents):
+    """Shared engine tail of similarity_pq_adc and its sampled twin:
+    per-query ADC lookup tables from the query frame, broadcast, 8
+    unrolled lookups per corpus code, per-query top-k."""
+    from mapreduce_model_spark.operators.similarity import py_ldot as ldot
+
+    d_sub = _PQ_D // _PQ_M
     qrows = (
-        emb.filter(F.col("vec_id") < _PQ_NQ)
+        qemb
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .collect()
     )
@@ -2074,14 +2314,24 @@ _IVFPQ_PI = 2                    # residual-PQ Lloyd iterations
 _IVFPQ_NPROBE, _IVFPQ_NQ, _IVFPQ_TOPK = 2, 5, 3
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(emb: str = "embeddings", qsel: str | None = None) -> str:
     """The full IVF-PQ recurrence composed from TWO _pq_chain instances:
     a 1-subspace chain (= plain L2 Lloyd's) for the coarse quantizer and
     an 8-subspace chain over the RESIDUAL relation, then probe-ranked
-    cells and the ADC tail — every engine float op mirrored."""
+    cells and the ADC tail — every engine float op mirrored. ``emb``
+    parameterizes the corpus relation and ``qsel`` the query selection
+    (defaults = the full-corpus parent; the sampled twin passes the
+    hash-sampled relation and lowest-N-ids-in-sample)."""
+    if qsel is None:
+        qsel = f"FROM {emb} e WHERE vec_id < {_IVFPQ_NQ}"
     dsub = _PQ_D // _PQ_M
     coarse = _pq_chain(
-        m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, sfx="cq", dim=_PQ_D
+        m=1,
+        k=_IVFPQ_KC,
+        n_iter=_IVFPQ_CI,
+        sfx="cq",
+        dim=_PQ_D,
+        src=f"(SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM {emb} e)",
     )
     pq = _pq_chain(
         m=_PQ_M,
@@ -2103,14 +2353,14 @@ WITH {coarse}
     SELECT e.vec_id AS vid,
            list_transform(range(1, {_PQ_D + 1}),
                           i -> (e.embedding::DOUBLE[])[i] - c.ce[i]) AS vec
-    FROM embeddings e
+    FROM {emb} e
     JOIN cells ON cells.vid = e.vec_id
     JOIN c{_IVFPQ_CI}cq c ON c.cid = cells.cell AND c.s = 0
 )
 , {pq}
 , qsel AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-    FROM embeddings WHERE vec_id < {_IVFPQ_NQ}
+    {qsel}
 ), qcell AS (
     SELECT query_id, cell, qv FROM (
         SELECT q.query_id, c.cid AS cell, q.qv,
@@ -2171,18 +2421,46 @@ def similarity_ann_ivfpq(spark, sf_dir):
     scale those fixed costs amortize to nothing while the per-row work
     stays codegen. Index build is the memoized run shared with
     ivfpq_recall_report."""
-    from mapreduce_model_spark.operators.similarity import py_ldot as ldot
-
     emb = table(spark, sf_dir, "embeddings")
-    cand, cc, pcents = _ivfpq_train(spark, sf_dir)
+    return _ivfpq_search_frame(
+        spark,
+        emb.filter(F.col("vec_id") < _IVFPQ_NQ),
+        *_ivfpq_train(spark, sf_dir),
+    )
+
+
+@query(
+    "ivfpq_sampled",
+    oracle=_ivfpq_oracle(
+        emb=_EMB_SAMPLED,
+        qsel=f"FROM {_EMB_SAMPLED} s ORDER BY vec_id LIMIT {_IVFPQ_NQ}",
+    ),
+)
+def ivfpq_sampled(spark, sf_dir):
+    """similarity_ann_ivfpq over the hash-sampled sub-corpus — the
+    IVF-PQ search face that stays hash-checked at gen-sf1, where the
+    parent's composed coarse+residual unrolled-Lloyd oracle exceeds the
+    sweep budget at 500k vectors (see kmeans_sampled). Queries are the
+    lowest vec_ids IN the sample; below the 64k cap the twin equals the
+    parent exactly. Index build is the memoized sampled run shared with
+    ivfpq_recall_sampled."""
+    emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
+    return _ivfpq_search_frame(
+        spark,
+        emb.orderBy("vec_id").limit(_IVFPQ_NQ),
+        *_ivfpq_train(spark, sf_dir, sampled=True),
+    )
+
+
+def _ivfpq_search_frame(spark, qemb, cand, cc, pcents):
+    """Shared engine tail of similarity_ann_ivfpq and its sampled twin:
+    probe-ranked cells + per-(query, cell) residual ADC tables from the
+    query frame, broadcast join on cell, per-query top-k."""
+    from mapreduce_model_spark.operators.similarity import py_ldot as ldot
 
     ve = F.col("embedding").cast("array<double>")
     d_sub = _PQ_D // _PQ_M
-    qrows = (
-        emb.filter(F.col("vec_id") < _IVFPQ_NQ)
-        .select("vec_id", ve.alias("v"))
-        .collect()
-    )
+    qrows = qemb.select("vec_id", ve.alias("v")).collect()
     probe_rows = []
     for r in qrows:
         q = list(r["v"])
@@ -2236,15 +2514,26 @@ def similarity_ann_ivfpq(spark, sf_dir):
 _IVFPQR_NQ, _IVFPQR_K = 20, 10   # recall-report queries, recall@K
 
 
-def _ivfpq_recall_oracle() -> str:
+def _ivfpq_recall_oracle(
+    emb: str = "embeddings", qsel: str | None = None
+) -> str:
     """Recall face of the IVF-PQ recurrence: the SAME two composed
     _pq_chain instances as _ivfpq_oracle, but every query ranks ALL kc
     cells (cell_rank), ADC candidates carry the rank of their own cell in
     the query's probe order, and hits are re-ranked per (query, nprobe)
-    for every nprobe in 1..kc against the exact-L2 cross-join truth."""
+    for every nprobe in 1..kc against the exact-L2 cross-join truth.
+    ``emb``/``qsel`` parameterize corpus and query selection exactly as
+    in _ivfpq_oracle."""
+    if qsel is None:
+        qsel = f"FROM {emb} e WHERE vec_id < {_IVFPQR_NQ}"
     dsub = _PQ_D // _PQ_M
     coarse = _pq_chain(
-        m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, sfx="cq", dim=_PQ_D
+        m=1,
+        k=_IVFPQ_KC,
+        n_iter=_IVFPQ_CI,
+        sfx="cq",
+        dim=_PQ_D,
+        src=f"(SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM {emb} e)",
     )
     pq = _pq_chain(
         m=_PQ_M,
@@ -2267,14 +2556,14 @@ WITH {coarse}
     SELECT e.vec_id AS vid,
            list_transform(range(1, {_PQ_D + 1}),
                           i -> (e.embedding::DOUBLE[])[i] - c.ce[i]) AS vec
-    FROM embeddings e
+    FROM {emb} e
     JOIN cells ON cells.vid = e.vec_id
     JOIN c{_IVFPQ_CI}cq c ON c.cid = cells.cell AND c.s = 0
 )
 , {pq}
 , qsel AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-    FROM embeddings WHERE vec_id < {_IVFPQR_NQ}
+    {qsel}
 ), qcell AS (
     SELECT q.query_id, c.cid AS cell, q.qv,
            row_number() OVER (PARTITION BY q.query_id
@@ -2306,7 +2595,7 @@ WITH {coarse}
         FROM adcall a JOIN probes p ON a.cell_rank <= p.nprobe) t
     WHERE rn <= {_IVFPQR_K}
 ), ev AS (
-    SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS ve FROM {emb} e
 ), truth AS (
     SELECT query_id, vec_id FROM (
         SELECT q.query_id, c.vec_id,
@@ -2359,19 +2648,48 @@ def ivfpq_recall_report(spark, sf_dir):
     corpus shuffle); the per-(query, nprobe) top-k windows are keyed, no
     single-partition funnel. On a real corpus this runs on a sampled
     query set — the shape is already that."""
+    emb = table(spark, sf_dir, "embeddings")
+    return _ivfpq_recall_frame(
+        spark,
+        emb,
+        emb.filter(F.col("vec_id") < _IVFPQR_NQ),
+        *_ivfpq_train(spark, sf_dir),
+    )
+
+
+@query(
+    "ivfpq_recall_sampled",
+    oracle=_ivfpq_recall_oracle(
+        emb=_EMB_SAMPLED,
+        qsel=f"FROM {_EMB_SAMPLED} s ORDER BY vec_id LIMIT {_IVFPQR_NQ}",
+    ),
+)
+def ivfpq_recall_sampled(spark, sf_dir):
+    """ivfpq_recall_report over the hash-sampled sub-corpus — the
+    recall@10-vs-nprobe curve that stays hash-checked at gen-sf1
+    (truth, index, and query set all restricted to the SAME
+    deterministic sample on both engines; see kmeans_sampled). Below
+    the 64k cap the twin equals the parent exactly. Index build is the
+    memoized sampled run shared with ivfpq_sampled."""
+    emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
+    return _ivfpq_recall_frame(
+        spark,
+        emb,
+        emb.orderBy("vec_id").limit(_IVFPQR_NQ),
+        *_ivfpq_train(spark, sf_dir, sampled=True),
+    )
+
+
+def _ivfpq_recall_frame(spark, emb, qemb, cand, cc, pcents):
+    """Shared engine tail of ivfpq_recall_report and its sampled twin:
+    all-cells probe tables per query, nprobe-expanded top-k hits, and the
+    exact-L2 broadcast-queries truth over ``emb``."""
     from mapreduce_model_spark.operators.similarity import dot, py_ldot as ldot
     from pyspark.sql import Window
 
-    emb = table(spark, sf_dir, "embeddings")
-    cand, cc, pcents = _ivfpq_train(spark, sf_dir)
-
     ve = F.col("embedding").cast("array<double>")
     d_sub = _PQ_D // _PQ_M
-    qrows = (
-        emb.filter(F.col("vec_id") < _IVFPQR_NQ)
-        .select("vec_id", ve.alias("v"))
-        .collect()
-    )
+    qrows = qemb.select("vec_id", ve.alias("v")).collect()
     probe_rows = []
     for r in qrows:
         q = list(r["v"])
@@ -2421,9 +2739,7 @@ def ivfpq_recall_report(spark, sf_dir):
     # exact-L2 truth: queries broadcast, corpus scanned once; the ranking
     # key drops the per-query constant q·q (argmin unchanged) — the SAME
     # reduced expression as the oracle's ORDER BY
-    qfr = emb.filter(F.col("vec_id") < _IVFPQR_NQ).select(
-        F.col("vec_id").alias("query_id"), ve.alias("qv")
-    )
+    qfr = qemb.select(F.col("vec_id").alias("query_id"), ve.alias("qv"))
     cfr = emb.select("vec_id", ve.alias("cv"))
     d = dot(F.col("cv"), F.col("cv")) - F.lit(2.0) * dot(
         F.col("qv"), F.col("cv")

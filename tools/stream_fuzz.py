@@ -124,7 +124,7 @@ def build_case(rng: random.Random):
                 F.pmod("user_id", F.lit(m)).cast("int").alias("ub"),
             ).dropDuplicates(["event_type", "ub", "ts_us"])
 
-        return f"dedup m={m}", fn, "dedup_append", wm
+        return f"dedup m={m}", fn, "dedup_append", wm, None
 
     if kind == "session":
         gap = rng.choice(GAPS)
@@ -148,7 +148,7 @@ def build_case(rng: random.Random):
                 "*",
             ).drop("w", key)
 
-        return f"session gap={gap} key={key} flt={flt is not None}", fn, mode, wm
+        return f"session gap={gap} key={key} flt={flt is not None}", fn, mode, wm, flt
 
     width = rng.choice(WIDTHS)
     if kind == "sliding":
@@ -174,7 +174,7 @@ def build_case(rng: random.Random):
             "*",
         ).drop("w")
 
-    return f"{desc} keys={keys} flt={flt is not None} aggs={len(aggs)}", fn, mode, wm
+    return f"{desc} keys={keys} flt={flt is not None} aggs={len(aggs)}", fn, mode, wm, flt
 
 
 def _rows(df):
@@ -182,6 +182,7 @@ def _rows(df):
 
 
 def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
     )
@@ -202,7 +203,6 @@ def main() -> int:
             f"{split_dir}/f*"
         )
         batch_single = table(spark, sf_dir, "events")
-        max_ts = batch_single.agg(F.max("ts")).collect()[0][0]
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -210,7 +210,7 @@ def main() -> int:
         rng = random.Random(seed)
         fails = 0
         for i in range(n_cases):
-            desc, fn, mode, wm = build_case(rng)
+            desc, fn, mode, wm, flt = build_case(rng)
             name = f"sfz_{i}"
             try:
                 if mode == "dedup_append":
@@ -243,8 +243,15 @@ def main() -> int:
                     sdf = fn(stream_src, streaming_wm=wm)
                     run_stream_to_table(sdf, name, output_mode="append")
                     got = _rows(spark.table(name))
-                    # finalized set: windows whose end ≤ max(ts) − wm.
-                    # 'we' is µs; watermark strings are m/h — parse crudely
+                    # finalized set: windows whose end ≤ max(ts) − wm,
+                    # where max(ts) is over the rows the WATERMARK operator
+                    # actually sees — i.e. AFTER the template's filter (the
+                    # event-time stats collector sits above the filter in
+                    # the plan). 'we' is µs; wm strings are m/h.
+                    src_batch = batch_single
+                    if flt is not None:
+                        src_batch = src_batch.where(flt)
+                    max_ts = src_batch.agg(F.max("ts")).collect()[0][0]
                     num, unit = wm.split()
                     secs = int(num) * (3600 if unit.startswith("hour") else 60)
                     thr_us = int(max_ts.timestamp() * 1_000_000) - secs * 1_000_000

@@ -1889,56 +1889,44 @@ def quality_classifier(spark, sf_dir):
     )
     y = F.when(F.col("source") == "src0", 1.0).otherwise(0.0)
     feats = per_doc.select("doc_id", x.alias("x"), y.alias("y")).persist()
+    n_docs = feats.count()
 
     from mapreduce_model_spark.operators.similarity import dot
 
-    # Round 9: the 10 GD steps are CHAINED LAZILY — each step's weights
-    # live in a broadcast 1-row frame consumed by the next step's
-    # aggregate, so the whole recurrence plus scoring is ONE action (the
-    # caller's collect) instead of 10 driver-turnaround collect() jobs +
-    # a count. The per-step arithmetic is bit-identical to the collected
-    # form: (lr·g)/n in double, left-associated, n = the same feats count
-    # folded into each step's aggregate. Broadcast subtrees still
-    # materialize as internal stages, but they pipeline under one action
-    # with no Python↔JVM round trip per step (A/B measurement vs the
-    # collected form recorded in PLANS.md round 9).
-    wdf = spark.range(1).select(
-        F.array(*([F.lit(0.0)] * (_QC_B + 1))).alias("w")
-    )
+    # Measured alternative, REJECTED (round 9): chaining all 10 steps
+    # lazily — weights as broadcast 1-row frames feeding the next step's
+    # aggregate, one action total instead of 10 collect() jobs + a count
+    # (the r8 verdict's "fewer/fused steps" ask). Interleaved A/B at
+    # sf0.1, median-after-warmup: fused 20.0-47.1 s vs collected 6.5-7.3 s
+    # — each action re-runs Catalyst analysis/optimization over the
+    # 10-deep nested broadcast-aggregate tree (650 aggregate expressions),
+    # and that re-planning dwarfs the 10 Python→JVM round trips it saves.
+    # The collected loop's per-step cost is one 65-buffer aggregate job +
+    # 520 B of driver traffic — already the scale-right shape.
+    w = [0.0] * (_QC_B + 1)
     for _ in range(_QC_ITERS):
-        sig = 1 / (1 + F.exp(-dot(F.col("x"), F.col("w"))))
+        wcol = F.lit(w).cast("array<double>")
+        sig = 1 / (1 + F.exp(-dot(F.col("x"), wcol)))
         gx = F.transform(F.col("x"), lambda e: e * (sig - F.col("y")))
-        step = (
-            feats.crossJoin(F.broadcast(wdf))
-            .select(gx.alias("gx"), "w")
+        row = (
+            feats.select(gx.alias("gx"))
             .agg(
-                F.first("w").alias("w"),
-                F.count(F.lit(1)).alias("n"),
                 *[
                     F.sum(F.element_at("gx", i + 1)).alias(f"g{i}")
                     for i in range(_QC_B + 1)
-                ],
-            )
-        )
-        wdf = step.select(
-            F.array(
-                *[
-                    F.element_at("w", i + 1)
-                    - F.lit(_QC_LR) * F.col(f"g{i}") / F.col("n")
-                    for i in range(_QC_B + 1)
                 ]
-            ).alias("w")
+            )
+            .collect()[0]
         )
+        w = [w[i] - _QC_LR * row[f"g{i}"] / n_docs for i in range(_QC_B + 1)]
 
-    sig_fin = 1 / (1 + F.exp(-dot(F.col("x"), F.col("w"))))
-    return (
-        feats.crossJoin(F.broadcast(wdf))
-        .select(
-            "doc_id",
-            F.col("y").cast("int").alias("label"),
-            rnd(sig_fin, 4).alias("prob"),
-            (sig_fin >= 0.5).alias("pred"),
-        )
+    wfin = F.lit(w).cast("array<double>")
+    sig_fin = 1 / (1 + F.exp(-dot(F.col("x"), wfin)))
+    return feats.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        rnd(sig_fin, 4).alias("prob"),
+        (sig_fin >= 0.5).alias("pred"),
     )
 
 

@@ -38,17 +38,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 SAMPLE_CAP = 65536
+# The recall audits' ground truth (blocked exact Jaccard) is QUADRATIC in
+# sampled-corpus size — measured at gen-sf1: a 62.8k-doc truth exceeds the
+# 900 s oracle budget (the 50k gen-sf0.1 truth was already near it), while
+# the linear/unrolled-iterative vector oracles clear 62.5k comfortably. So
+# the recall twins use their own smaller cap: thr = 1 at 500k docs →
+# ~31.3k-doc truth (~0.4× the proven 50k cost). Still the full corpus
+# below ~32k docs, so the driver-gate scales are unaffected.
+RECALL_SAMPLE_CAP = 32768
+# SemDeDup's oracle cost is N·k·iters window rows with k = ⌈√N⌉, i.e.
+# ~N^1.5: measured at gen-sf1, the 62.5k-vector sample (k=251 → 3.1e7
+# window rows) exceeds 900 s while kmeans_sampled's 62.5k×8 (2.5e6 rows)
+# takes 308 s. A 16k cap → ~15.6k vectors, k=126 → 3.9e6 rows, inside
+# budget with margin. Full corpus below ~16k vectors (every driver scale).
+SEM_SAMPLE_CAP = 16384
+# The LSH recall audit runs THREE corpus pipelines in one oracle (blocked
+# truth + classic-MinHash banding + OPH banding) where the SimHash audit
+# runs two — measured at gen-sf1: simhash at the 32k cap passes in 421 s,
+# lsh at the same cap exceeds 900 s (the two 32-permutation signature
+# aggregates + two band self-joins are the delta). Half the corpus again
+# for the lsh twin only.
+LSH_RECALL_SAMPLE_CAP = 16384
 _HEX = "0123456789abcdef"
 
 
-def sample_thr(n: int) -> int:
+def sample_thr(n: int, cap: int | None = None) -> int:
     """Hex-digit threshold (1..16): kept fraction = thr/16, full corpus
     below the cap. Integer arithmetic — bit-identical to the oracle's
     ``greatest(1, least(16, (16 * CAP) // count(*)))``."""
-    return max(1, min(16, (16 * SAMPLE_CAP) // max(n, 1)))
+    cap = SAMPLE_CAP if cap is None else cap
+    return max(1, min(16, (16 * cap) // max(n, 1)))
 
 
-def sample_frame(df: DataFrame, id_col: str) -> DataFrame:
+def sample_frame(df: DataFrame, id_col: str, cap: int | None = None) -> DataFrame:
     """The Spark face of the selection contract. One count() job to size
     the corpus (the same documented pattern as the round-8 adaptive
     geometry faces — the count is the price of scale-adaptive semantics),
@@ -56,7 +78,7 @@ def sample_frame(df: DataFrame, id_col: str) -> DataFrame:
     cap so small-scale results equal the unsampled parent's."""
     from pyspark.sql import functions as F
 
-    thr = sample_thr(df.count())
+    thr = sample_thr(df.count(), cap)
     if thr >= 16:
         return df
     return df.where(
@@ -67,21 +89,24 @@ def sample_frame(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def duck_sample_pred(tbl: str, id_col: str) -> str:
+def duck_sample_pred(tbl: str, id_col: str, cap: int | None = None) -> str:
     """DuckDB WHERE predicate twin of sample_frame's filter. ``tbl`` is
     the FULL relation (the scalar count subquery must see every row);
     ``id_col`` may be qualified with the outer alias."""
+    cap = SAMPLE_CAP if cap is None else cap
     return (
         f"strpos('{_HEX}', substr(md5({id_col}::VARCHAR), 1, 1)) <= "
-        f"(SELECT greatest(1, least(16, (16 * {SAMPLE_CAP}) // count(*))) "
+        f"(SELECT greatest(1, least(16, (16 * {cap}) // count(*))) "
         f"FROM {tbl})"
     )
 
 
-def duck_sample_cte(tbl: str, id_col: str, alias: str) -> str:
+def duck_sample_cte(
+    tbl: str, id_col: str, alias: str, cap: int | None = None
+) -> str:
     """``alias AS (SELECT * FROM tbl WHERE <contract>)`` — the sampled
     relation as a named CTE fragment for composition into WITH chains."""
     return (
         f"{alias} AS (SELECT t.* FROM {tbl} t "
-        f"WHERE {duck_sample_pred(tbl, 't.' + id_col)})"
+        f"WHERE {duck_sample_pred(tbl, 't.' + id_col, cap)})"
     )

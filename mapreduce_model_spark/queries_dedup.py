@@ -37,7 +37,12 @@ from mapreduce_model_spark.operators.dedup import (
     oph_signatures_array,
     simhash,
 )
-from mapreduce_model_spark.functions.sampling import duck_sample_cte, sample_frame
+from mapreduce_model_spark.functions.sampling import (
+    LSH_RECALL_SAMPLE_CAP,
+    RECALL_SAMPLE_CAP,
+    duck_sample_cte,
+    sample_frame,
+)
 from mapreduce_model_spark.registry import query, table
 
 # Unsuffixed instances over the raw documents table — the shapes every
@@ -305,7 +310,10 @@ def q_lsh_recall_report(spark, sf_dir):
 @query(
     "lsh_recall_sampled",
     oracle=_recall_oracle(
-        pre=duck_sample_cte("documents", "doc_id", "docsample") + ",\n",
+        pre=duck_sample_cte(
+            "documents", "doc_id", "docsample", cap=LSH_RECALL_SAMPLE_CAP
+        )
+        + ",\n",
         src="docsample",
     ),
 )
@@ -320,7 +328,12 @@ def q_lsh_recall_sampled(spark, sf_dir):
     engines. At 100 TB the sampled audit IS the production audit; the
     parent is the exhaustive small-scale exemplar."""
     return _lsh_recall_frame(
-        spark, sample_frame(table(spark, sf_dir, "documents"), "doc_id")
+        spark,
+        sample_frame(
+            table(spark, sf_dir, "documents"),
+            "doc_id",
+            cap=LSH_RECALL_SAMPLE_CAP,
+        ),
     )
 
 
@@ -502,7 +515,10 @@ def q_simhash_recall_report(spark, sf_dir):
 @query(
     "simhash_recall_sampled",
     oracle=_simhash_recall_oracle(
-        pre=duck_sample_cte("documents", "doc_id", "docsample") + ",\n",
+        pre=duck_sample_cte(
+            "documents", "doc_id", "docsample", cap=RECALL_SAMPLE_CAP
+        )
+        + ",\n",
         src="docsample",
     ),
 )
@@ -514,7 +530,10 @@ def q_simhash_recall_sampled(spark, sf_dir):
     docs. Full corpus below the 64k cap, so sf0.01 results equal the
     parent's."""
     return _simhash_recall_frame(
-        spark, sample_frame(table(spark, sf_dir, "documents"), "doc_id")
+        spark,
+        sample_frame(
+            table(spark, sf_dir, "documents"), "doc_id", cap=RECALL_SAMPLE_CAP
+        ),
     )
 
 

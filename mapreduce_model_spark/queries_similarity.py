@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mapreduce_model_spark.functions.rounding import rnd
-from mapreduce_model_spark.functions.sampling import duck_sample_pred, sample_frame
+from mapreduce_model_spark.functions.sampling import (
+    SEM_SAMPLE_CAP,
+    duck_sample_pred,
+    sample_frame,
+)
 from mapreduce_model_spark.functions.text import sql_md5_int32
 from mapreduce_model_spark.operators.similarity import (
     cosine_topk,
@@ -48,6 +52,12 @@ _LSH_MAX_BITS = 16
 _EMB_SAMPLED = (
     "(SELECT t.* FROM embeddings t WHERE "
     + duck_sample_pred("embeddings", "t.vec_id")
+    + ")"
+)
+# SemDeDup's ~N^1.5 oracle needs the smaller cap (see functions/sampling)
+_EMB_SEM_SAMPLED = (
+    "(SELECT t.* FROM embeddings t WHERE "
+    + duck_sample_pred("embeddings", "t.vec_id", cap=SEM_SAMPLE_CAP)
     + ")"
 )
 
@@ -364,6 +374,21 @@ def similarity_ann_ivf(spark, sf_dir):
     )
 
 
+def _lowest_ids_frame(emb, n: int):
+    """The n lowest vec_ids IN the (sampled) corpus as a query frame.
+    Materializes the id list driver-side first (TakeOrderedAndProject of
+    n longs — the root-level form of sort+limit, no data-row exchange)
+    and re-enters it as an IN filter: embedding ``orderBy().limit()`` as
+    an INTERMEDIATE operator instead compiles to LocalLimit →
+    single-partition exchange → GlobalLimit, the global-funnel shape the
+    plan guard (test_plan_shape) rightly rejects."""
+    ids = [
+        r[0]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(n).collect()
+    ]
+    return emb.where(F.col("vec_id").isin(ids))
+
+
 def _ivf_sampled_oracle() -> str:
     """similarity_ann_ivf's oracle over the hash-sampled relation: same v
     / stride / rank / probe chain with the corpus CTE swapped and the
@@ -423,7 +448,7 @@ def ivf_sampled(spark, sf_dir):
     emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
     res = ivf_cosine_topk(
         emb,
-        emb.orderBy("vec_id").limit(ANN_QUERIES),
+        _lowest_ids_frame(emb, ANN_QUERIES),
         k=ANN_K,
         stride=adaptive_ivf_stride(emb.count()),
         nprobe=IVF_NPROBE,
@@ -1572,8 +1597,8 @@ def semantic_dedup_scaled(spark, sf_dir):
     oracle=_kmeans_cte(
         k="(SELECT kk FROM ks)",
         n_iter=_SEM_SCALED_ITER,
-        extra_cte=_ks_cte(_EMB_SAMPLED + " t"),
-        src=_EMB_SAMPLED + " se",
+        extra_cte=_ks_cte(_EMB_SEM_SAMPLED + " t"),
+        src=_EMB_SEM_SAMPLED + " se",
     )
     + f"""
 , sem AS (
@@ -1599,7 +1624,9 @@ def semantic_dedup_sampled(spark, sf_dir):
     term-for-term); below the 64k cap the sample is the full corpus, so
     this face equals semantic_dedup_scaled's geometry at small scale
     with the SQL engine path."""
-    emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = sample_frame(
+        table(spark, sf_dir, "embeddings"), "vec_id", cap=SEM_SAMPLE_CAP
+    )
     return _semantic_dedup_frame(
         spark,
         sf_dir,
@@ -2675,7 +2702,7 @@ def ivfpq_recall_sampled(spark, sf_dir):
     return _ivfpq_recall_frame(
         spark,
         emb,
-        emb.orderBy("vec_id").limit(_IVFPQR_NQ),
+        _lowest_ids_frame(emb, _IVFPQR_NQ),
         *_ivfpq_train(spark, sf_dir, sampled=True),
     )
 

@@ -562,7 +562,32 @@ without this context:
   escape-hatch verification this query exists for (its docstring already
   says "prefer built-ins, 10-100x" - here measured at 45x); not a
   regression candidate. Any future delta should be compared against the
-  identity-applyInPandas baseline, not against JVM queries."""
+  identity-applyInPandas baseline, not against JVM queries.
+- **Three-round "drift" FALSIFIED as regression (round 9)**: same-session
+  interleaved full-suite A/B, r7 HEAD (95d0905) vs r8 HEAD (9a0ac49) git
+  worktrees, 2 repetitions each alternating (r7,r8,r7,r8), idle machine,
+  BENCH_REPEAT=3 median-after-warmup: **geomean r8/r7 = 0.9455 over the
+  224 common queries** (r8 totals 228.7 s vs r7 250.1 s) - r8 code is ~5%
+  FASTER than r7 on identical hardware, so the r6-r8 geomean_vs_prev
+  1.066-1.097 records were environment drift, full stop. Noise floor
+  measured in the same experiment: rep2/rep1 geomean WITHIN one side hits
+  1.08, and single queries swing 2-3x between reps of bit-identical code
+  (merge_apply_cdc 2.8x, event_transitions 2.4x) - which is why no
+  per-query driver-tail ratio below ~3x should trigger work without the
+  in-process re-run protocol above. The r8 verdict's four named targets
+  re-read: quality_classifier 1.37x (within iterative-query noise),
+  basket_lift 1.07x, dedup_clusters 1.10x, recursive_hierarchy 0.91x -
+  none reproduce as regressions. Raw records: /tmp/ab (session-local);
+  per-rep JSON retained in the round-9 battery notes (COVERAGE.md).
+- **quality_classifier job-fuse measured and REJECTED (round 9)**: the r8
+  verdict's "fewer/fused steps" ask was implemented (all 10 GD steps
+  chained lazily through broadcast 1-row weight frames - one action, zero
+  per-step collects) and A/B-measured at sf0.1: fused 20.0-47.1 s vs
+  collected 6.5-7.3 s. Every action re-runs Catalyst analysis over the
+  10-deep nested broadcast-aggregate tree (650 aggregate expressions), and
+  that re-planning dwarfs the 10 Python-JVM round trips saved. The
+  collected loop (one 65-buffer aggregate job + 520 B driver traffic per
+  step) stays; rejection note inline at queries_text.py quality_classifier."""
 
 
 def main() -> None:

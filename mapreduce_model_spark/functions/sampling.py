@@ -110,3 +110,55 @@ def duck_sample_cte(
         f"{alias} AS (SELECT t.* FROM {tbl} t "
         f"WHERE {duck_sample_pred(tbl, 't.' + id_col, cap)})"
     )
+
+
+# ---- fine-grained (two-hex-digit, 1/256-step) variant -------------------
+# The one-digit contract floors at 1/16 of the corpus — measured at
+# gen-sf1: the 3-pipeline LSH recall oracle exceeds 900 s even at that
+# floor (31.6k docs), so it needs a sample the coarse contract cannot
+# express. Two md5 hex digits give 256 buckets: keep iff
+# int(md5[0:2], 16) < thr, thr = clamp((256·cap)//N, 1, 256). Same
+# determinism argument; the hex-pair parses to the same integer via
+# Spark's conv(…,16,10) and DuckDB's ('0x'||…)::INTEGER (the shingle_cte
+# precedent).
+
+
+def sample_thr_fine(n: int, cap: int | None = None) -> int:
+    cap = SAMPLE_CAP if cap is None else cap
+    return max(1, min(256, (256 * cap) // max(n, 1)))
+
+
+def sample_frame_fine(
+    df: DataFrame, id_col: str, cap: int | None = None
+) -> DataFrame:
+    """Spark face of the fine contract (see sample_frame for the count()
+    rationale)."""
+    from pyspark.sql import functions as F
+
+    thr = sample_thr_fine(df.count(), cap)
+    if thr >= 256:
+        return df
+    return df.where(
+        F.expr(
+            f"CAST(conv(substr(md5(cast({id_col} as string)), 1, 2), 16, 10)"
+            f" AS INT) < {thr}"
+        )
+    )
+
+
+def duck_sample_pred_fine(tbl: str, id_col: str, cap: int | None = None) -> str:
+    cap = SAMPLE_CAP if cap is None else cap
+    return (
+        f"('0x' || substr(md5({id_col}::VARCHAR), 1, 2))::INTEGER < "
+        f"(SELECT greatest(1, least(256, (256 * {cap}) // count(*))) "
+        f"FROM {tbl})"
+    )
+
+
+def duck_sample_cte_fine(
+    tbl: str, id_col: str, alias: str, cap: int | None = None
+) -> str:
+    return (
+        f"{alias} AS (SELECT t.* FROM {tbl} t "
+        f"WHERE {duck_sample_pred_fine(tbl, 't.' + id_col, cap)})"
+    )

@@ -41,7 +41,9 @@ from mapreduce_model_spark.functions.sampling import (
     LSH_RECALL_SAMPLE_CAP,
     RECALL_SAMPLE_CAP,
     duck_sample_cte,
+    duck_sample_cte_fine,
     sample_frame,
+    sample_frame_fine,
 )
 from mapreduce_model_spark.registry import query, table
 
@@ -310,7 +312,7 @@ def q_lsh_recall_report(spark, sf_dir):
 @query(
     "lsh_recall_sampled",
     oracle=_recall_oracle(
-        pre=duck_sample_cte(
+        pre=duck_sample_cte_fine(
             "documents", "doc_id", "docsample", cap=LSH_RECALL_SAMPLE_CAP
         )
         + ",\n",
@@ -329,7 +331,7 @@ def q_lsh_recall_sampled(spark, sf_dir):
     parent is the exhaustive small-scale exemplar."""
     return _lsh_recall_frame(
         spark,
-        sample_frame(
+        sample_frame_fine(
             table(spark, sf_dir, "documents"),
             "doc_id",
             cap=LSH_RECALL_SAMPLE_CAP,

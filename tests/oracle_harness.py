@@ -54,6 +54,14 @@ def run_oracle(sf_dir: str, sql: str):
         con.execute(
             f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'"
         )
+        # Cap oracle parallelism: DuckDB defaults to every core, and the
+        # window-heavy unrolled-recurrence oracles get SLOWER past ~16
+        # threads — measured round 9 on semantic_dedup_sampled at gen-sf1:
+        # 1024 s at the 32-thread default vs 228 s at threads=16 (same
+        # query, same machine; the per-thread window materialization of
+        # 64-double list payloads blows the shared buffer pool into
+        # spill). 16 is also polite to the Spark JVM sharing the box.
+        con.execute(f"SET threads={os.environ.get('ORACLE_THREADS', '16')}")
         con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         try:
             con.execute(

@@ -2375,6 +2375,26 @@ def _rfm_per_user(spark, sf_dir):
     )
 
 
+def _ntile_from_rank(rank, n: int, k: int):
+    """EXACT ``ntile(k)`` from a 1-based dense global rank over ``n``
+    distinct rows, as a narrow column expression. SQL ntile hands the
+    ``n % k`` extra rows to the EARLIEST buckets (first ``rem`` buckets
+    get ``q+1`` rows, the rest ``q``), so the naive ``ceil(k*rank/n)``
+    is WRONG whenever ``n % k != 0`` (n=7,k=5: rank 2 is bucket 1 under
+    ntile but ceil(10/7)=2). Division is kept exact: subtract the
+    modulus first so the double quotient is an integer (< 2^53) before
+    the cast — no floor-of-almost-integer hazard."""
+    q, rem = divmod(n, k)
+    if q == 0:  # fewer rows than buckets: ntile(k) degenerates to rank
+        return rank.cast("int")
+    cut = rem * (q + 1)
+    r0 = rank - 1
+    big = ((r0 - (r0 % F.lit(q + 1))) / F.lit(q + 1)).cast("int") + 1
+    s0 = rank - cut - 1
+    small = F.lit(rem) + ((s0 - (s0 % F.lit(q))) / F.lit(q)).cast("int") + 1
+    return F.when(rank <= F.lit(cut), big).otherwise(small)
+
+
 @query(
     "rfm_segments",
     oracle="""
@@ -2409,17 +2429,39 @@ def rfm_segments(spark, sf_dir):
     ntile ordering so both engines assign identical quintiles.
 
     Scale: one fact scan builds the |users|-sized RFM frame (map-side
-    combined); the three ntile windows are GLOBAL — a deliberate local
-    formulation flagged for scale: at 100 TB, quintile boundaries come
-    from approx_percentile over the user frame (5 numbers broadcast back,
-    fully narrow scoring) instead of a total-order window. The output is
-    the |segments|-bounded roll-up, not the per-user frame."""
-    per_user = _rfm_per_user(spark, sf_dir)
-    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "user_id"))
-    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
-    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
-    scored = per_user.select(
-        F.concat_ws("-", r, f, m).alias("segment"), "monetary"
+    combined, persisted across its four consumers). The three quintile
+    scores are EXACT ntile(5) but with NO global window: each axis gets
+    a global rank from :func:`operators.ids.global_ordered_ids` (range
+    exchange + narrow Arrow numbering — no single-partition stage,
+    r9-verdict ask), chained so no join-back is needed, and the rank is
+    folded to a bucket by the exact ntile arithmetic in
+    :func:`_ntile_from_rank` (hash-identical to the unchanged ntile
+    oracle at every checked sf). ``rfm_segments_scaled`` remains the
+    approx-boundary twin for when even three range exchanges over the
+    user frame are unwanted. The output is the |segments|-bounded
+    roll-up, not the per-user frame."""
+    from mapreduce_model_spark.operators.ids import global_ordered_ids
+
+    per_user = _rfm_per_user(spark, sf_dir).persist()
+    n = per_user.count()
+    # ORDER BY recency_days DESC, user_id ≡ ascending (-recency, user_id);
+    # user_id is unique in the frame, so every key is total-order unique
+    # (the global_ordered_ids contract).
+    ranked = global_ordered_ids(
+        per_user.withColumn("neg_recency", -F.col("recency_days")),
+        ["neg_recency", "user_id"],
+        "r_rank",
+    )
+    ranked = global_ordered_ids(ranked, ["frequency", "user_id"], "f_rank")
+    ranked = global_ordered_ids(ranked, ["monetary", "user_id"], "m_rank")
+    scored = ranked.select(
+        F.concat_ws(
+            "-",
+            _ntile_from_rank(F.col("r_rank"), n, 5),
+            _ntile_from_rank(F.col("f_rank"), n, 5),
+            _ntile_from_rank(F.col("m_rank"), n, 5),
+        ).alias("segment"),
+        "monetary",
     )
     return scored.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -588,15 +588,41 @@ def test_phrase_search_single_corpus_tokenize(spark):
 
 
 def test_rfm_scaled_twin_has_no_window(spark):
-    """rfm_segments_scaled exists to eliminate the exact twin's three
-    global ntile(5) windows (every user row through ONE partition, three
-    times): its plan must contain no window operator at all — boundaries
+    """rfm_segments_scaled exists to eliminate a total-order quintile
+    window: its plan must contain no window operator at all — boundaries
     are an approx_percentile aggregate broadcast back, scoring is narrow."""
     p = plan(spark, "rfm_segments_scaled")
     assert "Window" not in p
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
-    # and the exact twin still carries them (the pair stays a twin)
-    assert "Window" in plan(spark, "rfm_segments")
+
+
+def test_rfm_exact_has_no_window_either(spark):
+    """r10: the EXACT rfm_segments no longer uses ntile windows — each
+    axis ranks via global_ordered_ids (range exchange + narrow Arrow
+    numbering) and folds rank→bucket with exact ntile arithmetic (the
+    last plan-level weak, cleared per the r9 verdict). The registered
+    plan is lineage-truncated at global_ordered_ids' mandatory
+    localCheckpoint (same as global_row_ids), so the range exchange is
+    asserted on an un-materialized single-axis variant."""
+    p = plan(spark, "rfm_segments")
+    assert "Window" not in p
+    assert "SinglePartition" not in p
+
+    from mapreduce_model_spark.operators.ids import global_ordered_ids
+    from mapreduce_model_spark.queries_pipeline import _rfm_per_user
+
+    full = global_ordered_ids(
+        _rfm_per_user(spark, SF), ["monetary", "user_id"], "m_rank",
+        materialize=False,
+    )
+    pf = spark._jvm.PythonSQLUtils.explainString(
+        full._jdf.queryExecution(), "formatted"
+    )
+    # the un-materialized variant shows the one range exchange; its only
+    # SinglePartition (if any) is the 1-row max-ts scalar aggregate inside
+    # _rfm_per_user, never a Window
+    assert "rangepartitioning" in pf.lower()
+    assert "Window" not in pf
 
 
 def test_inverted_index_dfcap_single_tokenize(spark):
@@ -706,7 +732,6 @@ def test_chunk_dedup_rebuild_no_window(spark):
 _WINDOW_SINGLEPARTITION_ALLOWED = {
     "class_rebalance",  # window partitioned by lang; SinglePartition is the 1-row min-count aggregate
     "quantile_mergeable_histogram",  # cumsum over the merged few-dozen-bin histogram, not the fact table
-    "rfm_segments",  # documented exact/oracle face; rfm_segments_scaled is the windowless twin
     "skyline_pareto",  # global pass runs on the bucket-pruned local-skyline survivors only
     "tfidf_top5",  # window partitioned by doc_id; SinglePartition is the 1-row n_docs aggregate
     "vocab_coverage_curve",  # global window over the top-max(_VOCAB_SIZES) rows (TakeOrdered first)

@@ -75,7 +75,14 @@ def sample_frame(df: DataFrame, id_col: str, cap: int | None = None) -> DataFram
     the corpus (the same documented pattern as the round-8 adaptive
     geometry faces — the count is the price of scale-adaptive semantics),
     then a codegen-able filter; full frame returned untouched below the
-    cap so small-scale results equal the unsampled parent's."""
+    cap so small-scale results equal the unsampled parent's.
+
+    When sampling actually applies (thr < 16, i.e. only at generated
+    scales), the filtered frame is PERSISTED before returning: every twin
+    immediately re-consumes it 2-3 times (adaptive-k/stride count, lowest-
+    id query collect, then the pipeline itself), and without the persist
+    each consumer re-ran the full-corpus scan + md5 filter (r9 ADVICE).
+    Lifecycle is the registry's documented evict-don't-unpersist policy."""
     from pyspark.sql import functions as F
 
     thr = sample_thr(df.count(), cap)
@@ -86,7 +93,7 @@ def sample_frame(df: DataFrame, id_col: str, cap: int | None = None) -> DataFram
             f"locate(substr(md5(cast({id_col} as string)), 1, 1), "
             f"'{_HEX}') <= {thr}"
         )
-    )
+    ).persist()
 
 
 def duck_sample_pred(tbl: str, id_col: str, cap: int | None = None) -> str:
@@ -132,7 +139,7 @@ def sample_frame_fine(
     df: DataFrame, id_col: str, cap: int | None = None
 ) -> DataFrame:
     """Spark face of the fine contract (see sample_frame for the count()
-    rationale)."""
+    rationale and the persist-on-sample policy)."""
     from pyspark.sql import functions as F
 
     thr = sample_thr_fine(df.count(), cap)
@@ -143,7 +150,7 @@ def sample_frame_fine(
             f"CAST(conv(substr(md5(cast({id_col} as string)), 1, 2), 16, 10)"
             f" AS INT) < {thr}"
         )
-    )
+    ).persist()
 
 
 def duck_sample_pred_fine(tbl: str, id_col: str, cap: int | None = None) -> str:

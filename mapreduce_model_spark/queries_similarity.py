@@ -87,14 +87,22 @@ def _nb_cte() -> str:
     WHERE {_LSH_TARGET_BUCKET} * (CAST(1 AS BIGINT) << t.b) >= c.n
 )"""
 
-_V = """
+def _v_cte(src: str = "embeddings") -> str:
+    """The normalized-vector CTE over ``src`` — parameterized on the
+    source relation (like _kmeans_cte/_pq_chain) so the sampled twins
+    swap relations structurally instead of via str.replace string
+    surgery on the rendered SQL (r9 ADVICE)."""
+    return f"""
 WITH v AS (
     SELECT vec_id,
            embedding::DOUBLE[] AS ve,
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-    FROM embeddings
+    FROM {src}
 )
 """
+
+
+_V = _v_cte()
 
 
 def _bucket_sql(col: str, bits: int) -> str:
@@ -305,13 +313,18 @@ def adaptive_ivf_stride(n_vectors: int) -> int:
     return max(1, (n_vectors + kc - 1) // kc)
 
 
-_SS_CTE = f"""
+def _ss_cte(src: str = "embeddings") -> str:
+    """Adaptive-stride CTE over ``src`` (parameterized like _v_cte)."""
+    return f"""
 , ss AS (
     SELECT (n + kc - 1) // kc AS stride
     FROM (SELECT n, greatest(4, least({_IVF_KC_CAP},
                  CAST(ceil(sqrt(n)) AS BIGINT))) AS kc
-          FROM (SELECT count(*) AS n FROM embeddings))
+          FROM (SELECT count(*) AS n FROM {src}))
 )"""
+
+
+_SS_CTE = _ss_cte()
 
 
 @query(
@@ -395,10 +408,8 @@ def _ivf_sampled_oracle() -> str:
     query set = the ANN_QUERIES lowest vec_ids IN the sample (equals the
     parent's ``vec_id < ANN_QUERIES`` below the cap, where ids are
     0-based and the sample is the full corpus)."""
-    body = _V.replace("FROM embeddings", f"FROM {_EMB_SAMPLED} se")
-    ss = _SS_CTE.replace(
-        "FROM embeddings", f"FROM {_EMB_SAMPLED} sc"
-    )
+    body = _v_cte(f"{_EMB_SAMPLED} se")
+    ss = _ss_cte(f"{_EMB_SAMPLED} sc")
     return (
         body
         + ss

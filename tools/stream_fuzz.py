@@ -18,13 +18,29 @@ Two run modes per template mix:
   append   — watermarked stream; parity = batch windows whose end ≤
              max(ts) − watermark (the finalized set), emitted exactly
              once. Exercises the watermark-close contract. Single-file
-             source so no generated case depends on file arrival order
-             (late-data ordering is covered by the fixed tests in
-             tests/test_streaming.py).
+             source so no generated case depends on file arrival order.
+
+Third mode (r10, verdict #3 — the ordered modes never exercised the one
+thing watermarks exist for):
+
+  late     — events split into SHUFFLED/OVERLAPPING files (a hash-chosen
+             subset displaced 1..k files later than its ts-bucket), then
+             streamed append-mode with maxFilesPerTrigger=1. Parity = a
+             batch simulation of the per-micro-batch watermark trajectory
+             (_late_predictor): finalized windows must match exactly AND
+             rows later than the watermark must be dropped exactly (per
+             (row, window) pair — sliding windows drop only the already-
+             closed windows of a late row). Watermark delays are drawn as
+             fractions of the file time-span so the battery mixes
+             late-but-kept with late-dropped rows; each OK line reports
+             its pair-drop count so a battery that exercised no lateness
+             is visible.
 
 Usage: python tools/stream_fuzz.py [sf_dir] [n_cases]
-Env:   STREAM_FUZZ_SEED (default 9), STREAM_FUZZ_N (default 120)
-Prints one line per case (OK/FAIL) + final ``STREAMFUZZ n=.. fails=..``.
+Env:   STREAM_FUZZ_SEED (default 9), STREAM_FUZZ_N (default 120),
+       STREAM_FUZZ_LATE_N (default 100)
+Prints one line per case (OK/FAIL) + ``STREAMFUZZ n=.. fails=..`` +
+``LATEFUZZ n=.. fails=.. pairs_dropped=..``.
 """
 
 from __future__ import annotations
@@ -42,21 +58,57 @@ GAPS = ["5 minutes", "10 minutes", "30 minutes", "1 hour"]
 WATERMARKS = ["5 minutes", "10 minutes", "30 minutes", "1 hour"]
 
 
-def _prep_split_source(spark, sf_dir: str, out_dir: str, n_files: int = 4) -> None:
-    """events.parquet split into ``n_files`` ts-ordered files so
-    maxFilesPerTrigger=1 yields time-ordered micro-batches (no late data
-    by construction — every watermark test stays deterministic)."""
-    from mapreduce_model_spark.registry import table
+def _write_split(
+    spark,
+    ev,
+    out_dir: str,
+    n_files: int = 4,
+    disp_pct: int = 0,
+    max_disp: int = 1,
+    salt: int = 0,
+) -> list[tuple[int, str]]:
+    """events split into ``n_files`` ts-ordered bucket files; with
+    ``disp_pct`` > 0 a deterministic hash-chosen ``disp_pct``% of rows is
+    displaced 1..``max_disp`` files LATER than its ts-bucket — controlled
+    out-of-order arrival for the late-data mode. DataFrame slicing
+    end-to-end so the written schema is the source schema exactly (the
+    old collect + createDataFrame round trip re-inferred types, r9
+    ADVICE). Files are written sequentially, so FileStreamSource's
+    (modTime, path) order == index order. Returns [(index, path)] of the
+    non-empty files actually written. The global row_number is fuzzer-
+    harness-only (test-sized input), never engine code."""
+    from pyspark.sql import Window as W
 
-    ev = table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
-    per = (len(ev) + n_files - 1) // n_files
+    cols = ev.columns
+    n = ev.count()
+    per = (n + n_files - 1) // n_files
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(W.orderBy("ts", "event_id")) - 1
+    )
+    # exact integer division: subtract the modulus first so the double
+    # quotient is an integer before the cast
+    base = (
+        ((F.col("_rn") - F.col("_rn") % F.lit(per)) / F.lit(per))
+    ).cast("int")
+    fidx = base
+    if disp_pct:
+        h = F.pmod(F.hash("event_id", F.lit(salt)), F.lit(100))
+        d = F.lit(1) + F.pmod(F.hash("event_id", F.lit(salt + 1)), F.lit(max_disp))
+        fidx = F.when(h < F.lit(disp_pct), base + d).otherwise(base)
+    fidx = F.least(fidx, F.lit(n_files - 1))
+    tagged = ranked.withColumn("_f", fidx).persist()
+    counts = {r["_f"]: r["n"] for r in tagged.groupBy("_f").agg(F.count(F.lit(1)).alias("n")).collect()}
     os.makedirs(out_dir, exist_ok=True)
+    written: list[tuple[int, str]] = []
     for i in range(n_files):
-        chunk = ev[i * per : (i + 1) * per]
-        if chunk:
-            spark.createDataFrame(chunk).coalesce(1).write.mode(
+        if counts.get(i):
+            path = f"{out_dir}/f{i:02d}"
+            tagged.where(F.col("_f") == i).select(*cols).coalesce(1).write.mode(
                 "overwrite"
-            ).parquet(f"{out_dir}/f{i:02d}")
+            ).parquet(path)
+            written.append((i, path))
+    tagged.unpersist()
+    return written
 
 
 def _keys(rng: random.Random):
@@ -181,6 +233,164 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+_MIN_US = 60_000_000
+
+
+def _dur_min(s: str) -> int:
+    num, unit = s.split()
+    return int(num) * (60 if unit.startswith("hour") else 1)
+
+
+def build_late_case(rng: random.Random, range_us: int):
+    """A watermarked tumbling/sliding aggregation over a SHUFFLED,
+    OVERLAPPING multi-file source — the arrival order the ordered modes
+    deliberately avoid (r9 verdict #3: the generator never exercised the
+    one thing watermarks exist for). Watermark delays are drawn as
+    fractions of the ts-bucket span so the battery mixes late-but-kept
+    rows (delay ≥ displacement) with late-dropped ones. Session windows
+    are excluded: late rows MERGE sessions, so the finalized set has no
+    closed-form batch predictor (the fixed cases in tests/test_streaming.py
+    cover session lateness)."""
+    kind = rng.choice(["tumbling", "tumbling", "sliding"])
+    width = rng.choice(WIDTHS)
+    slide = (
+        width
+        if kind == "tumbling"
+        else rng.choice([w for w in WIDTHS if WIDTHS.index(w) <= WIDTHS.index(width)])
+    )
+    n_files = rng.choice([3, 4, 5, 6])
+    bucket_span_min = max(1, range_us // (n_files * _MIN_US))
+    frac = rng.choice([0.05, 0.2, 0.5, 1.0, 1.5])
+    wm_min = max(1, int(bucket_span_min * frac))
+    keys, keyfns = _keys(rng)
+    aggs = _aggs(rng)
+    flt = _filter(rng)
+    spec = {
+        "width_us": _dur_min(width) * _MIN_US,
+        "slide_us": _dur_min(slide) * _MIN_US,
+        "delay_ms": wm_min * 60_000,
+        "wm": f"{wm_min} minutes",
+        "keys": keys,
+        "keyfns": keyfns,
+        "aggs": aggs,
+        "flt": flt,
+        "n_files": n_files,
+        "disp_pct": rng.choice([5, 10, 20, 35]),
+    }
+    spec["max_disp"] = rng.randrange(1, spec["n_files"])
+
+    def fn(ev, streaming_wm=None):
+        out = ev
+        for kf in keyfns:
+            out = kf(out)
+        if flt is not None:
+            out = out.where(flt)
+        if streaming_wm:
+            out = out.withWatermark("ts", streaming_wm)
+        agged = out.groupBy(F.window("ts", width, slide).alias("w"), *keys).agg(*aggs)
+        return agged.select(
+            F.unix_micros("w.start").alias("ws"),
+            F.unix_micros("w.end").alias("we"),
+            "*",
+        ).drop("w")
+
+    desc = (
+        f"late {kind} w={width}/{slide} wm={wm_min}m files={spec['n_files']}"
+        f" disp={spec['disp_pct']}%x{spec['max_disp']} keys={keys}"
+        f" flt={flt is not None}"
+    )
+    return desc, fn, spec
+
+
+def _late_predictor(spark, late_dir: str, files: list[tuple[int, str]], spec):
+    """Batch simulation of the append-mode watermark trajectory over the
+    known micro-batch (=file) order. Spark semantics replicated exactly:
+
+    - the watermark as of batch k is ``(max event-time µs seen in batches
+      0..k-1, integer-floored to ms) − delay_ms``, scaled back to µs —
+      EventTimeWatermarkExec accumulates stats in whole ms, so µs-precision
+      input (this corpus) needs the floor, not a float .timestamp() round
+      trip (initial watermark: 0);
+    - stats see every post-filter row, including rows the stateful op then
+      drops as late;
+    - lateness is per (row, window) PAIR (sliding: a very-late row's older
+      windows drop, newer ones survive), and the LATE FILTER LAGS EVICTION
+      BY ONE BATCH: since Spark 3.4 each micro-batch carries TWO watermark
+      values (SPARK-40925) — ``watermarkForLateEvents`` = the PREVIOUS
+      batch's watermark (filters incoming rows) and
+      ``watermarkForEviction`` = the current one (closes/emits windows).
+      Pair kept iff window end > wm(batch k−1), not wm(batch k). Verified
+      empirically here before encoding: a late row arriving in the first
+      batch after the watermark passed its window end is ACCEPTED and its
+      window emitted that same batch (numRowsDroppedByWatermark=0,
+      numRowsRemoved=1); an identical row one batch later is dropped. The
+      lag can never double-emit a window: any window evicted in batch j
+      has end ≤ wm_evict(j) = wm_late(j+1), so every later arrival for it
+      is filtered;
+    - a window finalizes (append emits it, exactly once) iff its end ≤ the
+      final watermark (availableNow runs a trailing empty batch, so the
+      final eviction always happens).
+
+    The window expansion is exact integer arithmetic on epoch-aligned
+    starts (the F.window contract); the aggregation then reuses the SAME
+    agg/key column expressions as the streamed plan, so a divergence is an
+    execution-path bug, not a formula difference. Returns (want_df,
+    n_pairs_dropped) — the drop count proves the case actually exercised
+    lateness."""
+    flt, keyfns, keys, aggs = spec["flt"], spec["keyfns"], spec["keys"], spec["aggs"]
+    w_us, s_us, delay_ms = spec["width_us"], spec["slide_us"], spec["delay_ms"]
+
+    maxes = []
+    for _, path in files:
+        df = spark.read.parquet(path)
+        if flt is not None:
+            df = df.where(flt)
+        maxes.append(df.agg(F.unix_micros(F.max("ts"))).collect()[0][0])
+    wm_evict, cur = [], 0
+    for m in maxes:
+        wm_evict.append(cur)
+        if m is not None:
+            cur = max(cur, (m // 1000 - delay_ms) * 1000)
+    final_wm = cur
+    # SPARK-40925: the late filter of batch k uses batch k-1's watermark
+    wm_late = [0] + wm_evict[:-1]
+
+    src = spark.read.option("basePath", late_dir).parquet(f"{late_dir}/f*")
+    src = src.withColumn(
+        "_f", F.regexp_extract(F.input_file_name(), "/f(\\d{2})/", 1).cast("int")
+    )
+    for kf in keyfns:
+        src = kf(src)
+    if flt is not None:
+        src = src.where(flt)
+    ts_us = F.unix_micros("ts")
+    x = ts_us - F.lit(w_us).cast("long")
+    smin = (
+        ((x - x % F.lit(s_us)) / F.lit(s_us)).cast("long") + 1
+    ) * F.lit(s_us).cast("long")
+    smax = (
+        ((ts_us - ts_us % F.lit(s_us)) / F.lit(s_us)).cast("long")
+    ) * F.lit(s_us).cast("long")
+    exp = (
+        src.withColumn("ws", F.explode(F.sequence(smin, smax, F.lit(s_us).cast("long"))))
+        .withColumn("we", F.col("ws") + F.lit(w_us).cast("long"))
+        .persist()
+    )
+    wm_map = F.create_map(
+        *[F.lit(v) for (idx, _), wm in zip(files, wm_late) for v in (idx, wm)]
+    )
+    kept = exp.where(F.col("we") > wm_map[F.col("_f")])
+    n_dropped = exp.count() - kept.count()
+    want_df = (
+        kept.groupBy("ws", "we", *keys)
+        .agg(*aggs)
+        .where(F.col("we") <= F.lit(final_wm))
+    )
+    want = _rows(want_df)
+    exp.unpersist()
+    return want, n_dropped
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
@@ -198,7 +408,7 @@ def main() -> int:
     spark = get_spark(app_name="stream-fuzz", cpus=8, shuffle_partitions=8)
     split_dir = tempfile.mkdtemp(prefix="streamfuzz_")
     try:
-        _prep_split_source(spark, sf_dir, split_dir)
+        _write_split(spark, table(spark, sf_dir, "events"), split_dir)
         batch_multi = spark.read.option("basePath", split_dir).parquet(
             f"{split_dir}/f*"
         )
@@ -243,18 +453,21 @@ def main() -> int:
                     sdf = fn(stream_src, streaming_wm=wm)
                     run_stream_to_table(sdf, name, output_mode="append")
                     got = _rows(spark.table(name))
-                    # finalized set: windows whose end ≤ max(ts) − wm,
-                    # where max(ts) is over the rows the WATERMARK operator
-                    # actually sees — i.e. AFTER the template's filter (the
-                    # event-time stats collector sits above the filter in
-                    # the plan). 'we' is µs; wm strings are m/h.
+                    # finalized set: windows whose end ≤ watermark, where
+                    # the watermark derives from max(ts) over the rows the
+                    # WATERMARK operator actually sees — i.e. AFTER the
+                    # template's filter (the event-time stats collector
+                    # sits above the filter in the plan) — floored to whole
+                    # ms exactly as EventTimeWatermarkExec accumulates
+                    # (in-engine unix_micros, no local-TZ .timestamp()
+                    # round trip: r9 ADVICE). 'we' is µs; wm strings m/h.
                     src_batch = batch_single
                     if flt is not None:
                         src_batch = src_batch.where(flt)
-                    max_ts = src_batch.agg(F.max("ts")).collect()[0][0]
-                    num, unit = wm.split()
-                    secs = int(num) * (3600 if unit.startswith("hour") else 60)
-                    thr_us = int(max_ts.timestamp() * 1_000_000) - secs * 1_000_000
+                    max_us = src_batch.agg(
+                        F.unix_micros(F.max("ts"))
+                    ).collect()[0][0]
+                    thr_us = (max_us // 1000 - _dur_min(wm) * 60_000) * 1000
                     want = [r for r in _rows(fn(batch_single)) if r[1] <= thr_us]
                 ok = got == want
             except Exception as exc:  # noqa: BLE001 — report, keep fuzzing
@@ -272,10 +485,77 @@ def main() -> int:
                 )
             spark.catalog.dropTempView(name) if spark.catalog.tableExists(name) else None
         print(f"STREAMFUZZ n={n_cases} fails={fails}")
-        return 1 if fails else 0
+
+        # ---- late-data mode: shuffled/overlapping files, watermark drops
+        n_late = int(os.environ.get("STREAM_FUZZ_LATE_N", "100"))
+        late_fails, total_dropped = run_late_cases(spark, sf_dir, rng, n_late)
+        print(f"LATEFUZZ n={n_late} fails={late_fails} pairs_dropped={total_dropped}")
+        return 1 if (fails or late_fails) else 0
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
         spark.stop()
+
+
+def run_late_cases(spark, sf_dir: str, rng: random.Random, n_late: int):
+    """Run ``n_late`` late-data cases (see :func:`build_late_case`): each
+    case writes its own displaced split, streams it append-mode through
+    maxFilesPerTrigger=1, and compares against :func:`_late_predictor`.
+    Returns (fails, total_pairs_dropped) — a battery whose total drop
+    count is 0 exercised nothing and should be treated as suspect."""
+    from mapreduce_model_spark.registry import table
+    from mapreduce_model_spark.streaming.windows import run_stream_to_table
+
+    ev = table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).collect()[0]
+    fails = 0
+    total_dropped = 0
+    for i in range(n_late):
+        late_dir = tempfile.mkdtemp(prefix="streamfuzz_late_")
+        name = f"sfzl_{i}"
+        try:
+            desc, fn, spec = build_late_case(rng, hi - lo)
+            files = _write_split(
+                spark,
+                ev,
+                late_dir,
+                n_files=spec["n_files"],
+                disp_pct=spec["disp_pct"],
+                max_disp=spec["max_disp"],
+                salt=i,
+            )
+            schema = spark.read.parquet(files[0][1]).schema
+            stream_src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("basePath", late_dir)
+                .parquet(f"{late_dir}/f*")
+            )
+            run_stream_to_table(
+                fn(stream_src, streaming_wm=spec["wm"]), name, output_mode="append"
+            )
+            got = _rows(spark.table(name))
+            want, n_dropped = _late_predictor(spark, late_dir, files, spec)
+            total_dropped += n_dropped
+            ok = got == want
+        except Exception as exc:  # noqa: BLE001 — report, keep fuzzing
+            ok = False
+            got, want, n_dropped = [f"EXCEPTION {exc}"], [], 0
+        if ok:
+            print(f"OK L{i:03d} {desc} dropped={n_dropped}", flush=True)
+        else:
+            fails += 1
+            print(
+                f"FAIL L{i:03d} {desc}\n  got {len(got)} rows,"
+                f" want {len(want)}; first diff:"
+                f" {next(iter(set(map(str, got)) ^ set(map(str, want))), '')[:200]}",
+                flush=True,
+            )
+        if spark.catalog.tableExists(name):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(late_dir, ignore_errors=True)
+    return fails, total_dropped
 
 
 if __name__ == "__main__":

@@ -5,10 +5,12 @@ metadata struct; Spark treats them as bytes (columnar, dictionary-free).
 Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the only
 sanctioned Python hot path, because codecs don't exist as JVM expressions.
 
-The actual image/audio codecs are NOT in this container, so ``decode_image``
-is a clearly-marked stub (NotImplementedError) and ``extract_features`` is a
-deterministic fake with the REAL Spark plumbing: schema contract, Arrow
-batch iteration, per-partition execution, no driver collect.
+No codec LIBRARY exists in this container, so the decoders are pure
+Python/numpy: BMP (24bpp), PPM (P6) and baseline JPEG (operators/jpeg.py)
+decode for real; PNG/GIF remain a clearly-marked stub
+(NotImplementedError) and ``extract_features`` is a deterministic fake
+with the REAL Spark plumbing: schema contract, Arrow batch iteration,
+per-partition execution, no driver collect.
 
 Scale notes (100 TB of media): payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so a partition
@@ -92,6 +94,53 @@ def synthetic_image_media(
                 payloads.append(
                     encode_bmp(arr) if int(did) % 2 == 0 else encode_ppm(arr)
                 )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread_for_fanout(docs.select(id_col, size_col), id_col).mapInPandas(
+        _build,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthetic_jpeg_media(
+    docs: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """(doc_id, payload) with REAL baseline-JPEG payloads built
+    deterministically from table columns: grayscale, W = 8·((n % 3) + 1),
+    H = 8·((n % 2) + 1), and the 8×8 block at row-major grid index b is
+    CONSTANT with value (doc_id + b) % 256. A constant block's DCT is a
+    single integer DC coefficient, so with the encoder's all-ones
+    quantization table the lossy pipeline is bit-exact on these inputs
+    (operators/jpeg.py) — which is what lets a SQL oracle predict every
+    decoded feature from the pixel law without parsing bytes, the same
+    falsifiability contract as synthetic_image_media for BMP/PPM."""
+    from mapreduce_model_spark.operators.jpeg import encode_jpeg
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf[id_col], pdf[size_col]):
+                w = 8 * (int(n) % 3 + 1)
+                h = 8 * (int(n) % 2 + 1)
+                blocks = (
+                    int(did) + np.arange((h // 8) * (w // 8), dtype=np.int64)
+                ) % 256
+                img = np.repeat(
+                    np.repeat(blocks.astype(np.uint8).reshape(h // 8, w // 8), 8, 0),
+                    8,
+                    1,
+                )
+                payloads.append(encode_jpeg(img))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -215,17 +264,26 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the REAL pure-Python decoders: BMP (24bpp
-    uncompressed) and PPM (P6) need no codec library and are fully
-    implemented; JPEG/PNG/GIF still require a codec (PIL/libjpeg) absent
-    from this container and keep the documented stub behavior."""
+    uncompressed), PPM (P6), and baseline-sequential JPEG (SOF0/SOF1,
+    operators/jpeg.py — full marker walk, Huffman entropy decode, exact
+    IDCT, 4:2:0/4:2:2 chroma upsampling). PNG/GIF still require a codec
+    (zlib inflate / LZW) absent from this container and keep the
+    documented stub behavior; progressive JPEG raises inside
+    decode_jpeg. The pure-Python JPEG path is a correctness face — in
+    production swap in PIL/libjpeg-turbo behind the same contract."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from mapreduce_model_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/PNG/GIF decode requires a codec library not present in this "
+        "PNG/GIF decode requires a codec library not present in this "
         "container; swap in PIL.Image.open(io.BytesIO(payload)) in "
-        "production. BMP and PPM decode natively (decode_bmp/decode_ppm)."
+        "production. BMP, PPM and baseline JPEG decode natively "
+        "(decode_bmp/decode_ppm/operators.jpeg.decode_jpeg)."
     )
 
 

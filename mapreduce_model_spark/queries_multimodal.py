@@ -326,3 +326,65 @@ def multimodal_resize_real(spark, sf_dir):
         "pix_sum_mod",
         rnd(F.col("mean_r"), 4).alias("mean_r"),
     )
+
+
+@query(
+    "multimodal_decode_jpeg",
+    oracle="""
+WITH base AS (
+    SELECT doc_id,
+           CAST(8 * ((n_chars % 3) + 1) AS INTEGER) AS w,
+           CAST(8 * ((n_chars % 2) + 1) AS INTEGER) AS h
+    FROM documents
+), blk AS (
+    SELECT doc_id, w, h,
+           unnest(range(0, (w // 8) * (h // 8))) AS b
+    FROM base
+)
+SELECT doc_id, 'jpeg' AS fmt, w AS width, h AS height,
+       CAST((192 * sum((doc_id + b) % 256)) % 997 AS INTEGER) AS pix_sum_mod,
+       round(avg((doc_id + b) % 256) + 1e-9, 4) AS mean_r
+FROM blk GROUP BY doc_id, w, h
+""",
+)
+def multimodal_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, hash-checked through the FULL lossy
+    pipeline: every doc gets a grayscale SOF0 JPEG payload whose 8×8
+    blocks are constant under a closed-form law (synthetic_jpeg_media),
+    the pure-Python decoder (operators/jpeg.py: marker walk, canonical
+    Huffman decode with byte unstuffing, DC prediction, dequantize +
+    de-zigzag, exact float64 IDCT) parses the BYTES back to pixels, and
+    the features come from the DECODED ARRAY. Constant blocks + the
+    all-ones quantization table make JPEG lossless on exactly these
+    inputs, so the oracle predicts every decoded feature from the pixel
+    law without parsing bytes — a hash match proves the entropy-coded
+    round trip is exact, the BMP/PPM falsifiability contract extended
+    through a DCT codec. pix_sum covers all 3 replicated channels
+    (192 = 3 channels × 64 pixels per block); mean_r is the gray mean.
+    Format comes from the JVM magic-byte sniffer (FFD8FF → 'jpeg'), so
+    the sniffer's JFIF recognition is hash-pinned too.
+
+    Scale: one mapInPandas encode pass + one decode pass, features-only
+    downstream (the binary column never shuffles). The pure-Python
+    entropy coder is the correctness face — at 100 TB the same
+    mapInPandas slot runs libjpeg-turbo via PIL with identical plumbing.
+    Lossy-content accuracy (±2 on random images at unit quant) and the
+    progressive/12-bit rejection paths are pinned in tests/test_jpeg.py."""
+    from mapreduce_model_spark.functions.rounding import rnd
+    from mapreduce_model_spark.operators.multimodal import (
+        decode_image_features,
+        sniff_format,
+        synthetic_jpeg_media,
+    )
+
+    media = synthetic_jpeg_media(table(spark, sf_dir, "documents"))
+    fmts = media.select("doc_id", sniff_format(F.col("payload")).alias("fmt"))
+    feats = decode_image_features(media)
+    return feats.join(fmts, "doc_id").select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "pix_sum_mod",
+        rnd(F.col("mean_r"), 4).alias("mean_r"),
+    )

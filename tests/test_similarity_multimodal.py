@@ -69,8 +69,10 @@ def test_asof_join_semantics(spark):
 
 
 def test_multimodal_stub_and_features(spark, sf_dir):
+    # JPEG now decodes for real (operators/jpeg.py, r10); PNG/GIF remain
+    # the documented stub
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
     media = attach_payload(docs)

@@ -41,6 +41,25 @@ Env:
                       and re-persisting once) — so with this flag each PQ
                       family member re-pays its own training, i.e. you are
                       measuring the r6-era unshared behavior by design.
+  BENCH_CHUNK         N > 0 → run the suite as sequential CHILD processes
+                      of N queries each (one fresh JVM + Python + cache
+                      per chunk, the tools/sweep.py SWEEP_CHUNK pattern),
+                      then print ONE merged JSON line tagged
+                      "mode": "chunked_fresh_session". This is the r9
+                      verdict's bench-trust fix: in the single-session
+                      record a query's number encodes the cache-eviction
+                      state left by the ~200 queries before it (r9's top
+                      tail entry measured 8.4x its idle-isolated time), so
+                      per-query values were only comparable within one
+                      eviction order. Chunked numbers are comparable
+                      query-by-query across rounds. Sidecar goes to
+                      BENCH_FULL_CHUNKED.json (BENCH_FULL_PATH still wins
+                      if set); the LEGACY single-session record keeps its
+                      default path/format so cross-round ratios stay
+                      interpretable during the transition. Chunk boundary
+                      note: persisted-frame sharing (PQ training memo)
+                      only spans queries inside one chunk, so keep
+                      families within a chunk or read the family SUM.
 """
 
 from __future__ import annotations
@@ -53,7 +72,116 @@ import sys
 import time
 
 
+def _chunked_main(chunk: int) -> None:
+    """Parent orchestration for BENCH_CHUNK: list the registry (no Spark
+    session needed), spawn `bench.py` children over BENCH_QUERIES slices
+    with a fresh JVM each, merge their per-query timings, emit one JSON
+    line + the BENCH_FULL_CHUNKED.json sidecar."""
+    import math
+    import subprocess
+
+    from mapreduce_model_spark import registry
+
+    names = list(registry.QUERIES)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
+    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    here = os.path.abspath(__file__)
+    for i in range(0, len(names), chunk):
+        sl = names[i : i + chunk]
+        env = dict(
+            os.environ,
+            BENCH_QUERIES=",".join(sl),
+            BENCH_CHUNK="0",
+            BENCH_EMIT_RUNS="1",
+        )
+        proc = subprocess.run(
+            [sys.executable, here], env=env, capture_output=True, text=True
+        )
+        line = next(
+            (l for l in reversed(proc.stdout.splitlines()) if l.startswith("{")),
+            None,
+        )
+        if line is None:
+            print(
+                f"bench: chunk {i // chunk} produced no JSON line:\n"
+                f"{proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
+            for n in sl:
+                timings[n] = -1.0
+            continue
+        child = json.loads(line)
+        timings.update(child["queries"])
+        all_runs.update(child.get("runs", {}))
+        print(
+            f"bench: chunk {i // chunk + 1}/{(len(names) + chunk - 1) // chunk}"
+            f" done ({len(sl)} queries, {child['value']}s)",
+            file=sys.stderr,
+        )
+    total = round(sum(t for t in timings.values() if t > 0), 4)
+    failed_names = sorted(n for n, t in timings.items() if t < 0)
+    sidecar = os.environ.get(
+        "BENCH_FULL_PATH",
+        os.path.join(os.path.dirname(here), "BENCH_FULL_CHUNKED.json"),
+    )
+    geomean_vs_prev = None
+    try:
+        prev = json.load(open(sidecar)).get("queries", {})
+        common = [
+            n
+            for n, t in timings.items()
+            if t > 0 and isinstance(prev.get(n), (int, float)) and prev[n] > 0
+        ]
+        if common:
+            geomean_vs_prev = round(
+                math.exp(
+                    sum(math.log(timings[n] / prev[n]) for n in common) / len(common)
+                ),
+                4,
+            )
+    except (OSError, ValueError):
+        pass
+    ordered = dict(sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1])))
+    by_cost = sorted(
+        ((n, t) for n, t in timings.items() if t > 0), key=lambda kv: -kv[1]
+    )
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "repeat": repeat,
+        "stat": "min" if repeat == 1 else "median_after_warmup",
+        "mode": "chunked_fresh_session",
+        "chunk": chunk,
+        "queries": ordered,
+        "summary": {
+            "total_s": total,
+            "n_ok": len(timings) - len(failed_names),
+            "n_failed": len(failed_names),
+            "failed": failed_names,
+            "geomean_vs_prev": geomean_vs_prev,
+            "top5": dict(by_cost[:5]),
+        },
+    }
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump({**payload, "runs": all_runs}, fh, sort_keys=True, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
+    print(json.dumps(payload))
+
+
 def main() -> None:
+    chunk = int(os.environ.get("BENCH_CHUNK", "0") or 0)
+    if chunk > 0 and not os.environ.get("BENCH_QUERIES"):
+        _chunked_main(chunk)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
@@ -229,6 +357,8 @@ def main() -> None:
                 fh.write("\n")
         except OSError as exc:
             print(f"bench: could not write {sidecar}: {exc}", file=sys.stderr)
+    if os.environ.get("BENCH_EMIT_RUNS") == "1":
+        payload["runs"] = all_runs  # chunked parent collects raw samples
     print(json.dumps(payload))
 
 

@@ -41,7 +41,9 @@ Env:
                       and re-persisting once) — so with this flag each PQ
                       family member re-pays its own training, i.e. you are
                       measuring the r6-era unshared behavior by design.
-  BENCH_CHUNK         N > 0 → run the suite as sequential CHILD processes
+  BENCH_CHUNK         DEFAULT 30 (since r11 — the chunked record IS the
+                      record of note; set 0 for the legacy single-session
+                      mode). N > 0 → run the suite as sequential CHILD processes
                       of N queries each (one fresh JVM + Python + cache
                       per chunk, the tools/sweep.py SWEEP_CHUNK pattern),
                       then print ONE merged JSON line tagged
@@ -130,19 +132,23 @@ def _chunked_main(chunk: int) -> None:
     )
     geomean_vs_prev = None
     try:
-        prev = json.load(open(sidecar)).get("queries", {})
-        common = [
-            n
-            for n, t in timings.items()
-            if t > 0 and isinstance(prev.get(n), (int, float)) and prev[n] > 0
-        ]
-        if common:
-            geomean_vs_prev = round(
-                math.exp(
-                    sum(math.log(timings[n] / prev[n]) for n in common) / len(common)
-                ),
-                4,
-            )
+        prev_doc = json.load(open(sidecar))
+        # Only compare like with like: a sidecar recorded at a different
+        # sf / chunk / repeat would silently yield a cross-config ratio.
+        if all(prev_doc.get(k) == v for k, v in (("sf", sf), ("chunk", chunk), ("repeat", repeat))):
+            prev = prev_doc.get("queries", {})
+            common = [
+                n
+                for n, t in timings.items()
+                if t > 0 and isinstance(prev.get(n), (int, float)) and prev[n] > 0
+            ]
+            if common:
+                geomean_vs_prev = round(
+                    math.exp(
+                        sum(math.log(timings[n] / prev[n]) for n in common) / len(common)
+                    ),
+                    4,
+                )
     except (OSError, ValueError):
         pass
     ordered = dict(sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1])))
@@ -178,7 +184,12 @@ def _chunked_main(chunk: int) -> None:
 
 
 def main() -> None:
-    chunk = int(os.environ.get("BENCH_CHUNK", "0") or 0)
+    # DEFAULT is the chunked fresh-session record (r10 verdict: promote it
+    # to the record of note — per-query numbers comparable across rounds,
+    # free of single-session cache-eviction artifacts). BENCH_CHUNK=0
+    # selects the legacy single-session mode, kept for cross-round ratio
+    # continuity (run separately, commit as BENCH_r{N}_legacy.json).
+    chunk = int(os.environ.get("BENCH_CHUNK", "30") or 0)
     if chunk > 0 and not os.environ.get("BENCH_QUERIES"):
         _chunked_main(chunk)
         return
@@ -301,7 +312,14 @@ def main() -> None:
     try:
         import math
 
-        prev = json.load(open(sidecar)).get("queries", {})
+        prev_doc = json.load(open(sidecar))
+        # Cross-config guard (mirrors the chunked path): a sidecar from a
+        # different sf / repeat run must not feed the ratio.
+        if not all(
+            prev_doc.get(k) == v for k, v in (("sf", sf), ("repeat", repeat))
+        ):
+            raise ValueError("previous sidecar config differs; skip ratio")
+        prev = prev_doc.get("queries", {})
         common = [
             n
             for n, t in timings.items()

@@ -504,6 +504,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     if comps is None:
         raise ValueError("no SOF frame header before SOS")
+    if len(scan_map) < len(comps):
+        # Valid SOF0 files may split components across several SOS scans
+        # (non-interleaved); this decoder handles only the single
+        # interleaved scan that covers every frame component — reject the
+        # rest explicitly rather than KeyError mid-decode.
+        raise NotImplementedError(
+            "non-interleaved JPEG (SOS covers fewer components than the "
+            "frame declares): only a single interleaved baseline scan is "
+            "supported — use libjpeg (PIL) in production"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -513,45 +523,53 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         for (_, hi, vi, _) in comps
     ]
 
-    br = _BitReader(payload, pos)
-    preds = [0] * len(comps)
-    nmcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and nmcu and nmcu % restart_interval == 0:
-                br.align_past_rst()
-                preds = [0] * len(comps)
-            for ci, (_, hi, vi, tq) in enumerate(comps):
-                td, ta = scan_map[ci]
-                q = qtables[tq]
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = np.zeros(64, np.int64)
-                        ssss = _huff_decode(br, dc_dec[td])
-                        diff = _extend(br.read_bits(ssss), ssss)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(br, ac_dec[ta])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        nat = np.zeros(64, np.int64)
-                        nat[ZIGZAG] = zz
-                        coefs = nat.reshape(8, 8) * q
-                        plane_blocks[ci][my * vi + by, mx * hi + bx] = (
-                            _A.T @ coefs @ _A
-                        )
-            nmcu += 1
+    try:
+        br = _BitReader(payload, pos)
+        preds = [0] * len(comps)
+        nmcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and nmcu and nmcu % restart_interval == 0:
+                    br.align_past_rst()
+                    preds = [0] * len(comps)
+                for ci, (_, hi, vi, tq) in enumerate(comps):
+                    td, ta = scan_map[ci]
+                    q = qtables[tq]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = np.zeros(64, np.int64)
+                            ssss = _huff_decode(br, dc_dec[td])
+                            diff = _extend(br.read_bits(ssss), ssss)
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(br, ac_dec[ta])
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(br.read_bits(s), s)
+                                k += 1
+                            nat = np.zeros(64, np.int64)
+                            nat[ZIGZAG] = zz
+                            coefs = nat.reshape(8, 8) * q
+                            plane_blocks[ci][my * vi + by, mx * hi + bx] = (
+                                _A.T @ coefs @ _A
+                            )
+                nmcu += 1
+    except (_MarkerReached, IndexError) as exc:
+        # A marker or end-of-buffer inside the entropy-coded segment means
+        # the scan is shorter than the frame promises: surface the
+        # documented ValueError, not the internal control-flow exception.
+        raise ValueError(
+            "truncated or corrupt entropy-coded segment"
+        ) from exc
 
     planes = []
     for ci, (_, hi, vi, _) in enumerate(comps):

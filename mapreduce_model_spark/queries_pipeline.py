@@ -2449,13 +2449,12 @@ def rfm_segments(spark, sf_dir):
     # (measured 12 s at sf0.1 with the default; ~3 s scaled). At large N
     # this is the default shuffle parallelism again — the PLAN is
     # unchanged, only task count adapts (ids depend on order, not layout).
-    parts = max(
-        1,
-        min(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            (n + 4095) // 4096,
-        ),
-    )
+    try:
+        # Non-numeric on some platforms (e.g. "auto" under Databricks AQE).
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        shuffle_parts = spark.sparkContext.defaultParallelism
+    parts = max(1, min(shuffle_parts, (n + 4095) // 4096))
     # ORDER BY recency_days DESC, user_id ≡ ascending (-recency, user_id);
     # user_id is unique in the frame, so every key is total-order unique
     # (the global_ordered_ids contract).

@@ -1460,6 +1460,15 @@ def semantic_dedup(spark, sf_dir):
     the same pair scoring — bit-identical dot products make the float
     recurrence comparable.
 
+    EXEMPLAR-ONLY (r11): this face pins k=8 so the oracle can replay the
+    unrolled Lloyd recurrence term-for-term — a fixed geometry whose
+    Σ|cluster|² candidate volume grows superlinearly with N. It exists as
+    the fully-hash-checked pedagogical face and is EXCLUDED from scale
+    claims; the production default is ``semantic_dedup_scaled`` (same
+    shared body, k=⌈√N⌉ adaptive in both engine and oracle via _ks_cte),
+    which is registered and hash-checked beside it. See PLANS.md
+    "Cross-scale scaling evidence" exclusion note.
+
     Scale: clustering is kmeans_fit (broadcast assign + k×dim-key
     shuffle); the pair join is keyed on cid, so candidate volume is
     Σ|cluster|² — SemDeDup's own recipe is k ∝ √N to bound cluster sizes

@@ -212,3 +212,48 @@ def test_decode_image_dispatches_jpeg():
 def test_png_still_stubbed():
     with pytest.raises(NotImplementedError, match="PNG"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_truncated_entropy_stream_raises_valueerror():
+    # Chop the entropy-coded segment short (keep SOI..SOS header, drop the
+    # tail): the decoder must surface the documented ValueError, not the
+    # internal _MarkerReached/IndexError control-flow exceptions.
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    payload = encode_jpeg(img)
+    sos = payload.index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(payload[sos + 2 : sos + 4], "big")
+    for cut in (scan_start + 1, len(payload) - 8):
+        with pytest.raises(ValueError, match="entropy"):
+            decode_jpeg(payload[:cut])
+
+
+def test_corrupt_entropy_stream_marker_raises_valueerror():
+    # Inject a bare (non-stuffed) marker mid-scan: _MarkerReached must be
+    # re-raised as ValueError.
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    sos = bytes(payload).index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(payload[sos + 2 : sos + 4], "big")
+    payload[scan_start + 4 : scan_start + 6] = b"\xff\xc4"
+    with pytest.raises(ValueError, match="entropy"):
+        decode_jpeg(bytes(payload))
+
+
+def test_non_interleaved_multi_scan_rejected():
+    # A valid SOF0 file whose first SOS covers only one of three components
+    # (non-interleaved) must be rejected explicitly, not KeyError.
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img, subsampling="444"))
+    sos = bytes(payload).index(b"\xff\xda")
+    ln = int.from_bytes(payload[sos + 2 : sos + 4], "big")
+    # Rewrite the SOS header in place: ns 3 -> 1, keep component 1's spec,
+    # then splice out the two dropped (cs, td/ta) byte pairs.
+    assert payload[sos + 4] == 3
+    comp1 = payload[sos + 5 : sos + 7]
+    trailer = payload[sos + 2 + ln - 3 : sos + 2 + ln]
+    payload[sos + 2 : sos + 2 + ln] = (8).to_bytes(2, "big") + bytes([1]) + comp1 + trailer
+    with pytest.raises(NotImplementedError, match="interleaved"):
+        decode_jpeg(bytes(payload))

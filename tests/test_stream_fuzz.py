@@ -17,6 +17,7 @@ def test_stream_fuzz_smoke():
         STREAM_FUZZ_SEED="9",
         STREAM_FUZZ_N="8",
         STREAM_FUZZ_LATE_N="6",
+        STREAM_FUZZ_LATE_SESS_N="4",
     )
     proc = subprocess.run(
         [sys.executable, "tools/stream_fuzz.py", "/root/testdata/sf0.001", "8"],
@@ -34,3 +35,9 @@ def test_stream_fuzz_smoke():
     # the late slice must actually exercise lateness: at least one
     # (row, window) pair dropped by the watermark across the 6 cases
     assert int(m.group(2)) > 0, proc.stdout[-3000:]
+    # session late mode (r11): parity through the merge-then-evict state
+    # machine; drop counts accumulate over the full battery, so the smoke
+    # only pins fails=0 here (lateness exercise is pinned by the battery's
+    # LATESESSFUZZ rows_dropped in COVERAGE.md)
+    s = re.search(r"LATESESSFUZZ n=4 fails=(\d+)", proc.stdout)
+    assert s and s.group(1) == "0", proc.stdout[-3000:] + proc.stderr[-2000:]

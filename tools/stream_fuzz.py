@@ -36,11 +36,26 @@ thing watermarks exist for):
              its pair-drop count so a battery that exercised no lateness
              is visible.
 
+Fourth mode (r11, verdict #4 — the late mode above excludes sessions):
+
+  late-session — session_window aggregations over the same displaced
+             splits; parity = _late_session_predictor, an exact replay of
+             the merge-then-evict state machine under the two-watermark
+             trajectory (late filter on the per-row session end vs the
+             PREVIOUS batch's watermark; eviction vs the current one). A
+             session emitted by the watermark leaves state, so a later
+             within-gap arrival opens a NEW overlapping session — the
+             deliberate divergence from batch semantics this mode pins.
+             Each OK line reports rows dropped + split sessions so a
+             battery that exercised neither path is visible.
+
 Usage: python tools/stream_fuzz.py [sf_dir] [n_cases]
 Env:   STREAM_FUZZ_SEED (default 9), STREAM_FUZZ_N (default 120),
-       STREAM_FUZZ_LATE_N (default 100)
+       STREAM_FUZZ_LATE_N (default 100), STREAM_FUZZ_LATE_SESS_N
+       (default 50)
 Prints one line per case (OK/FAIL) + ``STREAMFUZZ n=.. fails=..`` +
-``LATEFUZZ n=.. fails=.. pairs_dropped=..``.
+``LATEFUZZ n=.. fails=.. pairs_dropped=..`` +
+``LATESESSFUZZ n=.. fails=.. rows_dropped=.. split_sessions=..``.
 """
 
 from __future__ import annotations
@@ -302,6 +317,291 @@ def build_late_case(rng: random.Random, range_us: int):
     return desc, fn, spec
 
 
+def build_late_session_case(rng: random.Random, range_us: int):
+    """A watermarked SESSION-window aggregation over a shuffled/overlapping
+    multi-file source (r10 verdict #4 — the late mode excluded sessions
+    because late rows MERGE sessions, so no single batch aggregation is a
+    valid oracle). The oracle here is :func:`_late_session_predictor`, an
+    exact replay of the per-micro-batch watermark trajectory over session
+    merge/evict state transitions. Watermark delays are drawn as fractions
+    of the ts-bucket span so the battery mixes late-but-kept rows with
+    late-dropped ones AND with sessions that were already finalized when a
+    within-gap row arrived (the stream must then open a NEW overlapping
+    session — the exact divergence from batch semantics that makes the
+    ordered modes unable to cover this path)."""
+    n_files = rng.choice([3, 4, 5, 6])
+    dense = rng.random() < 0.5
+    if dense:
+        # DENSE sub-mode: slice the corpus to n_files buckets of only a few
+        # gap-widths each, so events chain into multi-row sessions and a
+        # displaced row usually lands INSIDE an already-evicted session's
+        # interval — the split-session path the span mode almost never hits
+        # (bucket span there is ~days vs gaps ≤ 1 h).
+        gap = rng.choice(["30 minutes", "1 hour"])
+        mult = rng.choice([2, 3, 4])
+        bucket_span_min = _dur_min(gap) * mult
+        slice_us = n_files * bucket_span_min * _MIN_US
+        frac = rng.choice([0.3, 0.6, 1.0, 1.5])
+        off_us = int((range_us - slice_us) * rng.random()) if range_us > slice_us else 0
+    else:
+        gap = rng.choice(GAPS)
+        bucket_span_min = max(1, range_us // (n_files * _MIN_US))
+        frac = rng.choice([0.05, 0.2, 0.5, 1.0, 1.5])
+        slice_us = off_us = None
+    key = rng.choice(["user_id", "event_type"]) if not dense else rng.choice(
+        ["event_type", "ub2"]
+    )
+    wm_min = max(1, int(bucket_span_min * frac))
+    aggs = _aggs(rng)
+    flt = _filter(rng)
+    spec = {
+        "gap_us": _dur_min(gap) * _MIN_US,
+        "delay_ms": wm_min * 60_000,
+        "wm": f"{wm_min} minutes",
+        "key": key,
+        "aggs": aggs,
+        "flt": flt,
+        "n_files": n_files,
+        "disp_pct": rng.choice([5, 10, 20, 35]),
+        "slice_us": slice_us,
+        "off_us": off_us,
+    }
+    spec["max_disp"] = rng.randrange(1, n_files)
+
+    def _with_key(df):
+        if key == "ub2":
+            return df.withColumn("ub2", F.pmod("user_id", F.lit(2)).cast("int"))
+        return df
+
+    spec["with_key"] = _with_key
+
+    def fn(ev, streaming_wm=None, gap=gap, key=key):
+        out = _with_key(ev)
+        if flt is not None:
+            out = out.where(flt)
+        if streaming_wm:
+            out = out.withWatermark("ts", streaming_wm)
+        agged = out.groupBy(F.session_window("ts", gap).alias("w"), key).agg(*aggs)
+        return agged.select(
+            F.unix_micros("w.start").alias("ws"),
+            F.unix_micros("w.end").alias("we"),
+            F.col(key).alias("k"),
+            "*",
+        ).drop("w", key)
+
+    desc = (
+        f"late-session{' dense' if dense else ''} gap={gap} key={key}"
+        f" wm={wm_min}m files={n_files}"
+        f" disp={spec['disp_pct']}%x{spec['max_disp']} flt={flt is not None}"
+    )
+    return desc, fn, spec
+
+
+def _merge_session(lst: list[dict], s: int, e: int, rid) -> None:
+    """Union the half-open interval [s, e) (one row's session window) into
+    the per-key open-session list IN PLACE. Spark merges two sessions iff
+    they overlap as half-open intervals (start2 < end1) — an event at
+    exactly ``prev_end`` starts a NEW session."""
+    rows = [rid]
+    keep = []
+    for sess in lst:
+        if sess["s"] < e and s < sess["e"]:
+            s = min(s, sess["s"])
+            e = max(e, sess["e"])
+            rows.extend(sess["rows"])
+        else:
+            keep.append(sess)
+    keep.append({"s": s, "e": e, "rows": rows})
+    lst[:] = keep
+
+
+def _late_session_predictor(spark, files: list[tuple[int, str]], spec, src):
+    """Exact replay of Spark's session-window state machine over the known
+    micro-batch (=file) order. Per batch k, in order:
+
+    1. event-time stats see every post-filter row (max ts, whole-ms floor);
+    2. LATE FILTER with the PREVIOUS batch's watermark (SPARK-40925): an
+       incoming row is dropped iff its per-row session window end
+       (ts + gap) ≤ wm(batch k−1) — the session_window column carries the
+       event time, so the predicate tests its end, exactly as the verified
+       fixed-window pair rule;
+    3. MERGE surviving rows into per-key open sessions (half-open interval
+       union — merge iff start2 < end1; session = [min ts, max ts + gap));
+    4. EVICT+EMIT sessions whose end ≤ wm(batch k) — merge-then-evict, so
+       a late row can extend a session and see it emitted the same batch.
+
+    A session, once emitted, leaves state: a later within-gap arrival that
+    passes the late filter opens a NEW session (its start is strictly after
+    the emitted one's, so (ws, we, key) stays unique in the output — no
+    multiset ambiguity). availableNow runs a trailing empty batch, so the
+    final watermark performs the last eviction; sessions still open then
+    are never emitted in append mode.
+
+    The aggregation reuses the SAME agg expressions as the streamed plan
+    over the simulated row→session assignment, so any divergence is an
+    execution-path bug, not a formula difference. Row bookkeeping is
+    driver-side but fuzzer-harness-only (test-sized input), never engine
+    code. Returns (want_rows, n_rows_dropped, n_split_sessions) — drops
+    prove lateness was exercised; splits prove the merge-after-evict path
+    was (a split is an emitted session overlapping an earlier-emitted one
+    for the same key, which single-batch semantics would have merged)."""
+    gap_us, delay_ms = spec["gap_us"], spec["delay_ms"]
+    aggs = spec["aggs"]
+
+    rows = src.select(
+        "_f", "event_id", F.unix_micros("ts").alias("ts_us"), "k"
+    ).collect()
+    by_f: dict[int, list] = {}
+    for r in rows:
+        by_f.setdefault(r["_f"], []).append(r)
+    maxes = [
+        max((r["ts_us"] for r in by_f.get(idx, [])), default=None)
+        for idx, _ in files
+    ]
+    wm_evict, cur = [], 0
+    for m in maxes:
+        wm_evict.append(cur)
+        if m is not None:
+            cur = max(cur, (m // 1000 - delay_ms) * 1000)
+    final_wm = cur
+    wm_late = [0] + wm_evict[:-1]
+
+    state: dict[object, list[dict]] = {}
+    emitted: list[tuple[object, int, int, list]] = []
+    dropped = 0
+    for bi in range(len(files)):
+        idx = files[bi][0]
+        for r in by_f.get(idx, []):
+            if r["ts_us"] + gap_us <= wm_late[bi]:
+                dropped += 1
+                continue
+            _merge_session(
+                state.setdefault(r["k"], []),
+                r["ts_us"],
+                r["ts_us"] + gap_us,
+                r["event_id"],
+            )
+        for kk, lst in state.items():
+            still = []
+            for sess in lst:
+                if sess["e"] <= wm_evict[bi]:
+                    emitted.append((kk, sess["s"], sess["e"], sess["rows"]))
+                else:
+                    still.append(sess)
+            state[kk] = still
+    for kk, lst in state.items():
+        for sess in lst:
+            if sess["e"] <= final_wm:
+                emitted.append((kk, sess["s"], sess["e"], sess["rows"]))
+
+    splits = 0
+    seen: dict[object, list[tuple[int, int]]] = {}
+    for kk, s, e, _ in sorted(emitted, key=lambda t: (str(t[0]), t[1])):
+        if any(s < pe and ps < e for ps, pe in seen.get(kk, [])):
+            splits += 1
+        seen.setdefault(kk, []).append((s, e))
+
+    assign = [
+        (int(rid), int(s), int(e))
+        for _, s, e, rids in emitted
+        for rid in rids
+    ]
+    if not assign:
+        return [], dropped, splits
+    adf = spark.createDataFrame(assign, "event_id long, ws long, we long")
+    want_df = (
+        src.join(F.broadcast(adf), "event_id")
+        .groupBy("ws", "we", "k")
+        .agg(*aggs)
+    )
+    return _rows(want_df), dropped, splits
+
+
+def run_late_session_cases(spark, sf_dir: str, rng: random.Random, n: int):
+    """Run ``n`` late-data SESSION cases: displaced split → append stream →
+    :func:`_late_session_predictor`. Returns (fails, rows_dropped,
+    split_sessions)."""
+    from mapreduce_model_spark.registry import table
+    from mapreduce_model_spark.streaming.windows import run_stream_to_table
+
+    ev = table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).collect()[0]
+    fails = 0
+    total_dropped = 0
+    total_splits = 0
+    for i in range(n):
+        late_dir = tempfile.mkdtemp(prefix="streamfuzz_lsess_")
+        name = f"sfzs_{i}"
+        try:
+            desc, fn, spec = build_late_session_case(rng, hi - lo)
+            ev_case = ev
+            if spec["slice_us"] is not None:
+                s0 = lo + spec["off_us"]
+                ev_case = ev.where(
+                    F.unix_micros("ts").between(s0, s0 + spec["slice_us"])
+                )
+            files = _write_split(
+                spark,
+                ev_case,
+                late_dir,
+                n_files=spec["n_files"],
+                disp_pct=spec["disp_pct"],
+                max_disp=spec["max_disp"],
+                salt=1000 + i,
+            )
+            if not files:
+                print(f"SKIP S{i:03d} {desc} (empty slice)", flush=True)
+                continue
+            schema = spark.read.parquet(files[0][1]).schema
+            stream_src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("basePath", late_dir)
+                .parquet(f"{late_dir}/f*")
+            )
+            run_stream_to_table(
+                fn(stream_src, streaming_wm=spec["wm"]), name, output_mode="append"
+            )
+            got = _rows(spark.table(name))
+            src = spark.read.option("basePath", late_dir).parquet(f"{late_dir}/f*")
+            src = src.withColumn(
+                "_f",
+                F.regexp_extract(F.input_file_name(), "/f(\\d{2})/", 1).cast("int"),
+            )
+            src = spec["with_key"](src)
+            if spec["flt"] is not None:
+                src = src.where(spec["flt"])
+            src = src.withColumn("k", F.col(spec["key"]))
+            want, n_dropped, n_splits = _late_session_predictor(
+                spark, files, spec, src
+            )
+            total_dropped += n_dropped
+            total_splits += n_splits
+            ok = got == want
+        except Exception as exc:  # noqa: BLE001 — report, keep fuzzing
+            ok = False
+            got, want, n_dropped, n_splits = [f"EXCEPTION {exc}"], [], 0, 0
+        if ok:
+            print(
+                f"OK S{i:03d} {desc} dropped={n_dropped} splits={n_splits}",
+                flush=True,
+            )
+        else:
+            fails += 1
+            print(
+                f"FAIL S{i:03d} {desc}\n  got {len(got)} rows,"
+                f" want {len(want)}; first diff:"
+                f" {next(iter(set(map(str, got)) ^ set(map(str, want))), '')[:200]}",
+                flush=True,
+            )
+        if spark.catalog.tableExists(name):
+            spark.catalog.dropTempView(name)
+        shutil.rmtree(late_dir, ignore_errors=True)
+    return fails, total_dropped, total_splits
+
+
 def _late_predictor(spark, late_dir: str, files: list[tuple[int, str]], spec):
     """Batch simulation of the append-mode watermark trajectory over the
     known micro-batch (=file) order. Spark semantics replicated exactly:
@@ -490,7 +790,17 @@ def main() -> int:
         n_late = int(os.environ.get("STREAM_FUZZ_LATE_N", "100"))
         late_fails, total_dropped = run_late_cases(spark, sf_dir, rng, n_late)
         print(f"LATEFUZZ n={n_late} fails={late_fails} pairs_dropped={total_dropped}")
-        return 1 if (fails or late_fails) else 0
+
+        # ---- late-data SESSION mode: watermark trajectory over merges
+        n_lsess = int(os.environ.get("STREAM_FUZZ_LATE_SESS_N", "50"))
+        ls_fails, ls_dropped, ls_splits = run_late_session_cases(
+            spark, sf_dir, rng, n_lsess
+        )
+        print(
+            f"LATESESSFUZZ n={n_lsess} fails={ls_fails}"
+            f" rows_dropped={ls_dropped} split_sessions={ls_splits}"
+        )
+        return 1 if (fails or late_fails or ls_fails) else 0
     finally:
         shutil.rmtree(split_dir, ignore_errors=True)
         spark.stop()

@@ -6,11 +6,12 @@ Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the only
 sanctioned Python hot path, because codecs don't exist as JVM expressions.
 
 No codec LIBRARY exists in this container, so the decoders are pure
-Python/numpy: BMP (24bpp), PPM (P6) and baseline JPEG (operators/jpeg.py)
-decode for real; PNG/GIF remain a clearly-marked stub
-(NotImplementedError) and ``extract_features`` is a deterministic fake
-with the REAL Spark plumbing: schema contract, Arrow batch iteration,
-per-partition execution, no driver collect.
+Python/numpy: BMP (24bpp), PPM (P6), baseline JPEG (operators/jpeg.py)
+and PNG (operators/png.py — own RFC 1951 inflate) decode for real; GIF
+remains a clearly-marked stub (NotImplementedError) and
+``extract_features`` is a deterministic fake with the REAL Spark
+plumbing: schema contract, Arrow batch iteration, per-partition
+execution, no driver collect.
 
 Scale notes (100 TB of media): payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so a partition
@@ -159,6 +160,51 @@ def synthetic_jpeg_media(
     )
 
 
+def synthetic_png_media(
+    docs: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """(doc_id, payload) with REAL PNG payloads built deterministically
+    from table columns: greyscale, W = 4·((n % 3) + 1), H = 4·((n % 2)
+    + 1), pixel (y, x) = (doc_id + 3x + 7y) % 256 — a per-PIXEL gradient
+    (unlike the JPEG twin's constant blocks: PNG is lossless, so no
+    constancy trick is needed, and the gradient drives non-trivial
+    Sub/Up/Average/Paeth filter deltas). Encoded with the row-cycling
+    filter chooser and dynamic-Huffman deflate blocks
+    (operators/png.py), so the hash-checked query decodes through the
+    full inflate + unfilter pipeline; the SQL oracle predicts every
+    feature from the pixel law without parsing bytes."""
+    from mapreduce_model_spark.operators.png import encode_png
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf[id_col], pdf[size_col]):
+                w = 4 * (int(n) % 3 + 1)
+                h = 4 * (int(n) % 2 + 1)
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                img = ((int(did) + 3 * x[None, :] + 7 * y[:, None]) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_png(img, block="dynamic", filters="cycle"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread_for_fanout(docs.select(id_col, size_col), id_col).mapInPandas(
+        _build,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a media table: utf-8 payload bytes + typed metadata struct.
     (In production this column comes from the source parquet/tar shards.)"""
@@ -264,13 +310,16 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-byte dispatch to the REAL pure-Python decoders: BMP (24bpp
-    uncompressed), PPM (P6), and baseline-sequential JPEG (SOF0/SOF1,
+    uncompressed), PPM (P6), baseline-sequential JPEG (SOF0/SOF1,
     operators/jpeg.py — full marker walk, Huffman entropy decode, exact
-    IDCT, 4:2:0/4:2:2 chroma upsampling). PNG/GIF still require a codec
-    (zlib inflate / LZW) absent from this container and keep the
-    documented stub behavior; progressive JPEG raises inside
-    decode_jpeg. The pure-Python JPEG path is a correctness face — in
-    production swap in PIL/libjpeg-turbo behind the same contract."""
+    IDCT, 4:2:0/4:2:2 chroma upsampling), and PNG (operators/png.py —
+    full RFC 1951 inflate incl. dynamic Huffman + LZ77, adler32/CRC-32
+    verification, all five scanline filters, color types 0/2/3/4/6).
+    GIF still requires an LZW codec and keeps the documented stub
+    behavior; progressive JPEG / interlaced PNG raise inside their
+    decoders. The pure-Python paths are correctness faces — in
+    production swap in PIL/libjpeg-turbo/libpng behind the same
+    contract."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
@@ -279,11 +328,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         from mapreduce_model_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from mapreduce_model_spark.operators.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "PNG/GIF decode requires a codec library not present in this "
-        "container; swap in PIL.Image.open(io.BytesIO(payload)) in "
-        "production. BMP, PPM and baseline JPEG decode natively "
-        "(decode_bmp/decode_ppm/operators.jpeg.decode_jpeg)."
+        "GIF decode requires an LZW codec not present in this container; "
+        "swap in PIL.Image.open(io.BytesIO(payload)) in production. BMP, "
+        "PPM, baseline JPEG and PNG decode natively (decode_bmp/"
+        "decode_ppm/operators.jpeg.decode_jpeg/operators.png.decode_png)."
     )
 
 

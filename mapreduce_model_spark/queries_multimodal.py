@@ -388,3 +388,68 @@ def multimodal_decode_jpeg(spark, sf_dir):
         "pix_sum_mod",
         rnd(F.col("mean_r"), 4).alias("mean_r"),
     )
+
+
+@query(
+    "multimodal_decode_png",
+    oracle="""
+WITH base AS (
+    SELECT doc_id,
+           CAST(4 * ((n_chars % 3) + 1) AS INTEGER) AS w,
+           CAST(4 * ((n_chars % 2) + 1) AS INTEGER) AS h
+    FROM documents
+), px AS (
+    SELECT doc_id, w, h,
+           unnest(range(0, w * h)) AS i
+    FROM base
+)
+SELECT doc_id, 'png' AS fmt, w AS width, h AS height,
+       CAST((3 * sum((doc_id + 3 * (i % w) + 7 * (i // w)) % 256)) % 997
+            AS INTEGER) AS pix_sum_mod,
+       round(avg((doc_id + 3 * (i % w) + 7 * (i // w)) % 256) + 1e-9, 4)
+            AS mean_r
+FROM px GROUP BY doc_id, w, h
+""",
+)
+def multimodal_decode_png(spark, sf_dir):
+    """REAL PNG decode, hash-checked end-to-end through the compression
+    pipeline: every doc gets a greyscale PNG payload whose pixels follow
+    a closed-form gradient law (synthetic_png_media), encoded by our own
+    emitter with dynamic-Huffman deflate blocks and row-cycling filters
+    (None/Sub/Up/Average/Paeth), and the pure-Python decoder
+    (operators/png.py: chunk walk + CRC-32, RFC 1951 inflate incl.
+    dynamic code-length alphabets, adler32, filter reconstruction)
+    parses the BYTES back to pixels; features come from the DECODED
+    ARRAY. PNG is lossless, so the oracle predicts every feature from
+    the pixel law without parsing bytes — a hash match proves the
+    inflate + unfilter round trip is exact. i runs row-major over w·h
+    pixels: x = i % w, y = i // w; pix_sum covers the 3 replicated grey
+    channels; mean_r is the grey mean. Format comes from the JVM
+    magic-byte sniffer (\\x89PNG → 'png').
+
+    Scale: identical shape to multimodal_decode_jpeg — one mapInPandas
+    encode pass + one decode pass, features-only downstream, the binary
+    column never shuffles. The pure-Python inflate is the correctness
+    face; at 100 TB the same mapInPandas slot runs libpng/PIL with
+    identical plumbing. Foreign-stream coverage (stdlib-zlib-compressed
+    PNGs with real LZ77 matches, all five filters, color types
+    0/2/3/4/6, CRC/adler corruption, Adam7/16-bit rejection) is pinned
+    in tests/test_png.py."""
+    from mapreduce_model_spark.functions.rounding import rnd
+    from mapreduce_model_spark.operators.multimodal import (
+        decode_image_features,
+        sniff_format,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(table(spark, sf_dir, "documents"))
+    fmts = media.select("doc_id", sniff_format(F.col("payload")).alias("fmt"))
+    feats = decode_image_features(media)
+    return feats.join(fmts, "doc_id").select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "pix_sum_mod",
+        rnd(F.col("mean_r"), 4).alias("mean_r"),
+    )

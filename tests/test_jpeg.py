@@ -209,8 +209,11 @@ def test_decode_image_dispatches_jpeg():
     assert np.array_equal(out[:, :, 0], img)
 
 
-def test_png_still_stubbed():
-    with pytest.raises(NotImplementedError, match="PNG"):
+def test_png_dispatches_to_real_decoder():
+    # PNG is a real decoder since r11 (operators/png.py; full battery in
+    # tests/test_png.py) — garbage after a valid signature must surface
+    # the decoder's ValueError, not a stub NotImplementedError
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 

@@ -6,12 +6,12 @@ Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — the only
 sanctioned Python hot path, because codecs don't exist as JVM expressions.
 
 No codec LIBRARY exists in this container, so the decoders are pure
-Python/numpy: BMP (24bpp), PPM (P6), baseline JPEG (operators/jpeg.py)
-and PNG (operators/png.py — own RFC 1951 inflate) decode for real; GIF
-remains a clearly-marked stub (NotImplementedError) and
-``extract_features`` is a deterministic fake with the REAL Spark
-plumbing: schema contract, Arrow batch iteration, per-partition
-execution, no driver collect.
+Python/numpy and ALL real: BMP (24bpp), PPM (P6), baseline JPEG
+(operators/jpeg.py), PNG (operators/png.py — own RFC 1951 inflate) and
+GIF (operators/gif.py — own variable-width LZW). ``extract_features``
+remains a deterministic fake with the REAL Spark plumbing: schema
+contract, Arrow batch iteration, per-partition execution, no driver
+collect.
 
 Scale notes (100 TB of media): payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` at the default 128 MB so a partition
@@ -205,6 +205,50 @@ def synthetic_png_media(
     )
 
 
+def synthetic_gif_media(
+    docs: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """(doc_id, payload) with REAL GIF payloads built deterministically
+    from table columns: identity greyscale 256-color table, W = 4·((n %
+    3) + 1), H = 4·((n % 2) + 1), palette index (y, x) = (doc_id + 5x +
+    11y) % 256. Odd doc_ids are written INTERLACED (the four-pass row
+    order), so the hash-checked query exercises both raster layouts.
+    GIF's LZW is lossless and index == grey value by construction, so
+    the SQL oracle predicts every decoded feature from the index law
+    without parsing bytes — the same falsifiability contract as the
+    BMP/PPM/JPEG/PNG twins."""
+    from mapreduce_model_spark.operators.gif import encode_gif
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf[id_col], pdf[size_col]):
+                w = 4 * (int(n) % 3 + 1)
+                h = 4 * (int(n) % 2 + 1)
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                img = ((int(did) + 5 * x[None, :] + 11 * y[:, None]) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_gif(img, interlace=bool(int(did) % 2)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return spread_for_fanout(docs.select(id_col, size_col), id_col).mapInPandas(
+        _build,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a media table: utf-8 payload bytes + typed metadata struct.
     (In production this column comes from the source parquet/tar shards.)"""
@@ -332,11 +376,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from mapreduce_model_spark.operators.png import decode_png
 
         return decode_png(payload)
-    raise NotImplementedError(
-        "GIF decode requires an LZW codec not present in this container; "
-        "swap in PIL.Image.open(io.BytesIO(payload)) in production. BMP, "
-        "PPM, baseline JPEG and PNG decode natively (decode_bmp/"
-        "decode_ppm/operators.jpeg.decode_jpeg/operators.png.decode_png)."
+    if payload[:4] == b"GIF8":
+        from mapreduce_model_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
+    raise ValueError(
+        "unrecognized image payload (no BMP/PPM/JPEG/PNG/GIF magic bytes)"
     )
 
 

@@ -453,3 +453,66 @@ def multimodal_decode_png(spark, sf_dir):
         "pix_sum_mod",
         rnd(F.col("mean_r"), 4).alias("mean_r"),
     )
+
+
+@query(
+    "multimodal_decode_gif",
+    oracle="""
+WITH base AS (
+    SELECT doc_id,
+           CAST(4 * ((n_chars % 3) + 1) AS INTEGER) AS w,
+           CAST(4 * ((n_chars % 2) + 1) AS INTEGER) AS h
+    FROM documents
+), px AS (
+    SELECT doc_id, w, h,
+           unnest(range(0, w * h)) AS i
+    FROM base
+)
+SELECT doc_id, 'gif' AS fmt, w AS width, h AS height,
+       CAST((3 * sum((doc_id + 5 * (i % w) + 11 * (i // w)) % 256)) % 997
+            AS INTEGER) AS pix_sum_mod,
+       round(avg((doc_id + 5 * (i % w) + 11 * (i // w)) % 256) + 1e-9, 4)
+            AS mean_r
+FROM px GROUP BY doc_id, w, h
+""",
+)
+def multimodal_decode_gif(spark, sf_dir):
+    """REAL GIF decode, hash-checked end-to-end through LZW: every doc
+    gets a GIF payload whose palette indices follow a closed-form
+    gradient law over an identity greyscale color table
+    (synthetic_gif_media; odd doc_ids interlaced), and the pure-Python
+    decoder (operators/gif.py: screen/image descriptors, sub-block
+    reassembly, variable-width LZW with dictionary growth + KwKwK,
+    four-pass de-interlace, palette resolution) parses the BYTES back to
+    pixels; features come from the DECODED ARRAY. LZW is lossless and
+    index == grey by construction, so the oracle predicts every feature
+    from the index law without parsing bytes — with this, all three
+    classic compression families (DCT entropy coding, DEFLATE, LZW) are
+    hash-pinned through their registered decode queries. i runs
+    row-major: x = i % w, y = i // w; pix_sum covers the 3 replicated
+    grey channels. Format comes from the JVM magic-byte sniffer
+    (GIF8 → 'gif').
+
+    Scale: identical shape to the JPEG/PNG twins — one mapInPandas
+    encode pass + one decode pass, features-only downstream, the binary
+    column never shuffles; in production the same slot runs PIL. LZW
+    spec vectors, 4096-reset coverage and rejection paths are pinned in
+    tests/test_gif.py."""
+    from mapreduce_model_spark.functions.rounding import rnd
+    from mapreduce_model_spark.operators.multimodal import (
+        decode_image_features,
+        sniff_format,
+        synthetic_gif_media,
+    )
+
+    media = synthetic_gif_media(table(spark, sf_dir, "documents"))
+    fmts = media.select("doc_id", sniff_format(F.col("payload")).alias("fmt"))
+    feats = decode_image_features(media)
+    return feats.join(fmts, "doc_id").select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        "pix_sum_mod",
+        rnd(F.col("mean_r"), 4).alias("mean_r"),
+    )

@@ -161,6 +161,8 @@ def test_decode_image_dispatches_png():
     assert np.array_equal(out[:, :, 0], g)
 
 
-def test_gif_still_stubbed():
-    with pytest.raises(NotImplementedError, match="GIF"):
+def test_gif_dispatches_to_real_decoder():
+    # GIF decodes for real too (operators/gif.py, full battery in
+    # tests/test_gif.py) — truncated body surfaces its ValueError
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 16)

@@ -116,9 +116,14 @@ def test_roundtrip_random(w, h):
     assert (decode_image(encode_ppm(arr)) == arr).all()
 
 
-def test_decode_image_still_rejects_codec_formats():
-    with pytest.raises(NotImplementedError):
-        decode_image(bytes.fromhex("89504e470d0a1a0a") + bytes(32))  # PNG
+def test_decode_image_rejects_unknown_magic():
+    # every classic format (BMP/PPM/JPEG/PNG/GIF) decodes natively now;
+    # unrecognized payloads get a ValueError, truncated PNG bodies the
+    # PNG decoder's own ValueError
+    with pytest.raises(ValueError):
+        decode_image(b"RIFFxxxxWAVE" + bytes(16))  # wav is not an image
+    with pytest.raises(ValueError):
+        decode_image(bytes.fromhex("89504e470d0a1a0a") + bytes(32))
 
 
 def test_decode_real_queries_match_oracle(spark, sf_dir):

@@ -69,9 +69,9 @@ def test_asof_join_semantics(spark):
 
 
 def test_multimodal_stub_and_features(spark, sf_dir):
-    # JPEG now decodes for real (operators/jpeg.py, r10); PNG/GIF remain
-    # the documented stub
-    with pytest.raises(NotImplementedError):
+    # JPEG (r10), PNG and GIF (r11) all decode for real now — garbage
+    # after a valid PNG signature surfaces the decoder's ValueError
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)

@@ -628,3 +628,67 @@ def test_stream_outer_join_emits_unmatched_after_watermark(spark, sf_dir):
     }
     assert want_min <= got
     assert len(got) > 0
+
+
+def test_session_split_after_eviction(spark, tmp_path):
+    """The session-window late-data contract the r11 fuzz predictor
+    replays, pinned deterministically: once the watermark FINALIZES a
+    session, a later within-gap arrival that still passes the late filter
+    (SPARK-40925: the filter lags eviction by one batch) must open a NEW
+    session overlapping the emitted one — the exact, deliberate divergence
+    from batch semantics. Event times are placed so the late row's
+    (ts + gap) lands strictly between the evicted session's end and the
+    filter watermark band: gap=10m, delay=5m; batches [0m, 5m], [25m],
+    [100m], then the late [12m]."""
+    import time as _time
+
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    base = 1_700_000_000_000_000  # µs epoch
+    minute = 60_000_000
+
+    def write_events(name, minutes):
+        spark.createDataFrame(
+            [(i, base + int(m * minute), 1) for i, m in enumerate(minutes)],
+            "event_id long, ts_us long, user_id long",
+        ).write.parquet(str(src / name))
+        _time.sleep(1.1)  # FileStreamSource orders files by modification time
+
+    write_events("b1", [0, 5])    # session A = [0, 15)
+    write_events("b2", [25])      # B = [25, 35); wm after: 20m
+    write_events("b3", [100])     # evicts A (20 ≥ 15); wm after: 95m
+    write_events("b4", [12])      # late: 12+10=22 > wm_late=20 → kept,
+    #                               A already emitted → NEW session [12, 22)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withColumn("ts", SF.timestamp_micros("ts_us"))
+        .withWatermark("ts", "5 minutes")
+        .groupBy(SF.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .select(
+            ((SF.unix_micros("w.start") - base) / minute).cast("int").alias("s_min"),
+            ((SF.unix_micros("w.end") - base) / minute).cast("int").alias("e_min"),
+            "n",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_split")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted((r.s_min, r.e_min, r.n) for r in spark.table("t_split").collect())
+    # A emitted with its on-time rows only; the late row becomes its own
+    # OVERLAPPING session [12, 22); B finalizes at the end; [100, 110)
+    # stays open (final watermark 95m) and is never emitted in append mode
+    assert got == [(0, 15, 2), (12, 22, 1), (25, 35, 1)], got

@@ -336,9 +336,14 @@ def build_late_session_case(rng: random.Random, range_us: int):
         # gap-widths each, so events chain into multi-row sessions and a
         # displaced row usually lands INSIDE an already-evicted session's
         # interval — the split-session path the span mode almost never hits
-        # (bucket span there is ~days vs gaps ≤ 1 h).
-        gap = rng.choice(["30 minutes", "1 hour"])
-        mult = rng.choice([2, 3, 4])
+        # (bucket span there is ~days vs gaps ≤ 1 h). Gaps straddle the
+        # per-key inter-arrival (≈9–21 min at sf0.01): a gap well ABOVE it
+        # chains each key into one giant never-evicted session (no splits,
+        # found empirically in the r11 60-case run — 1 split), so the small
+        # gaps are what actually break sessions early and let a displaced
+        # row arrive after its session's eviction.
+        gap = rng.choice(["5 minutes", "10 minutes", "30 minutes"])
+        mult = rng.choice([3, 4, 6])
         bucket_span_min = _dur_min(gap) * mult
         slice_us = n_files * bucket_span_min * _MIN_US
         frac = rng.choice([0.3, 0.6, 1.0, 1.5])

@@ -1123,11 +1123,16 @@ def q_dedup_cluster_quality(spark, sf_dir):
         sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
+    # lab feeds BOTH the winner election and the final join: persist, or the
+    # entire upstream (MinHash-LSH pair generation + connected components)
+    # executes once per branch (r11 plan audit: the union-find MapInPandas
+    # appeared twice; measured ~2x the dedup_clusters cost for the same
+    # pipeline). (doc_id, component, n_chars) rows — tiny at any scale.
     lab = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
         "n_chars",
-    )
+    ).persist()
     winner = lab.groupBy("component").agg(
         F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d")))
         .alias("w")

@@ -482,9 +482,12 @@ def py_ldot(a, b):
     return acc
 
 
-def _assign_arrow(v: DataFrame, cents) -> DataFrame:
+def _assign_arrow(v: DataFrame, cents, payload: bool = False) -> DataFrame:
     """(vid → cid) against a NUMPY centroid matrix, one BLAS matmul per
     Arrow batch — the fast-path twin of ``_rank_centroids``'s rank-1 mode.
+    ``payload=True`` additionally carries (v, n) through the batch so the
+    caller gets the full assignment frame without a join back to the
+    corpus (r11: kmeans_fit_arrow's final step).
 
     The JVM expression dot (zip_with + aggregate fold) measures ~3M
     64-dim dots/s on 32 cores (PLANS.md r8 microbench; the unrolled MAC
@@ -515,10 +518,24 @@ def _assign_arrow(v: DataFrame, cents) -> DataFrame:
             flat = np.asarray(col.flatten(), dtype=np.float64)
             mat = flat.reshape(len(vid), -1)
             cid = np.argmax(mat @ cnorm.T, axis=1).astype(np.int32)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(vid), pa.array(cid)], ["vid", "cid"]
-            )
+            if payload:
+                # the batch already holds v and n — emitting them here
+                # makes the final (vid -> cid) attachment join-free: one
+                # cached-corpus pass instead of a corpus-sized join (the
+                # join re-derived what this function had in hand)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(vid), b.column("v"), b.column("n"), pa.array(cid)],
+                    ["vid", "v", "n", "cid"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(vid), pa.array(cid)], ["vid", "cid"]
+                )
 
+    if payload:
+        return v.select("vid", "v", "n").mapInArrow(
+            fn, "vid long, v array<double>, n double, cid int"
+        )
     return v.select("vid", "v").mapInArrow(fn, "vid long, cid int")
 
 
@@ -609,7 +626,11 @@ def kmeans_fit_arrow(
         for r in upd:
             new[r["cid"], r["pos"]] = r["s"] / r["c"]
         cents = new
-    return v.join(_assign_arrow(v, cents), "vid").select("vid", "v", "n", "cid")
+    # payload mode: the final assignment rides out of the SAME cached-corpus
+    # mapInArrow pass that computes it — no corpus-sized join (r11; the old
+    # v ⋈ _assign_arrow(v) shape re-read the persisted corpus on both join
+    # sides and exchanged the narrow side)
+    return _assign_arrow(v, cents, payload=True)
 
 
 def semantic_max_cosine_arrow(assign: DataFrame) -> DataFrame:
@@ -617,9 +638,11 @@ def semantic_max_cosine_arrow(assign: DataFrame) -> DataFrame:
     SemDeDup's election, grouped by cid through applyInPandas and scored
     blockwise in numpy (the Σ|cluster|² inner products at BLAS rate; the
     cid shuffle this grouping pays is the algorithm's one unavoidable
-    corpus exchange). Emits (vid_a, mc) only for vectors that HAVE a
-    lower-id cluster-mate, mirroring the SQL pair join's inner-join
-    semantics; row blocks bound peak memory at ~block × |cluster|
+    corpus exchange). Emits ONE row per member — (vid, cid, mc), mc NULL
+    for each cluster's lowest-id member — so the caller needs NO join
+    back onto the assignment frame (r11: the old (vid_a, mc)-only shape
+    forced assign ⋈ mc, which re-ran the whole assign pass for the second
+    consumer). Row blocks bound peak memory at ~block × |cluster|
     doubles."""
 
     def score(pdf):
@@ -628,21 +651,26 @@ def semantic_max_cosine_arrow(assign: DataFrame) -> DataFrame:
 
         pdf = pdf.sort_values("vid")
         m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"vid_a": pd.Series(dtype="int64"),
-                                 "mc": pd.Series(dtype="float64")})
-        vid = pdf["vid"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy()) / pdf["n"].to_numpy()[:, None]
-        out = np.empty(m - 1)
-        block = 1024
-        for i0 in range(1, m, block):
-            i1 = min(i0 + block, m)
-            s = mat[i0:i1] @ mat[:i1].T
-            for r in range(i0, i1):
-                out[r - 1] = s[r - i0, :r].max()
-        return pd.DataFrame({"vid_a": vid[1:], "mc": out})
+        mcs: list[float | None] = [None] * m
+        if m >= 2:
+            mat = np.stack(pdf["v"].to_numpy()) / pdf["n"].to_numpy()[:, None]
+            block = 1024
+            for i0 in range(1, m, block):
+                i1 = min(i0 + block, m)
+                s = mat[i0:i1] @ mat[:i1].T
+                for r in range(i0, i1):
+                    mcs[r] = float(s[r - i0, :r].max())
+        return pd.DataFrame(
+            {
+                "vid": pdf["vid"].to_numpy(),
+                "cid": pdf["cid"].to_numpy(),
+                "mc": pd.Series(mcs, dtype="object"),
+            }
+        )
 
-    return assign.groupBy("cid").applyInPandas(score, "vid_a long, mc double")
+    return assign.groupBy("cid").applyInPandas(
+        score, "vid long, cid int, mc double"
+    )
 
 
 def pq_fit(

@@ -1503,9 +1503,12 @@ def _semantic_dedup_frame(
         emb = table(spark, sf_dir, "embeddings")
     if engine == "arrow":
         assign = kmeans_fit_arrow(emb, k=k, n_iter=n_iter)
-        # one row per vector already (a vector lives in ONE cid group)
+        # the election emits one row per member (mc NULL for each
+        # cluster's first) — the output IS the result frame, no join back
+        # onto assign (r11: the old left join re-ran the assign pass for
+        # its second consumer; plan audit showed the mapInArrow twice)
         mc = semantic_max_cosine_arrow(assign)
-        return assign.join(mc, assign["vid"] == mc["vid_a"], "left").select(
+        return mc.select(
             F.col("vid").alias("vec_id"),
             "cid",
             rnd("mc", 6).alias("sem_score"),
@@ -1640,19 +1643,26 @@ def semantic_dedup_sampled(spark, sf_dir):
     whose unrolled-Lloyd + Σ|cluster|² pair-join oracle stays inside the
     sweep budget at gen-sf1 (62.5k sampled vectors, ~250 clusters →
     ~1.6e7 candidate pairs, vs the parents' oracle spilling tens of GB
-    at 500k). Pure-expression engine plan (the oracle replays it
-    term-for-term); below the 64k cap the sample is the full corpus, so
-    this face equals semantic_dedup_scaled's geometry at small scale
-    with the SQL engine path."""
+    at 500k). Arrow/BLAS engine path since r11 (decision-parity-pinned
+    and hash-green, see _semantic_dedup_frame); the pure-expression plan
+    the oracle replays term-for-term stays covered by the k=8 exemplar.
+    Below the 64k cap the sample is the full corpus, so this face equals
+    semantic_dedup_scaled's geometry at small scale."""
     emb = sample_frame(
         table(spark, sf_dir, "embeddings"), "vec_id", cap=SEM_SAMPLE_CAP
     )
+    # engine="arrow" since r11: the Arrow/BLAS path is decision-parity-
+    # pinned against the SQL recurrence (test_arrow_kmeans_matches_sql_
+    # kmeans) and hash-green vs the same oracle (semantic_dedup_scaled);
+    # the pure-expression plan the oracle replays term-for-term stays
+    # covered by the k=8 exemplar face. Saves the expression-dot assign
+    # and pair passes (~1.5 s at sf0.1; the gap widens with sample size).
     return _semantic_dedup_frame(
         spark,
         sf_dir,
         k=adaptive_kmeans_k(emb.count()),
         n_iter=_SEM_SCALED_ITER,
-        engine="sql",
+        engine="arrow",
         emb=emb,
     )
 

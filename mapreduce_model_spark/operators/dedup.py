@@ -99,6 +99,22 @@ def doc_shingle_hashes(
     ).select(id_col, (md5_int32(F.col("sh")) % MERSENNE_P).alias("x"))
 
 
+def shingle_set_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, xs: array) — each doc's DISTINCT shingle-hash set as one array
+    row. The per-doc-array form of :func:`doc_shingle_hashes`: hash the
+    text once, then any consumer that needs (id, x) rows re-explodes the
+    cheap integer arrays instead of re-tokenizing and re-hashing the
+    corpus. Callers that fan out into several signature/truth pipelines
+    persist this frame and share it (r12: the recall-report family)."""
+    return (
+        doc_shingle_hashes(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("x").alias("xs"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -106,6 +122,7 @@ def minhash_signatures(
     k: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint> length k). One explode + one groupBy — the
     k permutations are k expressions inside a single aggregate, not k jobs.
@@ -118,9 +135,17 @@ def minhash_signatures(
     evals with no whole-stage codegen and no common-subexpression reuse,
     while the explode+groupBy keeps every expression inside codegen and
     ships only (id, 8-byte hash) partials with map-side combine. The
-    shuffle is the cheap part; losing codegen is the expensive part."""
+    shuffle is the cheap part; losing codegen is the expensive part.
+
+    ``shingle_hashes``: a precomputed (id, x) frame (e.g. re-exploded from
+    a shared persisted :func:`shingle_set_arrays` cache) — the min
+    aggregates are set-based, so values are identical by construction."""
     params = perm_params(k, seed)
-    sh = doc_shingle_hashes(df, text_col, id_col, shingle_k)
+    sh = (
+        doc_shingle_hashes(df, text_col, id_col, shingle_k)
+        if shingle_hashes is None
+        else shingle_hashes
+    )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
@@ -166,12 +191,13 @@ def oph_signatures_array(
     id_col: str = "doc_id",
     k: int = 32,
     shingle_k: int = 3,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`oph_signatures` with the k bin columns packed into one
     ``sig`` array — the (id, sig) shape lsh_near_dup_pairs,
     band_keys_expr, and build_band_index consume, so the OPH sketch
     drops into every consumer of the classic-signature frame."""
-    sig = oph_signatures(df, text_col, id_col, k, shingle_k)
+    sig = oph_signatures(df, text_col, id_col, k, shingle_k, shingle_hashes)
     return sig.select(
         F.col(id_col), F.array(*[f"h{i}" for i in range(k)]).alias("sig")
     )
@@ -323,6 +349,7 @@ def _blocked_pair_intersections(
     id_col: str,
     shingle_k: int,
     max_shingle_df: int,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs blocked by shared rare shingles, with exact shingle
     set sizes: (id_a, id_b, n_inter, n_a, n_b). The shared engine under
@@ -338,14 +365,15 @@ def _blocked_pair_intersections(
     # Hash the text ONCE: per-doc shingle-set arrays are the only artifact
     # derived from raw text; the blocking branch re-explodes the (cheap)
     # integer arrays instead of re-scanning and re-hashing the corpus.
-    sets = (
-        doc_shingle_hashes(df, text_col, id_col, shingle_k)
-        .groupBy(id_col)
-        .agg(F.collect_set("x").alias("xs"))
-        # five consumers (df counts, both blocking sides, both measure
-        # sides) — persist or the corpus is re-hashed for each
-        .persist()
-    )
+    # ``sets``: a caller-provided (already persisted) shingle_set_arrays
+    # frame, shared with sibling signature pipelines (r12 recall family).
+    if sets is None:
+        sets = (
+            shingle_set_arrays(df, text_col, id_col, shingle_k)
+            # five consumers (df counts, both blocking sides, both measure
+            # sides) — persist or the corpus is re-hashed for each
+            .persist()
+        )
     exploded = sets.select(id_col, F.explode("xs").alias("x"))
     # document frequency via groupBy (partial-agg + tiny result) rather than
     # a count-over-window (which must SORT every shingle occurrence); the
@@ -409,6 +437,7 @@ def jaccard_decile_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     max_shingle_df: int = 50,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard pairs ≥ 0.5 with an INTEGER-EXACT decile label:
     ``j_decile = (10·|A∩B|) div |A∪B|`` (5..10), pairs kept iff
@@ -418,9 +447,12 @@ def jaccard_decile_pairs(
     bit-free-deterministic and any SQL engine reproduces it exactly.
     This is the ground-truth side of the LSH recall audit
     (``lsh_recall_report``); same rare-shingle blocking (recall contract)
-    and pair engine as :func:`ngram_jaccard_pairs`.
+    and pair engine as :func:`ngram_jaccard_pairs`. ``sets`` forwards a
+    shared persisted :func:`shingle_set_arrays` frame to the pair engine.
     """
-    pairs = _blocked_pair_intersections(df, text_col, id_col, shingle_k, max_shingle_df)
+    pairs = _blocked_pair_intersections(
+        df, text_col, id_col, shingle_k, max_shingle_df, sets=sets
+    )
     u = F.col("n_a").cast("long") + F.col("n_b") - F.col("n_inter")
     return (
         pairs.withColumn("u", u)
@@ -474,6 +506,7 @@ def oph_signatures(
     id_col: str = "doc_id",
     k: int = 32,
     shingle_k: int = 3,
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """One-permutation-hashing MinHash (Li et al. 2012) with rotation
     densification (Shrivastava & Li 2014): ``(id, h0..h{k-1})``.
@@ -503,8 +536,16 @@ def oph_signatures(
     codegen — instead of a k×k coalesce chain after the groupBy (the
     naive two-pass form measured 1.8× slower at sf0.1 and shipped a 1 MB
     task binary).
+
+    ``shingle_hashes``: precomputed (id, x) rows — see
+    :func:`minhash_signatures`; per-bin mins are set-based, so values are
+    identical by construction.
     """
-    sh = doc_shingle_hashes(df, text_col, id_col, shingle_k)
+    sh = (
+        doc_shingle_hashes(df, text_col, id_col, shingle_k)
+        if shingle_hashes is None
+        else shingle_hashes
+    )
     dens = [
         F.min(
             F.col("x")

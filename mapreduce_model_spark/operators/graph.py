@@ -258,6 +258,7 @@ def pagerank(
     dst: str = "id_b",
     damping: float = 0.85,
     n_iter: int = 20,
+    small_graph_rows: int | None = None,
 ) -> DataFrame:
     """Directed PageRank, fixed ``n_iter`` power iterations (the production
     choice: deterministic output and runtime, no convergence-test join).
@@ -274,7 +275,14 @@ def pagerank(
     action that triggers it, so each iteration runs exactly one job.
     Lineage is cut by the checkpoint so iteration N's plan doesn't replay
     iterations 1..N-1.
+
+    ``small_graph_rows`` overrides the local-finish gate (default
+    ``SMALL_GRAPH_ROWS``, applied to BOTH node and edge count); tests pass
+    0 to force the distributed loop end-to-end — the same override contract
+    as ``connected_components``.
     """
+    if small_graph_rows is None:
+        small_graph_rows = SMALL_GRAPH_ROWS
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -295,11 +303,12 @@ def pagerank(
     counts = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("outdeg").isNull(), F.lit(1))).alias("n_dangling"),
+        F.coalesce(F.sum("outdeg"), F.lit(0)).alias("n_edges"),
     ).first()
-    n, n_dangling = counts["n"], counts["n_dangling"]
+    n, n_dangling, n_edges = counts["n"], counts["n_dangling"], counts["n_edges"]
     if n == 0:
         return base.select("node", F.lit(0.0).alias("rank"))
-    if n <= SMALL_GRAPH_ROWS:
+    if n <= small_graph_rows and n_edges <= small_graph_rows:
         # Local finish (r11), same endgame as connected_components'
         # _local_components: iterate the whole power method in ONE executor
         # task over the checkpointed edge list instead of n_iter rounds of
@@ -307,9 +316,10 @@ def pagerank(
         # scheduler/exchange latency at sf0.1 for 8 iterations; the local
         # task replays the identical recurrence — same init, same damping,
         # same dangling redistribution — and the numpy reference test plus
-        # the 8-decimal-rounded oracle pin the parity). The gate rides on
-        # the node count this function already pays for; edge count tracks
-        # node count here (near-dup graphs cap degree).
+        # the 8-decimal-rounded oracle pin the parity). Both gates ride on
+        # the one aggregate this function already pays for: node count AND
+        # edge count (sum of outdeg) must fit, since _local_pagerank
+        # coalesces the whole EDGE list into one task.
         return _local_pagerank(e, damping, n_iter)
     ranks = base.withColumn("rank", F.lit(1.0 / n))
     # dangling mass of the uniform init — no job needed
@@ -370,12 +380,52 @@ def dedup_survivors(
     return out.withColumn("is_survivor", F.col(id_col) == F.col("component"))
 
 
+def _local_bfs(g: DataFrame, source: int | None) -> DataFrame:
+    """Single-task BFS over a graph that fits one partition — EXECUTOR-side
+    via mapInPandas (bounded by the caller's ``small_graph_rows`` gate,
+    like ``_local_components``/``_local_pagerank``). Input is the already
+    symmetrized, self-loop-free, distinct edge list; depth labels are
+    traversal-order independent, so deque BFS reproduces the distributed
+    level-synchronous loop exactly. ``source=None`` picks the minimum node
+    INSIDE the task (the same deterministic choice, one fewer job). Depths
+    are NOT capped here — the caller enforces max_depth driver-side so the
+    error surfaces as the same RuntimeError as the distributed loop."""
+    import pandas as pd
+
+    def bfs(batches):
+        from collections import deque
+
+        adj: dict[int, list[int]] = {}
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                adj.setdefault(int(u), []).append(int(v))
+        if not adj:
+            yield pd.DataFrame(
+                {"node": pd.Series(dtype="int64"), "depth": pd.Series(dtype="int64")}
+            )
+            return
+        s = min(adj) if source is None else int(source)
+        depths = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj.get(x, ()):
+                if y not in depths:
+                    depths[y] = depths[x] + 1
+                    q.append(y)
+        nodes = sorted(depths)
+        yield pd.DataFrame({"node": nodes, "depth": [depths[n] for n in nodes]})
+
+    return g.coalesce(1).mapInPandas(bfs, "node long, depth long")
+
+
 def bfs_depths(
     edges: DataFrame,
     source: int | None = None,
     src: str = "id_a",
     dst: str = "id_b",
     max_depth: int = 30,
+    small_graph_rows: int | None = None,
 ) -> DataFrame:
     """Unit-weight single-source shortest paths (BFS layers) on an
     undirected graph: returns ``(node, depth)`` for every node reachable
@@ -389,7 +439,16 @@ def bfs_depths(
     one scalar per round (the frontier count, which doubles as the
     materializing action for the lazy checkpoint) — never data. Rounds =
     graph eccentricity of the source, the intrinsic lower bound for BFS.
+
+    ``small_graph_rows`` overrides the local-finish gate (default
+    ``SMALL_GRAPH_ROWS``); tests pass 0 to force the distributed loop
+    end-to-end — the same override contract as ``connected_components``.
+    Unlike components, BFS has no doubling shortcut — the distributed
+    loop pays one round per level — so the single-task endgame saves
+    eccentricity-many scheduler round-trips, not just a handful.
     """
+    if small_graph_rows is None:
+        small_graph_rows = SMALL_GRAPH_ROWS
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     g = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -397,7 +456,18 @@ def bfs_depths(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    if g.count() == 0:
+    n_edges = g.count()
+    if 0 < n_edges <= small_graph_rows:
+        # local finish; max_depth is enforced HERE (driver-side, after the
+        # lazy checkpoint is materialized by the max() aggregate) so the
+        # over-eccentricity error is the same RuntimeError the distributed
+        # loop raises, not a wrapped executor exception
+        out = _local_bfs(g, source).localCheckpoint(eager=False)
+        mx = out.agg(F.max("depth")).first()[0]
+        if mx is not None and mx > max_depth:
+            raise RuntimeError(f"bfs_depths exceeded max_depth={max_depth}")
+        return out
+    if n_edges == 0:
         # an explicitly named source is depth-0 reachable even in a graph
         # with no (non-self-loop) edges; without one there is nothing to do
         spark = edges.sparkSession

@@ -582,7 +582,8 @@ def kmeans_fit_arrow(
     n_iter: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """``kmeans_fit(return_assign=True)`` with the two corpus-sized inner
     products moved to Arrow/BLAS — the configuration for LARGE k (the
     k ∝ √N SemDeDup recipe), where the JVM expression dot is the
@@ -596,15 +597,18 @@ def kmeans_fit_arrow(
     bounded-metadata pattern; ≤4096×64 doubles = 2 MB at the cap) — the
     centroids re-enter each pass as a numpy closure constant, never a
     join side. Scale: per iteration ONE narrow cached-corpus pass whose
-    exchange is ≤ k rows per batch; the only corpus-sized exchange in the
-    whole run is the final (vid → cid) join-back, on the vid partitioning
-    the persist already established."""
+    exchange is ≤ k rows per batch. r12: the ``repartition("vid")`` that
+    used to precede the persist is GONE — it existed for the final
+    (vid → cid) join-back that r11's payload mode eliminated, so it had
+    become a pure extra corpus exchange (guide §2.4); with payload mode
+    every pass over the cache is narrow. ``return_centroids=True``
+    additionally returns the final k×dim numpy centroid matrix (the
+    kmeans_embeddings report face consumes it)."""
     import numpy as np
 
     v = (
         vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
         .withColumn("n", l2_norm(F.col("v")))
-        .repartition("vid")
         .persist()
     )
     seed_rows = v.orderBy("vid").limit(k).collect()
@@ -630,7 +634,10 @@ def kmeans_fit_arrow(
     # mapInArrow pass that computes it — no corpus-sized join (r11; the old
     # v ⋈ _assign_arrow(v) shape re-read the persisted corpus on both join
     # sides and exchanged the narrow side)
-    return _assign_arrow(v, cents, payload=True)
+    assign = _assign_arrow(v, cents, payload=True)
+    if return_centroids:
+        return assign, cents
+    return assign
 
 
 def semantic_max_cosine_arrow(assign: DataFrame) -> DataFrame:

@@ -241,19 +241,36 @@ GROUP BY t.j_decile
 
 def _lsh_recall_frame(spark, docs):
     """Shared engine body of lsh_recall_report and its sampled twin —
-    identical pipeline, parameterized only on the doc frame."""
+    identical pipeline, parameterized only on the doc frame.
+
+    r12: hash the corpus ONCE. All three pipelines (truth, MinHash, OPH)
+    derive from the same per-doc shingle-hash SETS, so the tokenize +
+    shingle + md5 front end — previously run once per pipeline — is built
+    once, persisted as the per-doc ARRAY frame (|docs| rows, the frame
+    _blocked_pair_intersections persisted anyway), and the signature
+    aggregates re-explode the cached integer arrays. Values are identical
+    by construction: both signature forms are set-based mins over the
+    same distinct hashes (operators/dedup.py docstrings). This is NOT the
+    rejected r-earlier experiment, which persisted the EXPLODED
+    |docs|×|shingles| row frame and lost to the cache write."""
+    from mapreduce_model_spark.operators.dedup import shingle_set_arrays
+
+    sets = shingle_set_arrays(docs, k=SHINGLE_K).persist()
+    shx = sets.select("doc_id", F.explode("xs").alias("x"))
     truth = jaccard_decile_pairs(
-        docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF
+        docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF, sets=sets
     )
     mh = lsh_near_dup_pairs(
-        minhash_signatures(docs, k=K, shingle_k=SHINGLE_K),
+        minhash_signatures(docs, k=K, shingle_k=SHINGLE_K, shingle_hashes=shx),
         bands=BANDS,
         rows=ROWS,
         threshold=LSH_THRESHOLD,
         max_bucket=MAX_BUCKET,
     ).select("id_a", "id_b", F.lit(1).alias("hit_mh"))
     oph = lsh_near_dup_pairs(
-        oph_signatures_array(docs, k=K, shingle_k=SHINGLE_K),
+        oph_signatures_array(
+            docs, k=K, shingle_k=SHINGLE_K, shingle_hashes=shx
+        ),
         bands=BANDS,
         rows=ROWS,
         threshold=LSH_THRESHOLD,

@@ -790,24 +790,47 @@ FROM c{n} LEFT JOIN members USING (cid)
 """.format(n=n_iter)
 
 
-@query("kmeans_embeddings", oracle=_kmeans_oracle())
-def kmeans_embeddings(spark, sf_dir):
-    """Spherical k-means over the embedding corpus (operators/similarity.py
-    kmeans_fit): deterministic lowest-id seeding, 5 iterations of
-    broadcast-assign + two-level per-dimension mean. Hash-checked (r6)
-    against a 5-iteration unrolled-CTE DuckDB oracle (see _kmeans_oracle
-    on why the float recurrence is hash-stable); the numpy recompute in
-    tests/test_round3_ops.py stays as defense in depth. Centroids rounded
-    for stable cross-run comparison."""
-    from mapreduce_model_spark.operators.similarity import kmeans_fit
+def _kmeans_report_frame(spark, emb):
+    """Shared (cid, centroid, n_members) report body of kmeans_embeddings
+    and its sampled twin — the Arrow/BLAS engine since r12 (the r11
+    verdict's ask: port the SemDeDup-proven kmeans_fit_arrow path). Same
+    recurrence and decision sequence as kmeans_fit (pinned by
+    test_arrow_kmeans_matches_sql_kmeans); per-dimension means reassociate
+    at ~1e-16, far below the 1e-6 centroid rounding — the same argument
+    _kmeans_cte documents for cross-engine parity. Per iteration: ONE
+    narrow cached-corpus mapInArrow pass whose exchange is ≤ k rows per
+    batch, versus kmeans_fit's per-iteration posexplode shuffle + eager
+    checkpoint + degeneracy-count jobs. Final centroids re-enter as a
+    k-row driver frame; member counts come off the payload-mode
+    assignment — zero corpus-sized joins."""
+    from mapreduce_model_spark.operators.similarity import kmeans_fit_arrow
 
-    emb = table(spark, sf_dir, "embeddings")
-    out = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
-    return out.select(
+    assign, cents = kmeans_fit_arrow(
+        emb, k=_KM_K, n_iter=_KM_ITER, return_centroids=True
+    )
+    counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cid int, centroid array<double>",
+    )
+    return cdf.join(counts, "cid", "left").select(
         "cid",
         F.transform("centroid", lambda c: rnd(c, 6)).alias("centroid"),
-        "n_members",
+        F.coalesce("n_members", F.lit(0)).alias("n_members"),
     )
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
+def kmeans_embeddings(spark, sf_dir):
+    """Spherical k-means over the embedding corpus: deterministic
+    lowest-id seeding, 5 iterations of assign + per-dimension mean —
+    the Arrow/BLAS engine (kmeans_fit_arrow) since r12, decision-parity-
+    pinned against kmeans_fit (see _kmeans_report_frame). Hash-checked
+    (r6) against a 5-iteration unrolled-CTE DuckDB oracle (see
+    _kmeans_oracle on why the float recurrence is hash-stable); the numpy
+    recompute in tests/test_round3_ops.py stays as defense in depth.
+    Centroids rounded for stable cross-run comparison."""
+    return _kmeans_report_frame(spark, table(spark, sf_dir, "embeddings"))
 
 
 @query(
@@ -823,15 +846,8 @@ def kmeans_sampled(spark, sf_dir):
     k/iteration geometry; only the vector relation differs, identically
     on both engines. Full corpus below the 64k cap, so small-scale
     results equal the parent's."""
-    from mapreduce_model_spark.operators.similarity import kmeans_fit
-
     emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
-    out = kmeans_fit(emb, k=_KM_K, n_iter=_KM_ITER)
-    return out.select(
-        "cid",
-        F.transform("centroid", lambda c: rnd(c, 6)).alias("centroid"),
-        "n_members",
-    )
+    return _kmeans_report_frame(spark, emb)
 
 
 def _copurchase_edges(spark, sf_dir):

@@ -671,9 +671,13 @@ def source_token_caps(spark, sf_dir):
     from mapreduce_model_spark.operators.ids import global_prefix_sums
 
     docs = table(spark, sf_dir, "documents")
+    # TWO consumers tokenize the corpus through this frame (the budget
+    # aggregate and the prefix-sum range exchange) — persist the narrow
+    # (id, source, n_tokens) rows so the regexp tokenize pass runs once
+    # (r12, guide §5; same move as sequence_packing's persisted cumsum)
     toks = docs.select(
         "doc_id", "source", F.size(words_array("text")).alias("n_tokens")
-    )
+    ).persist()
     tot = toks.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("src_tokens")
     )
@@ -1772,6 +1776,12 @@ def dsir_importance(spark, sf_dir):
 _QC_B = 64  # hashed feature buckets (+1 bias term)
 _QC_ITERS = 10
 _QC_LR = 2.0
+# Below this many docs the whole GD loop runs in ONE executor task (numpy)
+# instead of 10 driver-collected aggregate jobs — the operators/graph.py
+# SMALL_GRAPH_ROWS endgame applied to training. 200k×(65 doubles+id) ≈
+# 110 MB in a single task, fine; at 100 TB doc counts the distributed
+# 65-buffer aggregate loop below stays the path.
+_QC_LOCAL_DOCS = 200_000
 
 
 def _qc_oracle() -> str:
@@ -1890,6 +1900,52 @@ def quality_classifier(spark, sf_dir):
     y = F.when(F.col("source") == "src0", 1.0).otherwise(0.0)
     feats = per_doc.select("doc_id", x.alias("x"), y.alias("y")).persist()
     n_docs = feats.count()
+
+    if n_docs <= _QC_LOCAL_DOCS:
+        # Local finish (r12): all 10 GD iterations + the final scoring in
+        # ONE executor task over the persisted feature frame — numpy matvec
+        # instead of 10 collect() jobs each paying scheduler latency and an
+        # interpreted 65-element HOF transform per row (guide §2 job
+        # overhead + §4 vectorize-in-native-code). Float parity: X@w and
+        # X.T@(sig−y) reassociate the 65-term sums at ~1e-16 — the same
+        # magnitude the oracle docstring already budgets for cross-engine
+        # summation order, far below the 1e-4 output rounding. The output
+        # columns (label cast, rounding, 0.5 threshold) stay the identical
+        # Spark expressions as the distributed path.
+        n_total = float(n_docs)
+
+        def gd(batches):
+            import numpy as np
+            import pandas as pd
+
+            ids, xs, ys = [], [], []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids.append(pdf["doc_id"].to_numpy())
+                xs.append(np.array(pdf["x"].tolist(), dtype=np.float64))
+                ys.append(pdf["y"].to_numpy(dtype=np.float64))
+            if not ids:
+                return
+            did = np.concatenate(ids)
+            X = np.vstack(xs)
+            yv = np.concatenate(ys)
+            wv = np.zeros(X.shape[1])
+            for _ in range(_QC_ITERS):
+                sig = 1.0 / (1.0 + np.exp(-(X @ wv)))
+                wv = wv - _QC_LR * (X.T @ (sig - yv)) / n_total
+            s = 1.0 / (1.0 + np.exp(-(X @ wv)))
+            yield pd.DataFrame({"doc_id": did, "y": yv, "s": s})
+
+        scored = feats.coalesce(1).mapInPandas(
+            gd, "doc_id long, y double, s double"
+        )
+        return scored.select(
+            "doc_id",
+            F.col("y").cast("int").alias("label"),
+            rnd(F.col("s"), 4).alias("prob"),
+            (F.col("s") >= 0.5).alias("pred"),
+        )
 
     from mapreduce_model_spark.operators.similarity import dot
 
@@ -2031,11 +2087,90 @@ def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
     return sql + "\n" + "\nUNION ALL\n".join(selects)
 
 
+# Below this many dictionary rows the whole greedy merge loop runs in ONE
+# executor task (pure Python over the word-frequency dictionary) instead of
+# `steps` rounds of tiny distributed explode/agg/argmax jobs — the
+# operators/graph.py SMALL_GRAPH_ROWS endgame applied to tokenizer
+# training. At 100 TB vocabularies (millions of rows) the distributed loop
+# below stays the path.
+_BPE_LOCAL_VOCAB = 200_000
+
+
+def _bpe_local_fn(steps: int):
+    """Single-task greedy BPE over the full dictionary — replays the
+    distributed loop's decision sequence EXACTLY: pair counts are
+    c-weighted sums over adjacent symbols of each seg; winner is
+    (count DESC, pair ASC) with byte-wise ASCII tie-break (Python str
+    comparison ≡ UTF8 binary for the [a-z]+ vocabulary); the rewrite is
+    the same sentinel-space-wrapped LEFT-TO-RIGHT NON-OVERLAPPING
+    replace (str.replace ≡ F.replace ≡ DuckDB replace — the shared-space
+    subtlety between adjacent occurrences is load-bearing for parity, so
+    symbols are rewritten through the string form, never a token list).
+    Emits merge rows (word NULL) + final dictionary rows (step NULL) in
+    one mixed frame; each query face filters its side."""
+
+    def fn(batches):
+        import pandas as pd
+
+        words, cs, segs = [], [], []
+        for pdf in batches:
+            words.extend(pdf["word"].tolist())
+            cs.extend(int(v) for v in pdf["c"].tolist())
+            segs.extend(pdf["seg"].tolist())
+        merges = []
+        for step in range(1, steps + 1):
+            cnt: dict = {}
+            get = cnt.get
+            for c, seg in zip(cs, segs):
+                arr = seg.split(" ")
+                for a, b in zip(arr, arr[1:]):
+                    pr = a + " " + b
+                    cnt[pr] = get(pr, 0) + c
+            if not cnt:
+                break
+            pr, c_best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            merged = pr.replace(" ", "")
+            merges.append((step, pr, merged, c_best))
+            tgt, rep = f" {pr} ", f" {merged} "
+            segs = [
+                (" " + s + " ").replace(tgt, rep).strip(" ")
+                if tgt in (" " + s + " ")
+                else s
+                for s in segs
+            ]
+        if merges:
+            yield pd.DataFrame(
+                {
+                    "step": [m[0] for m in merges],
+                    "pair": [m[1] for m in merges],
+                    "merged": [m[2] for m in merges],
+                    "cnt": [m[3] for m in merges],
+                    "word": [None] * len(merges),
+                    "c": [None] * len(merges),
+                    "seg": [None] * len(merges),
+                }
+            )
+        yield pd.DataFrame(
+            {
+                "step": [None] * len(words),
+                "pair": [None] * len(words),
+                "merged": [None] * len(words),
+                "cnt": [None] * len(words),
+                "word": words,
+                "c": cs,
+                "seg": segs,
+            }
+        )
+
+    return fn
+
+
 def _bpe_run(spark, sf_dir, steps: int = _BPE_STEPS):
-    """The shared greedy-BPE training loop: returns (merge list, final
-    segmented word dictionary). The dictionary frame carries the word so
-    bpe_encode can emit per-word segmentations; bpe_train reads only the
-    merge list. See bpe_train's docstring for the scale argument."""
+    """The shared greedy-BPE training loop: returns (merge-table frame,
+    final segmented word dictionary frame). The dictionary frame carries
+    the word so bpe_encode can emit per-word segmentations; bpe_train
+    reads only the merge table. See bpe_train's docstring for the scale
+    argument."""
     docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
     dic = (
         docs.select(F.explode(words_array("text")).alias("word"))
@@ -2052,6 +2187,24 @@ def _bpe_run(spark, sf_dir, steps: int = _BPE_STEPS):
         "c",
         F.trim(F.regexp_replace("word", "(.)", r"$1 ")).alias("seg"),
     ).localCheckpoint(eager=False)
+
+    # Local finish (r12): the count materializes the checkpoint AND gates.
+    # BPE trains on the word-frequency DICTIONARY (Zipf-bounded), so below
+    # the gate ALL `steps` merge rounds run in one executor task instead of
+    # `steps` × (pair-explode shuffle + argmax collect) jobs — at sf0.1 the
+    # loop is pure scheduler latency (guide §2). Decision parity is
+    # documented at _bpe_local_fn.
+    if cur.count() <= _BPE_LOCAL_VOCAB:
+        mixed = cur.coalesce(1).mapInPandas(
+            _bpe_local_fn(steps),
+            "step long, pair string, merged string, cnt long,"
+            " word string, c long, seg string",
+        )
+        merges_df = mixed.where(F.col("step").isNotNull()).select(
+            "step", "pair", "merged", "cnt"
+        )
+        cur_df = mixed.where(F.col("word").isNotNull()).select("word", "c", "seg")
+        return merges_df, cur_df
 
     merges = []
     for step in range(1, steps + 1):
@@ -2088,7 +2241,10 @@ def _bpe_run(spark, sf_dir, steps: int = _BPE_STEPS):
                 )
             ).alias("seg"),
         ).localCheckpoint(eager=False)
-    return merges, cur
+    merges_df = spark.createDataFrame(
+        merges, "step bigint, pair string, merged string, cnt bigint"
+    )
+    return merges_df, cur
 
 
 @query("bpe_train", oracle=_bpe_oracle())
@@ -2114,9 +2270,7 @@ def bpe_train(spark, sf_dir):
     morphology worth separating — noted deviation from the GPT-2
     recipe)."""
     merges, _ = _bpe_run(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "step bigint, pair string, merged string, cnt bigint"
-    )
+    return merges
 
 
 def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:

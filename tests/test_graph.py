@@ -107,10 +107,13 @@ def test_pagerank_cycle_uniform(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
 
 
-def test_pagerank_matches_numpy_power_iteration(spark):
+@pytest.mark.parametrize("gate", [None, 0], ids=["local-finish", "distributed"])
+def test_pagerank_matches_numpy_power_iteration(spark, gate):
     """Same damping, same iteration count, dangling mass spread uniformly —
     Spark and a dense numpy reference must agree on a random digraph
-    (including dangling nodes) to float tolerance."""
+    (including dangling nodes) to float tolerance. gate=None exercises the
+    production single-task local finish; gate=0 forces the distributed
+    per-iteration join+agg loop end-to-end (the 100 TB path)."""
     import numpy as np
     import random as _random
 
@@ -138,7 +141,12 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = nxt
 
     e = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    got = {row.node: row["rank"] for row in pagerank(e, damping=d, n_iter=iters).collect()}
+    got = {
+        row.node: row["rank"]
+        for row in pagerank(
+            e, damping=d, n_iter=iters, small_graph_rows=gate
+        ).collect()
+    }
     assert set(got) == set(nodes)
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-9, node
@@ -166,9 +174,12 @@ def test_connected_components_midloop_local_finish(spark):
     assert len(got) == len(ids)
 
 
-def test_bfs_depths_matches_python_bfs(spark):
-    """Distributed BFS layers == collections.deque BFS on random graphs
-    (depths are traversal-order independent, so exact equality)."""
+@pytest.mark.parametrize("gate", [None, 0], ids=["local-finish", "distributed"])
+def test_bfs_depths_matches_python_bfs(spark, gate):
+    """BFS layers == collections.deque BFS on random graphs (depths are
+    traversal-order independent, so exact equality). gate=None exercises
+    the single-task local finish; gate=0 forces the distributed
+    level-synchronous loop end-to-end (the 100 TB path)."""
     from collections import deque
 
     from mapreduce_model_spark.operators.graph import bfs_depths
@@ -193,7 +204,10 @@ def test_bfs_depths_matches_python_bfs(spark):
                     exp[y] = exp[x] + 1
                     q.append(y)
         e = spark.createDataFrame(edges, "id_a: long, id_b: long")
-        got = {r.node: r.depth for r in bfs_depths(e).collect()}
+        got = {
+            r.node: r.depth
+            for r in bfs_depths(e, small_graph_rows=gate).collect()
+        }
         assert got == exp, trial
 
 
@@ -201,20 +215,27 @@ def test_bfs_depths_long_chain(spark):
     """A path graph: depth must equal position along the chain — one-hop
     frontier expansion for the full diameter, no shortcuts. (BFS is
     inherently one round per level — unlike CC's pointer jumping there is
-    no doubling shortcut — so the chain stays inside max_depth.)"""
+    no doubling shortcut — so the chain stays inside max_depth.)
+    gate=0: the local finish would trivialize this — the point is the
+    DISTRIBUTED per-level convergence."""
     ids = list(range(500, 520))
     edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
     from mapreduce_model_spark.operators.graph import bfs_depths
 
     e = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    got = {r.node: r.depth for r in bfs_depths(e).collect()}
+    got = {
+        r.node: r.depth
+        for r in bfs_depths(e, small_graph_rows=0).collect()
+    }
     assert got == {ids[i]: i for i in range(len(ids))}
 
 
-def test_bfs_depths_eccentricity_equals_max_depth(spark):
+@pytest.mark.parametrize("gate", [None, 0], ids=["local-finish", "distributed"])
+def test_bfs_depths_eccentricity_equals_max_depth(spark, gate):
     """A source whose eccentricity is exactly max_depth completes (the
     final level still gets its empty-frontier check — review-caught
-    off-by-one); one less raises."""
+    off-by-one); one less raises — as the SAME driver-side RuntimeError
+    on both the local-finish and distributed paths."""
     import pytest as _pytest
 
     from mapreduce_model_spark.operators.graph import bfs_depths
@@ -222,10 +243,13 @@ def test_bfs_depths_eccentricity_equals_max_depth(spark):
     ids = list(range(700, 706))  # path graph, eccentricity 5 from ids[0]
     edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
     e = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    got = {r.node: r.depth for r in bfs_depths(e, max_depth=5).collect()}
+    got = {
+        r.node: r.depth
+        for r in bfs_depths(e, max_depth=5, small_graph_rows=gate).collect()
+    }
     assert got == {ids[i]: i for i in range(6)}
     with _pytest.raises(RuntimeError, match="max_depth"):
-        bfs_depths(e, max_depth=4).collect()
+        bfs_depths(e, max_depth=4, small_graph_rows=gate).collect()
 
 
 def test_bfs_depths_edgeless_graph_with_source(spark):

@@ -370,15 +370,19 @@ def test_quantile_histogram_preaggregates_partials(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_kmeans_assign_pass_is_broadcast(spark):
-    """Lloyd's assign step: the k×dim centroid set broadcasts into a narrow
-    pass over the persisted corpus (BroadcastNestedLoopJoin over the
-    InMemoryTableScan) — the corpus itself is never shuffled to meet the
-    centroids; the only exchanges carry per-vector best-centroid rows and
-    k-sized centroid partials."""
+def test_kmeans_assign_pass_is_narrow(spark):
+    """Lloyd's assign step (Arrow engine since r12): the centroids enter
+    the final assign pass as a numpy closure constant inside ONE
+    MapInArrow over the persisted corpus — the corpus is never shuffled
+    or joined to meet the centroids (no SortMergeJoin, no cartesian, no
+    nested-loop join anywhere); the only exchange carries the k-sized
+    member-count partials, and the k-row centroid frame re-enters as a
+    broadcast."""
     p = plan(spark, "kmeans_embeddings")
-    assert "BroadcastNestedLoopJoin" in p
+    assert "MapInArrow" in p
     assert "InMemoryTableScan" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
 

@@ -640,7 +640,8 @@ def test_session_split_after_eviction(spark, tmp_path):
     (ts + gap) lands strictly between the evicted session's end and the
     filter watermark band: gap=10m, delay=5m; batches [0m, 5m], [25m],
     [100m], then the late [12m]."""
-    import time as _time
+    import itertools
+    import os
 
     import pyspark.sql.functions as SF
 
@@ -649,13 +650,19 @@ def test_session_split_after_eviction(spark, tmp_path):
 
     base = 1_700_000_000_000_000  # µs epoch
     minute = 60_000_000
+    mtime_clock = itertools.count(1_700_000_000, 10)
 
     def write_events(name, minutes):
+        # One file per batch, with an explicit strictly-increasing mtime:
+        # FileStreamSource orders files by modification time, and wall-clock
+        # sleeps between writes are flaky under load (r11 verdict item 1).
         spark.createDataFrame(
             [(i, base + int(m * minute), 1) for i, m in enumerate(minutes)],
             "event_id long, ts_us long, user_id long",
-        ).write.parquet(str(src / name))
-        _time.sleep(1.1)  # FileStreamSource orders files by modification time
+        ).coalesce(1).write.parquet(str(src / name))
+        t = next(mtime_clock)
+        for entry in os.listdir(src / name):
+            os.utime(src / name / entry, (t, t))
 
     write_events("b1", [0, 5])    # session A = [0, 15)
     write_events("b2", [25])      # B = [25, 35); wm after: 20m

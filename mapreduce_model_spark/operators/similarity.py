@@ -576,6 +576,81 @@ def _partial_sums_arrow(v: DataFrame, cents) -> DataFrame:
     return v.select("vid", "v").mapInArrow(fn, "cid int, pcnt long, psum array<double>")
 
 
+# Local-finish gate for kmeans_fit_arrow: below these bounds the whole
+# Lloyd's loop runs in ONE executor task (the operators/graph.py
+# SMALL_GRAPH_ROWS endgame applied to clustering) instead of n_iter
+# driver-collected partial-sum jobs. Both bounds matter: row count caps the
+# single-task memory (200k × 64 doubles ≈ 100 MB), and rows×k caps the
+# single-task BLAS work (2e7 × dim ≈ 1.3 GFLOP ≈ sub-second); a gen-sf1
+# run (500k vectors, k=√N≈707) exceeds both and keeps the distributed loop.
+SMALL_KMEANS_ROWS = 200_000
+SMALL_KMEANS_ROWS_X_K = 20_000_000
+
+
+def _local_lloyd(k: int, n_iter: int):
+    """Single-task spherical k-means over a corpus that fits one partition
+    — replays kmeans_fit_arrow's recurrence EXACTLY: k lowest-vid seeds in
+    vid order, argmax cosine against norm-scaled centroids with
+    first-maximum (= lowest-cid) ties, per-cell per-dimension means,
+    empty-cell carry-forward. Float parity: BLAS matmul and np.mean
+    reassociate sums at ~1e-16, the same magnitude the _kmeans_cte /
+    _assign_arrow docstrings already budget against the ≥1e-4 assignment
+    decision gaps and the 1e-6 centroid rounding. Emits a mixed frame:
+    assignment rows (ccid NULL) + final centroid rows (vid NULL)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        vids, xs, ns = [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids.append(pdf["vid"].to_numpy())
+            xs.append(np.array(pdf["v"].tolist(), dtype=np.float64))
+            ns.append(pdf["n"].to_numpy(dtype=np.float64))
+        vid = np.concatenate(vids)
+        X = np.vstack(xs)
+        nrm = np.concatenate(ns)
+        order = np.argsort(vid, kind="stable")
+        cents = X[order[:k]].copy()
+        cid = None
+        for it in range(n_iter + 1):  # the extra pass is the final assign
+            cn = np.linalg.norm(cents, axis=1, keepdims=True)
+            cn[cn == 0.0] = 1.0
+            cid = np.argmax(X @ (cents / cn).T, axis=1)
+            if it == n_iter:
+                break
+            new = cents.copy()  # empty-cell carry-forward
+            for c in range(k):
+                members = X[cid == c]
+                if len(members):
+                    new[c] = members.mean(axis=0)
+            cents = new
+        yield pd.DataFrame(
+            {
+                "vid": vid,
+                "v": list(X),
+                "n": nrm,
+                "cid": cid.astype("int32"),
+                "ccid": [None] * len(vid),
+                "ce": [None] * len(vid),
+            }
+        )
+        yield pd.DataFrame(
+            {
+                "vid": [None] * k,
+                "v": [None] * k,
+                "n": [None] * k,
+                "cid": [None] * k,
+                "ccid": list(range(k)),
+                "ce": list(cents),
+            }
+        )
+
+    return fn
+
+
 def kmeans_fit_arrow(
     vectors: DataFrame,
     k: int,
@@ -583,6 +658,7 @@ def kmeans_fit_arrow(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     return_centroids: bool = False,
+    small_rows: int | None = None,
 ):
     """``kmeans_fit(return_assign=True)`` with the two corpus-sized inner
     products moved to Arrow/BLAS — the configuration for LARGE k (the
@@ -602,8 +678,11 @@ def kmeans_fit_arrow(
     (vid → cid) join-back that r11's payload mode eliminated, so it had
     become a pure extra corpus exchange (guide §2.4); with payload mode
     every pass over the cache is narrow. ``return_centroids=True``
-    additionally returns the final k×dim numpy centroid matrix (the
-    kmeans_embeddings report face consumes it)."""
+    additionally returns the final centroid frame
+    (cid int, centroid array<double>) — the kmeans_embeddings report face
+    consumes it. ``small_rows`` overrides the local-finish row gate
+    (default ``SMALL_KMEANS_ROWS``); tests pass 0 to force the
+    distributed loop — the graph operators' override contract."""
     import numpy as np
 
     v = (
@@ -611,9 +690,33 @@ def kmeans_fit_arrow(
         .withColumn("n", l2_norm(F.col("v")))
         .persist()
     )
+    # one count: materializes the persist AND gates the local finish
+    n_rows = v.count()
+    if n_rows < k:
+        raise ValueError(f"kmeans_fit_arrow: k={k} > corpus size {n_rows}")
+    gate = SMALL_KMEANS_ROWS if small_rows is None else small_rows
+    if n_rows <= gate and n_rows * k <= SMALL_KMEANS_ROWS_X_K:
+        mixed = v.coalesce(1).mapInPandas(
+            _local_lloyd(k, n_iter),
+            "vid long, v array<double>, n double, cid int,"
+            " ccid int, ce array<double>",
+        )
+        assign = mixed.where(F.col("vid").isNotNull()).select(
+            "vid", "v", "n", "cid"
+        )
+        if return_centroids:
+            # both faces filter the one mixed task output — persist it so
+            # the Lloyd task runs once, not once per face
+            mixed = mixed.persist()
+            assign = mixed.where(F.col("vid").isNotNull()).select(
+                "vid", "v", "n", "cid"
+            )
+            cents_df = mixed.where(F.col("ccid").isNotNull()).select(
+                F.col("ccid").alias("cid"), F.col("ce").alias("centroid")
+            )
+            return assign, cents_df
+        return assign
     seed_rows = v.orderBy("vid").limit(k).collect()
-    if len(seed_rows) < k:
-        raise ValueError(f"kmeans_fit_arrow: k={k} > corpus size {len(seed_rows)}")
     cents = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
     for _ in range(n_iter):
         upd = (
@@ -636,7 +739,11 @@ def kmeans_fit_arrow(
     # sides and exchanged the narrow side)
     assign = _assign_arrow(v, cents, payload=True)
     if return_centroids:
-        return assign, cents
+        cents_df = v.sparkSession.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+            "cid int, centroid array<double>",
+        )
+        return assign, cents_df
     return assign
 
 

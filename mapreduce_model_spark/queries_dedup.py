@@ -83,9 +83,7 @@ def q_minhash_sig(spark, sf_dir):
     """Per-doc MinHash signature (k=32, md5-derived — byte-identical in
     DuckDB, a fully checkable sketch). Joined to a comma string so the
     driver's value hash never touches an array column."""
-    sig = minhash_signatures(
-        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
-    )
+    sig = _mh_sig(spark, sf_dir)
     return sig.select(
         "doc_id",
         F.array_join(F.transform("sig", lambda x: x.cast("string")), ",").alias("sig"),
@@ -104,11 +102,73 @@ FROM est WHERE est_jaccard >= {LSH_THRESHOLD}
 )
 def q_near_minhash(spark, sf_dir):
     """MinHash-LSH near-duplicate pairs (8 bands × 4 rows, est-J ≥ 0.5)."""
-    sig = minhash_signatures(
-        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+    return _mh_pairs(spark, sf_dir)
+
+
+def _dedup_memo(spark, sf_dir, kind, build):
+    """Session-keyed memo of a persisted frame (the established
+    _TRAIN_CACHE pattern — queries_similarity._train_cache_lookup holds
+    the lifecycle rules: stopped sessions pruned, clearCache-evicted
+    entries rebuilt). The dedup family's repeated sub-pipelines live
+    here."""
+    from mapreduce_model_spark.queries_similarity import (
+        _TRAIN_CACHE,
+        _train_cache_lookup,
     )
-    return lsh_near_dup_pairs(
-        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
+
+    key, hit = _train_cache_lookup(spark, sf_dir, kind)
+    if hit is None:
+        _TRAIN_CACHE[key] = (build().persist(),)
+    return _TRAIN_CACHE[key][0]
+
+
+def _oph_sig(spark, sf_dir):
+    """Memoized one-permutation (OPH) wide signature frame (h0..h{k-1})
+    over the full corpus — consumed by the signature output face
+    (dedup_minhash_oph) and the OPH pair pipeline (dedup_near_oph)."""
+    return _dedup_memo(
+        spark,
+        sf_dir,
+        "oph_sig",
+        lambda: oph_signatures(
+            table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+        ),
+    )
+
+
+def _mh_sig(spark, sf_dir):
+    """Memoized classic-MinHash signature frame over the full corpus —
+    consumed by the signature output face (dedup_minhash_sig) and the
+    pair build (_mh_pairs)."""
+    return _dedup_memo(
+        spark,
+        sf_dir,
+        "mh_sig",
+        lambda: minhash_signatures(
+            table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+        ),
+    )
+
+
+def _mh_pairs(spark, sf_dir):
+    """The MinHash-LSH pair frame over the full document corpus at the
+    family constants, memoized per session. FIVE registered queries
+    consume this identical frame (dedup_near_minhash, dedup_clusters,
+    split_leakage, dedup_cross_source, dedup_cluster_quality); before
+    r12 each rebuilt the signature + banding + bucket self-join pipeline
+    from parquet. Exactly the sharing move the r6 verdict prescribed for
+    the PQ family and the r11 verdict prescribed for the recall family."""
+    return _dedup_memo(
+        spark,
+        sf_dir,
+        "mh_pairs",
+        lambda: lsh_near_dup_pairs(
+            _mh_sig(spark, sf_dir),
+            bands=BANDS,
+            rows=ROWS,
+            threshold=LSH_THRESHOLD,
+            max_bucket=MAX_BUCKET,
+        ),
     )
 
 
@@ -131,9 +191,7 @@ def q_minhash_oph(spark, sf_dir):
     per-bin collision estimator (agreement ≈ Jaccard, pinned in tests).
     Fully hash-checked — every densified value is md5-derived arithmetic
     DuckDB reproduces bit-identically, empty-bin borrowing included."""
-    sig = oph_signatures(
-        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
-    )
+    sig = _oph_sig(spark, sf_dir)
     return sig.select(
         "doc_id",
         F.concat_ws(
@@ -164,8 +222,11 @@ def q_near_oph(spark, sf_dir):
     operator and the shared banding_cte SQL tail. At 100 TB this is the
     configuration you'd actually run: OPH signatures upstream, identical
     candidate generation downstream."""
-    sig_arr = oph_signatures_array(
-        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
+    # pack the memoized wide OPH frame (shared with dedup_minhash_oph)
+    # into the (id, sig array) shape the pair operator consumes — the
+    # same select oph_signatures_array performs on a fresh build
+    sig_arr = _oph_sig(spark, sf_dir).select(
+        "doc_id", F.array(*[f"h{i}" for i in range(K)]).alias("sig")
     )
     return lsh_near_dup_pairs(
         sig_arr, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
@@ -239,7 +300,37 @@ GROUP BY t.j_decile
     )
 
 
-def _lsh_recall_frame(spark, docs):
+def _recall_shared(spark, sf_dir, docs, tag):
+    """(sets, truth) for the recall-audit family, memoized per
+    (session, sf_dir, corpus tag) — the r11 verdict's _TRAIN_CACHE ask:
+    all four recall faces (lsh/simhash × report/sampled) verify against
+    the SAME blocked exact-Jaccard ground truth, and whenever their doc
+    relation coincides (always at driver scales, where the sampled twins'
+    caps don't bind and sample_frame returns the corpus untouched) the
+    truth and the per-doc shingle-set arrays were being rebuilt once per
+    face. Same session-keyed lifecycle rules as the PQ training memo
+    (queries_similarity._train_cache_lookup): stopped sessions pruned,
+    clearCache-evicted entries rebuilt. ``tag`` names the corpus —
+    "full", or the sampler cap when sampling actually applied (at
+    generated scales the three sampled corpora differ, so each gets its
+    own entry and nothing is shared across different doc relations)."""
+    from mapreduce_model_spark.queries_similarity import (
+        _TRAIN_CACHE,
+        _train_cache_lookup,
+    )
+    from mapreduce_model_spark.operators.dedup import shingle_set_arrays
+
+    key, hit = _train_cache_lookup(spark, sf_dir, f"recall_{tag}")
+    if hit is None:
+        sets = shingle_set_arrays(docs, k=SHINGLE_K).persist()
+        truth = jaccard_decile_pairs(
+            docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF, sets=sets
+        ).persist()
+        _TRAIN_CACHE[key] = (sets, truth)
+    return _TRAIN_CACHE[key]
+
+
+def _lsh_recall_frame(spark, sf_dir, docs, tag):
     """Shared engine body of lsh_recall_report and its sampled twin —
     identical pipeline, parameterized only on the doc frame.
 
@@ -252,14 +343,11 @@ def _lsh_recall_frame(spark, docs):
     by construction: both signature forms are set-based mins over the
     same distinct hashes (operators/dedup.py docstrings). This is NOT the
     rejected r-earlier experiment, which persisted the EXPLODED
-    |docs|×|shingles| row frame and lost to the cache write."""
-    from mapreduce_model_spark.operators.dedup import shingle_set_arrays
+    |docs|×|shingles| row frame and lost to the cache write. sets + truth
+    additionally memoize across the family via _recall_shared."""
 
-    sets = shingle_set_arrays(docs, k=SHINGLE_K).persist()
+    sets, truth = _recall_shared(spark, sf_dir, docs, tag)
     shx = sets.select("doc_id", F.explode("xs").alias("x"))
-    truth = jaccard_decile_pairs(
-        docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF, sets=sets
-    )
     mh = lsh_near_dup_pairs(
         minhash_signatures(docs, k=K, shingle_k=SHINGLE_K, shingle_hashes=shx),
         bands=BANDS,
@@ -323,7 +411,9 @@ def q_lsh_recall_report(spark, sf_dir):
     # codegen-fused tokenize+md5 scan stages it saves (same codegen-beats-
     # sharing economics as minhash_signatures' rejected narrow form). The
     # report deliberately costs the sum of its three audited parts.
-    return _lsh_recall_frame(spark, table(spark, sf_dir, "documents"))
+    return _lsh_recall_frame(
+        spark, sf_dir, table(spark, sf_dir, "documents"), "full"
+    )
 
 
 @query(
@@ -346,14 +436,13 @@ def q_lsh_recall_sampled(spark, sf_dir):
     only the doc relation differs, and it differs identically on both
     engines. At 100 TB the sampled audit IS the production audit; the
     parent is the exhaustive small-scale exemplar."""
-    return _lsh_recall_frame(
-        spark,
-        sample_frame_fine(
-            table(spark, sf_dir, "documents"),
-            "doc_id",
-            cap=LSH_RECALL_SAMPLE_CAP,
-        ),
-    )
+    docs = table(spark, sf_dir, "documents")
+    sampled = sample_frame_fine(docs, "doc_id", cap=LSH_RECALL_SAMPLE_CAP)
+    # identity ⇔ the cap didn't bind ⇔ the corpus IS the parent's — share
+    # the parent's memoized sets/truth; a truly sampled corpus gets its
+    # own key
+    tag = "full" if sampled is docs else f"fine{LSH_RECALL_SAMPLE_CAP}"
+    return _lsh_recall_frame(spark, sf_dir, sampled, tag)
 
 
 def _simhash_sql(src: str = "documents") -> str:
@@ -489,13 +578,15 @@ GROUP BY t.j_decile
     )
 
 
-def _simhash_recall_frame(spark, docs):
-    """Shared engine body of simhash_recall_report and its sampled twin."""
+def _simhash_recall_frame(spark, sf_dir, docs, tag):
+    """Shared engine body of simhash_recall_report and its sampled twin.
+    The blocked exact-Jaccard truth comes from the family memo
+    (_recall_shared) — identical corpus ⇒ identical truth, so the four
+    recall faces pay the truth pair join once per session, not once
+    each."""
     from mapreduce_model_spark.operators.dedup import simhash_hamming_pairs
 
-    truth = jaccard_decile_pairs(
-        docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF
-    )
+    _, truth = _recall_shared(spark, sf_dir, docs, tag)
     hits = simhash_hamming_pairs(
         docs,
         bits=SIMHASH_BITS,
@@ -528,7 +619,9 @@ def q_simhash_recall_report(spark, sf_dir):
     Scale: same shapes as the parents — blocked truth join, pigeonhole
     block equi-join, recall join on pair-table rows; run over a sampled
     partition at 100 TB."""
-    return _simhash_recall_frame(spark, table(spark, sf_dir, "documents"))
+    return _simhash_recall_frame(
+        spark, sf_dir, table(spark, sf_dir, "documents"), "full"
+    )
 
 
 @query(
@@ -548,12 +641,10 @@ def q_simhash_recall_sampled(spark, sf_dir):
     gen-sf1, keeping the SimHash recall S-curve hash-checked at 500k
     docs. Full corpus below the 64k cap, so sf0.01 results equal the
     parent's."""
-    return _simhash_recall_frame(
-        spark,
-        sample_frame(
-            table(spark, sf_dir, "documents"), "doc_id", cap=RECALL_SAMPLE_CAP
-        ),
-    )
+    docs = table(spark, sf_dir, "documents")
+    sampled = sample_frame(docs, "doc_id", cap=RECALL_SAMPLE_CAP)
+    tag = "full" if sampled is docs else f"coarse{RECALL_SAMPLE_CAP}"
+    return _simhash_recall_frame(spark, sf_dir, sampled, tag)
 
 
 
@@ -583,10 +674,7 @@ def q_dedup_clusters(spark, sf_dir):
     from mapreduce_model_spark.operators.graph import dedup_survivors
 
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, k=K, shingle_k=SHINGLE_K)
-    pairs = lsh_near_dup_pairs(
-        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
-    ).select("id_a", "id_b")
+    pairs = _mh_pairs(spark, sf_dir).select("id_a", "id_b")
     return dedup_survivors(docs, pairs)
 
 
@@ -721,10 +809,7 @@ def q_split_leakage(spark, sf_dir):
         "doc_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
-    sig = minhash_signatures(docs, k=K, shingle_k=SHINGLE_K)
-    pairs = lsh_near_dup_pairs(
-        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
-    ).select("id_a", "id_b")
+    pairs = _mh_pairs(spark, sf_dir).select("id_a", "id_b")
     sa = asg.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     sb = asg.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
     lo, hi = F.least("split_a", "split_b"), F.greatest("split_a", "split_b")
@@ -764,12 +849,7 @@ def q_dedup_cross_source(spark, sf_dir):
     is, but stays a key join for the worst case) and a tiny
     |sources|² aggregate."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    sig = minhash_signatures(
-        table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K
-    )
-    pairs = lsh_near_dup_pairs(
-        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
-    ).select("id_a", "id_b")
+    pairs = _mh_pairs(spark, sf_dir).select("id_a", "id_b")
     da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
     return (
@@ -1135,10 +1215,7 @@ def q_dedup_cluster_quality(spark, sf_dir):
     from mapreduce_model_spark.operators.graph import connected_components
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    sig = minhash_signatures(table(spark, sf_dir, "documents"), k=K, shingle_k=SHINGLE_K)
-    pairs = lsh_near_dup_pairs(
-        sig, bands=BANDS, rows=ROWS, threshold=LSH_THRESHOLD, max_bucket=MAX_BUCKET
-    ).select("id_a", "id_b")
+    pairs = _mh_pairs(spark, sf_dir).select("id_a", "id_b")
     comp = connected_components(pairs)
     # lab feeds BOTH the winner election and the final join: persist, or the
     # entire upstream (MinHash-LSH pair generation + connected components)

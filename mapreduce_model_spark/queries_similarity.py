@@ -805,14 +805,10 @@ def _kmeans_report_frame(spark, emb):
     assignment — zero corpus-sized joins."""
     from mapreduce_model_spark.operators.similarity import kmeans_fit_arrow
 
-    assign, cents = kmeans_fit_arrow(
+    assign, cdf = kmeans_fit_arrow(
         emb, k=_KM_K, n_iter=_KM_ITER, return_centroids=True
     )
     counts = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    cdf = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cid int, centroid array<double>",
-    )
     return cdf.join(counts, "cid", "left").select(
         "cid",
         F.transform("centroid", lambda c: rnd(c, 6)).alias("centroid"),

@@ -1650,10 +1650,15 @@ def vocab_coverage_curve(spark, sf_dir):
     discipline — the full vocabulary never funnels through one
     partition), and the total-token count is a 1-row broadcast."""
     docs = spread_for_fanout(table(spark, sf_dir, "documents"), "doc_id")
+    # tf feeds BOTH the total-token aggregate and the top-N pick, and
+    # Catalyst does not reuse the exchange across the two subtrees (plan
+    # audit r12: 4 parquet scans, 0 ReusedExchange) — persist the
+    # vocab-sized count frame so the corpus tokenize+explode runs once
     tf = (
         docs.select(F.explode(words_array("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     tot = tf.agg(F.sum("n").alias("total"))
     top = tf.orderBy(F.desc("n"), "word").limit(max(_VOCAB_SIZES))
@@ -1746,13 +1751,17 @@ def dsir_importance(spark, sf_dir):
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # hash INSIDE the array (narrow, scan-stage), then explode ints only
+    # hash INSIDE the array (narrow, scan-stage), then explode ints only.
+    # feats feeds the bucket-count aggregate AND the final scoring join;
+    # cnt feeds the grand-total aggregate AND the lambda table — without
+    # the persists each consumer re-runs the corpus tokenize + bigram
+    # hash (plan audit r12: 6 parquet scans, 0 ReusedExchange)
     buckets = F.transform(bigrams, lambda bg: F.pmod(md5_int32(bg), F.lit(_DSIR_B)))
-    feats = docs.select("doc_id", "source", F.explode(buckets).alias("b"))
+    feats = docs.select("doc_id", "source", F.explode(buckets).alias("b")).persist()
     cnt = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("r"),
         F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)).alias("t"),
-    )
+    ).persist()
     tot = cnt.agg(
         F.sum("r").cast("double").alias("tr"), F.sum("t").cast("double").alias("tt")
     )

@@ -371,15 +371,15 @@ def test_quantile_histogram_preaggregates_partials(spark):
 
 
 def test_kmeans_assign_pass_is_narrow(spark):
-    """Lloyd's assign step (Arrow engine since r12): the centroids enter
-    the final assign pass as a numpy closure constant inside ONE
-    MapInArrow over the persisted corpus — the corpus is never shuffled
-    or joined to meet the centroids (no SortMergeJoin, no cartesian, no
-    nested-loop join anywhere); the only exchange carries the k-sized
-    member-count partials, and the k-row centroid frame re-enters as a
-    broadcast."""
+    """Lloyd's loop (Arrow engine since r12): the corpus is never
+    shuffled or joined to meet the centroids (no SortMergeJoin, no
+    cartesian, no nested-loop join anywhere). Below the local-finish
+    gate the whole loop is ONE MapInPandas task over the persisted
+    corpus; above it the final assign is a MapInArrow with the centroids
+    as a numpy closure constant. Either way the only join is the k-row
+    broadcast of member counts onto centroids."""
     p = plan(spark, "kmeans_embeddings")
-    assert "MapInArrow" in p
+    assert "MapInPandas" in p or "MapInArrow" in p
     assert "InMemoryTableScan" in p
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" not in p

@@ -103,11 +103,14 @@ def test_adaptive_kmeans_k_matches_duckdb_cte_everywhere():
         assert got == adaptive_kmeans_k(n), n
 
 
-def test_arrow_kmeans_matches_sql_kmeans(spark, sf_dir):
+@pytest.mark.parametrize("gate", [None, 0], ids=["local-finish", "distributed"])
+def test_arrow_kmeans_matches_sql_kmeans(spark, sf_dir, gate):
     """kmeans_fit_arrow must reproduce kmeans_fit's exact assignment and
     (to ulp) its centroids — same seeding, same argmax decisions, same
     empty-cell handling. This is the decision-parity contract the
-    hash-check of semantic_dedup_scaled rides on."""
+    hash-check of semantic_dedup_scaled rides on. gate=None exercises the
+    r12 single-task local finish; gate=0 forces the distributed
+    partial-sums loop (the 100 TB path)."""
     from mapreduce_model_spark.operators.similarity import (
         kmeans_fit,
         kmeans_fit_arrow,
@@ -119,7 +122,10 @@ def test_arrow_kmeans_matches_sql_kmeans(spark, sf_dir):
         for r in kmeans_fit(emb, k=23, n_iter=2, return_assign=True).collect()
     }
     arrow_a = {
-        r["vid"]: r["cid"] for r in kmeans_fit_arrow(emb, k=23, n_iter=2).collect()
+        r["vid"]: r["cid"]
+        for r in kmeans_fit_arrow(
+            emb, k=23, n_iter=2, small_rows=gate
+        ).collect()
     }
     assert sql_a == arrow_a
 

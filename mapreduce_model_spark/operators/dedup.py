@@ -411,6 +411,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 50,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs blocked by shared rare shingles.
 
@@ -418,9 +419,13 @@ def ngram_jaccard_pairs(
     *blocking only* (all shingles still count in the Jaccard), bounding the
     pair join. Output: (id_a, id_b, jaccard) for pairs ≥ threshold **that
     share at least one rare shingle** — the documented recall contract.
-    Pair engine: :func:`_blocked_pair_intersections`.
+    Pair engine: :func:`_blocked_pair_intersections`; ``pairs`` injects a
+    precomputed (shared, persisted) run of it.
     """
-    pairs = _blocked_pair_intersections(df, text_col, id_col, shingle_k, max_shingle_df)
+    if pairs is None:
+        pairs = _blocked_pair_intersections(
+            df, text_col, id_col, shingle_k, max_shingle_df
+        )
     return (
         pairs.withColumn(
             "jaccard",
@@ -438,6 +443,7 @@ def jaccard_decile_pairs(
     shingle_k: int = 3,
     max_shingle_df: int = 50,
     sets: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard pairs ≥ 0.5 with an INTEGER-EXACT decile label:
     ``j_decile = (10·|A∩B|) div |A∪B|`` (5..10), pairs kept iff
@@ -448,11 +454,13 @@ def jaccard_decile_pairs(
     This is the ground-truth side of the LSH recall audit
     (``lsh_recall_report``); same rare-shingle blocking (recall contract)
     and pair engine as :func:`ngram_jaccard_pairs`. ``sets`` forwards a
-    shared persisted :func:`shingle_set_arrays` frame to the pair engine.
+    shared persisted :func:`shingle_set_arrays` frame to the pair engine;
+    ``pairs`` injects a precomputed (shared, persisted) run of it whole.
     """
-    pairs = _blocked_pair_intersections(
-        df, text_col, id_col, shingle_k, max_shingle_df, sets=sets
-    )
+    if pairs is None:
+        pairs = _blocked_pair_intersections(
+            df, text_col, id_col, shingle_k, max_shingle_df, sets=sets
+        )
     u = F.col("n_a").cast("long") + F.col("n_b") - F.col("n_inter")
     return (
         pairs.withColumn("u", u)
@@ -472,6 +480,7 @@ def containment_pairs(
     shingle_k: int = 3,
     threshold: float = 0.6,
     max_shingle_df: int = 50,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment C(a→b) = |A∩B| / |A| over the same
     rare-shingle-blocked candidates as :func:`ngram_jaccard_pairs`.
@@ -482,9 +491,13 @@ def containment_pairs(
     wrapping / partial-scrape case a dedup pass built only on Jaccard keeps
     shipping twice. Pairs kept when either direction ≥ threshold; both
     directions reported so the CONTAINED side (the smaller doc) is
-    identifiable downstream.
+    identifiable downstream. ``pairs`` injects a precomputed (shared,
+    persisted) pair-engine run.
     """
-    pairs = _blocked_pair_intersections(df, text_col, id_col, shingle_k, max_shingle_df)
+    if pairs is None:
+        pairs = _blocked_pair_intersections(
+            df, text_col, id_col, shingle_k, max_shingle_df
+        )
     c_ab = F.col("n_inter") / F.col("n_a")
     c_ba = F.col("n_inter") / F.col("n_b")
     return (
@@ -563,6 +576,7 @@ def simhash_hamming_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     max_block: int = 500,
+    sim: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs from SimHash — the downstream pairing step
     :func:`simhash`'s docstring defers: ``(id_a, id_b, hamming)`` for all
@@ -574,11 +588,12 @@ def simhash_hamming_pairs(
     same-block candidates. ``max_block`` drops degenerate hot blocks (the
     LSH max_bucket argument) before the join. Every predicate is exact
     integer arithmetic (shifts, xor, popcount) — no float anywhere, fully
-    hash-checkable including the selection."""
+    hash-checkable including the selection. ``sim`` injects a precomputed
+    (shared, persisted) :func:`simhash` frame."""
     nb = max_hamming + 1
     width = bits // nb
     mask = (1 << width) - 1
-    h = simhash(df, text_col, id_col, bits)
+    h = simhash(df, text_col, id_col, bits) if sim is None else sim
     blocks = h.select(
         id_col,
         "simhash",

@@ -300,6 +300,45 @@ GROUP BY t.j_decile
     )
 
 
+def _shingle_sets(spark, sf_dir, docs, tag):
+    """Memoized per-doc shingle-hash SET arrays for a corpus ``tag`` —
+    the one tokenize+shingle+md5 pass every blocked-Jaccard / signature
+    pipeline derives from. ``tag`` names the corpus — "full", or the
+    sampler cap when sampling actually applied (at generated scales the
+    sampled corpora differ, so each gets its own entry and nothing is
+    shared across different doc relations)."""
+    from mapreduce_model_spark.operators.dedup import shingle_set_arrays
+
+    return _dedup_memo(
+        spark,
+        sf_dir,
+        f"shsets_{tag}",
+        lambda: shingle_set_arrays(docs, k=SHINGLE_K),
+    )
+
+
+def _blocked_pairs(spark, sf_dir, docs, tag):
+    """Memoized blocked-pair intersection frame
+    (id_a, id_b, n_inter, n_a, n_b) — the pre-threshold candidate engine
+    shared by dedup_ngram_jaccard, dedup_containment, and the
+    recall-audit truth (all run the IDENTICAL rare-shingle blocking at
+    the family constants; before r12 each rebuilt the self-join +
+    array_intersect pass from parquet)."""
+    from mapreduce_model_spark.operators.dedup import (
+        _blocked_pair_intersections,
+    )
+
+    sets = _shingle_sets(spark, sf_dir, docs, tag)
+    return _dedup_memo(
+        spark,
+        sf_dir,
+        f"bpairs_{tag}",
+        lambda: _blocked_pair_intersections(
+            docs, "text", "doc_id", SHINGLE_K, MAX_SHINGLE_DF, sets=sets
+        ),
+    )
+
+
 def _recall_shared(spark, sf_dir, docs, tag):
     """(sets, truth) for the recall-audit family, memoized per
     (session, sf_dir, corpus tag) — the r11 verdict's _TRAIN_CACHE ask:
@@ -310,24 +349,21 @@ def _recall_shared(spark, sf_dir, docs, tag):
     truth and the per-doc shingle-set arrays were being rebuilt once per
     face. Same session-keyed lifecycle rules as the PQ training memo
     (queries_similarity._train_cache_lookup): stopped sessions pruned,
-    clearCache-evicted entries rebuilt. ``tag`` names the corpus —
-    "full", or the sampler cap when sampling actually applied (at
-    generated scales the three sampled corpora differ, so each gets its
-    own entry and nothing is shared across different doc relations)."""
-    from mapreduce_model_spark.queries_similarity import (
-        _TRAIN_CACHE,
-        _train_cache_lookup,
+    clearCache-evicted entries rebuilt. The truth itself is the integer
+    decile tail over the memoized blocked-pair engine (_blocked_pairs)."""
+    sets = _shingle_sets(spark, sf_dir, docs, tag)
+    truth = _dedup_memo(
+        spark,
+        sf_dir,
+        f"truth_{tag}",
+        lambda: jaccard_decile_pairs(
+            docs,
+            shingle_k=SHINGLE_K,
+            max_shingle_df=MAX_SHINGLE_DF,
+            pairs=_blocked_pairs(spark, sf_dir, docs, tag),
+        ),
     )
-    from mapreduce_model_spark.operators.dedup import shingle_set_arrays
-
-    key, hit = _train_cache_lookup(spark, sf_dir, f"recall_{tag}")
-    if hit is None:
-        sets = shingle_set_arrays(docs, k=SHINGLE_K).persist()
-        truth = jaccard_decile_pairs(
-            docs, shingle_k=SHINGLE_K, max_shingle_df=MAX_SHINGLE_DF, sets=sets
-        ).persist()
-        _TRAIN_CACHE[key] = (sets, truth)
-    return _TRAIN_CACHE[key]
+    return sets, truth
 
 
 def _lsh_recall_frame(spark, sf_dir, docs, tag):
@@ -474,12 +510,26 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM vs
 """
 
 
+def _simhash_frame(spark, sf_dir, docs, tag):
+    """Memoized TF-weighted SimHash frame for a corpus ``tag`` — consumed
+    by the hash output face (dedup_simhash), the pairing face
+    (dedup_simhash_pairs), and the recall faces' hamming gate."""
+    return _dedup_memo(
+        spark,
+        sf_dir,
+        f"simhash_{tag}",
+        lambda: simhash(docs, bits=SIMHASH_BITS),
+    )
+
+
 @query("dedup_simhash", oracle=_simhash_sql())
 def q_simhash(spark, sf_dir):
     """TF-weighted 32-bit SimHash per doc — no pair join, the cheapest
     near-dup signal at scale; hamming-distance pairing is done downstream
     (tests cover the property: identical docs → identical hash)."""
-    return simhash(table(spark, sf_dir, "documents"), bits=SIMHASH_BITS)
+    return _simhash_frame(
+        spark, sf_dir, table(spark, sf_dir, "documents"), "full"
+    )
 
 
 _SIMHASH_MAX_HAM, _SIMHASH_MAX_BLOCK = 3, 500
@@ -528,11 +578,13 @@ def q_simhash_pairs(spark, sf_dir):
     |docs|-sized, the join carries (id, 8-byte hash) only."""
     from mapreduce_model_spark.operators.dedup import simhash_hamming_pairs
 
+    docs = table(spark, sf_dir, "documents")
     return simhash_hamming_pairs(
-        table(spark, sf_dir, "documents"),
+        docs,
         bits=SIMHASH_BITS,
         max_hamming=_SIMHASH_MAX_HAM,
         max_block=_SIMHASH_MAX_BLOCK,
+        sim=_simhash_frame(spark, sf_dir, docs, "full"),
     )
 
 
@@ -592,6 +644,7 @@ def _simhash_recall_frame(spark, sf_dir, docs, tag):
         bits=SIMHASH_BITS,
         max_hamming=_SIMHASH_MAX_HAM,
         max_block=_SIMHASH_MAX_BLOCK,
+        sim=_simhash_frame(spark, sf_dir, docs, tag),
     ).select("id_a", "id_b", F.lit(1).alias("hit"))
     joined = truth.join(hits, ["id_a", "id_b"], "left")
     n = F.count(F.lit(1))
@@ -708,12 +761,16 @@ FROM j WHERE jaccard >= {JACCARD_THRESHOLD}
 )
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs ≥ 0.5, blocked on shared rare shingles
-    (df ≤ 50) — the exact-verification stage behind MinHash candidates."""
+    (df ≤ 50) — the exact-verification stage behind MinHash candidates.
+    The pre-threshold candidate engine is the memoized _blocked_pairs
+    frame shared with dedup_containment and the recall truth (r12)."""
+    docs = table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"),
+        docs,
         shingle_k=SHINGLE_K,
         threshold=JACCARD_THRESHOLD,
         max_shingle_df=MAX_SHINGLE_DF,
+        pairs=_blocked_pairs(spark, sf_dir, docs, "full"),
     )
 
 
@@ -754,14 +811,17 @@ FROM c WHERE greatest(c_ab, c_ba) >= {CONTAINMENT_THRESHOLD}
 def q_containment(spark, sf_dir):
     """Asymmetric shingle containment ≥ 0.6 in either direction — the
     doc-inside-doc (quote / partial-scrape) detector symmetric Jaccard
-    misses; same rare-shingle blocking as dedup_ngram_jaccard."""
+    misses; same rare-shingle blocking as dedup_ngram_jaccard — and the
+    same memoized _blocked_pairs candidate engine (r12)."""
     from mapreduce_model_spark.operators.dedup import containment_pairs
 
+    docs = table(spark, sf_dir, "documents")
     return containment_pairs(
-        table(spark, sf_dir, "documents"),
+        docs,
         shingle_k=SHINGLE_K,
         threshold=CONTAINMENT_THRESHOLD,
         max_shingle_df=MAX_SHINGLE_DF,
+        pairs=_blocked_pairs(spark, sf_dir, docs, "full"),
     )
 
 

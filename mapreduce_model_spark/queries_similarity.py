@@ -1989,7 +1989,15 @@ def _pq_train(spark, sf_dir, sampled: bool = False):
     if hit is None:
         emb = table(spark, sf_dir, "embeddings")
         if sampled:
-            emb = sample_frame(emb, "vec_id")
+            s = sample_frame(emb, "vec_id")
+            if s is emb:
+                # the cap didn't bind ⇒ the sampled corpus IS the parent's
+                # ⇒ the builds are identical — alias the parent's memo
+                # entry instead of training the same index twice (r12)
+                res = _pq_train(spark, sf_dir, sampled=False)
+                _TRAIN_CACHE[key] = res
+                return res
+            emb = s
         out, cents = pq_fit(
             emb,
             m=_PQ_M,
@@ -2018,7 +2026,13 @@ def _ivfpq_train(spark, sf_dir, sampled: bool = False):
     if hit is None:
         emb = table(spark, sf_dir, "embeddings")
         if sampled:
-            emb = sample_frame(emb, "vec_id")
+            s = sample_frame(emb, "vec_id")
+            if s is emb:
+                # cap didn't bind — alias the parent's build (see _pq_train)
+                res = _ivfpq_train(spark, sf_dir, sampled=False)
+                _TRAIN_CACHE[key] = res
+                return res
+            emb = s
         coarse_df, ccents = pq_fit(
             emb, m=1, k=_IVFPQ_KC, n_iter=_IVFPQ_CI, return_codebook=True
         )
@@ -2720,9 +2734,11 @@ def ivfpq_recall_report(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return _ivfpq_recall_frame(
         spark,
+        sf_dir,
         emb,
         emb.filter(F.col("vec_id") < _IVFPQR_NQ),
         *_ivfpq_train(spark, sf_dir),
+        tag="full",
     )
 
 
@@ -2740,19 +2756,27 @@ def ivfpq_recall_sampled(spark, sf_dir):
     deterministic sample on both engines; see kmeans_sampled). Below
     the 64k cap the twin equals the parent exactly. Index build is the
     memoized sampled run shared with ivfpq_sampled."""
-    emb = sample_frame(table(spark, sf_dir, "embeddings"), "vec_id")
+    base = table(spark, sf_dir, "embeddings")
+    emb = sample_frame(base, "vec_id")
+    # identity ⇔ the cap didn't bind ⇔ corpus AND query set equal the
+    # parent's (0-based ids: lowest-20 == vec_id < 20) — share its truth
     return _ivfpq_recall_frame(
         spark,
+        sf_dir,
         emb,
         _lowest_ids_frame(emb, _IVFPQR_NQ),
         *_ivfpq_train(spark, sf_dir, sampled=True),
+        tag="full" if emb is base else "sampled",
     )
 
 
-def _ivfpq_recall_frame(spark, emb, qemb, cand, cc, pcents):
+def _ivfpq_recall_frame(spark, sf_dir, emb, qemb, cand, cc, pcents, tag):
     """Shared engine tail of ivfpq_recall_report and its sampled twin:
     all-cells probe tables per query, nprobe-expanded top-k hits, and the
-    exact-L2 broadcast-queries truth over ``emb``."""
+    exact-L2 broadcast-queries truth over ``emb`` — the truth memoized
+    per (session, sf_dir, corpus tag) so the report/sampled twins pay the
+    brute pass once whenever their corpus and query set coincide (always
+    at driver scales — see the caller's identity check)."""
     from mapreduce_model_spark.operators.similarity import dot, py_ldot as ldot
     from pyspark.sql import Window
 
@@ -2808,21 +2832,27 @@ def _ivfpq_recall_frame(spark, emb, qemb, cand, cc, pcents):
     # exact-L2 truth: queries broadcast, corpus scanned once; the ranking
     # key drops the per-query constant q·q (argmin unchanged) — the SAME
     # reduced expression as the oracle's ORDER BY
-    qfr = qemb.select(F.col("vec_id").alias("query_id"), ve.alias("qv"))
-    cfr = emb.select("vec_id", ve.alias("cv"))
-    d = dot(F.col("cv"), F.col("cv")) - F.lit(2.0) * dot(
-        F.col("qv"), F.col("cv")
-    )
-    wt = Window.partitionBy("query_id").orderBy(F.col("d").asc(), "vec_id")
-    truth = (
-        F.broadcast(qfr)
-        .crossJoin(cfr)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", d.alias("d"))
-        .withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= _IVFPQR_K)
-        .select("query_id", "vec_id")
-    )
+    def _build_truth():
+        qfr = qemb.select(F.col("vec_id").alias("query_id"), ve.alias("qv"))
+        cfr = emb.select("vec_id", ve.alias("cv"))
+        d = dot(F.col("cv"), F.col("cv")) - F.lit(2.0) * dot(
+            F.col("qv"), F.col("cv")
+        )
+        wt = Window.partitionBy("query_id").orderBy(F.col("d").asc(), "vec_id")
+        return (
+            F.broadcast(qfr)
+            .crossJoin(cfr)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", d.alias("d"))
+            .withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") <= _IVFPQR_K)
+            .select("query_id", "vec_id")
+        )
+
+    tkey, thit = _train_cache_lookup(spark, sf_dir, f"ivfpqtruth_{tag}")
+    if thit is None:
+        _TRAIN_CACHE[tkey] = (_build_truth().persist(),)
+    truth = _TRAIN_CACHE[tkey][0]
 
     # coverage side: one row per (query, candidate) with the rank of the
     # candidate's cell in the query's probe order — a true neighbor is
